@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY §2 inventory) to DataFrame
+  * builders over a testdata sf directory; `oracleSql` carries the exact
+  * DuckDB-SQL equivalent for the driver's correctness gate. Queries without
+  * an oracle (seeded-random iterative samplers) get rows-only checks, but
+  * their invariants are additionally exposed as constant-oracle check
+  * queries (counts / retention sets the reference's own tests assert).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full KG construction + triple emission on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.sources.TpchKg.load(spark, "/root/testdata/sf0.001").triples
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    KgQueries.queries
+
+  def oracleSql: Map[String, String] =
+    KgQueries.oracleSql
 }

@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The knowledge base: four ABox fact tables + TBox metadata.
+  *
+  * Mirrors the capability surface of the reference `KnowledgeBase`
+  * (ontolearn_light/knowledge_base.py:47-190) re-expressed as immutable
+  * Spark DataFrames. The big tables are distributed; the TBox is a small
+  * driver-side value (broadcast into joins automatically by size).
+  *
+  * All derivations (sampling, subgraph materialization, ignore-lists) are
+  * pure functions Kb => Kb built from semi/anti joins — there is no "reload
+  * pristine ontology" step (reference ontosample/_base.py:173-175) because
+  * inputs are immutable.
+  */
+final case class Kb(
+    nodes: DataFrame,   // id
+    edges: DataFrame,   // src, pred, dst
+    attrs: DataFrame,   // node, prop, lexical, dtype
+    types: DataFrame,   // node, cls
+    tbox: Tbox) {
+
+  import Schemas._
+
+  def spark: SparkSession = nodes.sparkSession
+
+  /** ABox triples in `iri` mode (reference knowledge_base.py:208-306):
+    * per individual, direct rdf:type rows + data-property rows (lexical
+    * form) + object-property rows. One union-all plan — Catalyst prunes
+    * columns per branch. */
+  def aboxTriples: DataFrame =
+    types.select(col("node").as("subj"), lit(RdfType).as("pred"), col("cls").as("obj"))
+      .unionAll(attrs.select(col("node").as("subj"), col("prop").as("pred"), col("lexical").as("obj")))
+      .unionAll(edges.select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
+
+  /** TBox triples (reference knowledge_base.py:308-434). Driver-scale. */
+  def tboxTriples: DataFrame =
+    spark.createDataset(tbox.tripleRows)(
+      org.apache.spark.sql.Encoders.product[Triple]).toDF()
+
+  /** Full triple export (reference knowledge_base.py:436-448) — the
+    * P/R comparison surface of the north rule. */
+  def triples: DataFrame = aboxTriples.unionAll(tboxTriples)
+
+  /** ABox `expression` mode (reference knowledge_base.py:262-302): per node,
+    * group object edges by predicate; emit ∃r.{x} for each object, ∃r.C per
+    * distinct (pred, class of object), and ≥n r.C when a (pred, class) pair
+    * occurs more than once. Expressed as one hash-aggregate plan (partial +
+    * final handled by Catalyst). */
+  def aboxExpression: DataFrame = {
+    val hasValue = edges.select(
+      col("src").as("subj"),
+      concat(lit("∃"), col("pred"), lit(".{"), col("dst"), lit("}")).as("expr"))
+    val byType = edges
+      .join(types.withColumnRenamed("node", "dst"), Seq("dst"))
+      .groupBy(col("src").as("subj"), col("pred"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+    val existsC = byType.select(col("subj"),
+      concat(lit("∃"), col("pred"), lit("."), col("cls")).as("expr"))
+    // reference emits the cardinality row only when count > 1 (knowledge_base.py:295-302)
+    val minCard = byType.filter(col("n") > 1).select(col("subj"),
+      concat(lit("≥"), col("n"), lit(" "), col("pred"), lit("."), col("cls")).as("expr"))
+    hasValue.unionAll(existsC).unionAll(minCard)
+  }
+
+  /** Signature scans (reference _base.py:71-73, knowledge_base.py:978-1040). */
+  def individuals: DataFrame = nodes
+  def objectPropertiesInSignature: Seq[String] = tbox.objectProps.map(_.prop)
+  def dataPropertiesInSignature: Seq[String] = tbox.dataProps.map(_.prop)
+  def classesInSignature: Seq[String] = tbox.classes
+
+  /** ignore_and_copy (reference knowledge_base.py:450-510): a view of the KB
+    * with the given classes / properties removed everywhere. */
+  def ignoring(ignoredClasses: Set[String] = Set.empty,
+               ignoredProps: Set[String] = Set.empty): Kb = {
+    val t = if (ignoredClasses.isEmpty) types
+            else types.filter(!col("cls").isInCollection(ignoredClasses))
+    val e = if (ignoredProps.isEmpty) edges
+            else edges.filter(!col("pred").isInCollection(ignoredProps))
+    val a = if (ignoredProps.isEmpty) attrs
+            else attrs.filter(!col("prop").isInCollection(ignoredProps))
+    copy(edges = e, attrs = a, types = t, tbox = tbox.copy(
+      classes = tbox.classes.filterNot(ignoredClasses),
+      subClass = tbox.subClass.filterNot { case (s, p) => ignoredClasses(s) || ignoredClasses(p) },
+      props = tbox.props.filterNot(p => ignoredProps(p.prop))))
+  }
+
+  /** Restrict the KB to a set of surviving nodes: removing a node removes
+    * all of its incident assertions — edges require BOTH endpoints to
+    * survive (reference _base.py:178-180; SURVEY §7.3 #5). `keep` must have
+    * a single column named `id`. */
+  def restrictedTo(keep: DataFrame): Kb = {
+    val k = keep.select(col("id")).distinct()
+    Kb(
+      nodes = nodes.join(k, Seq("id"), "left_semi"),
+      edges = edges
+        .join(k.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(k.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("pred"), col("dst")),
+      attrs = attrs.join(k.withColumnRenamed("id", "node"), Seq("node"), "left_semi"),
+      types = types.join(k.withColumnRenamed("id", "node"), Seq("node"), "left_semi"),
+      tbox = tbox)
+  }
+
+  /** Drop data-property declarations with no remaining assertion
+    * (reference _base.py:278-291). Needs an action (small collect of the
+    * distinct surviving props — bounded by |dataProps|, driver-scale). */
+  def pruneUnusedDataProps(): Kb = {
+    val used = attrs.select("prop").distinct().collect().map(_.getString(0)).toSet
+    copy(tbox = tbox.copy(props = tbox.props.filter(p => p.kind != "data" || used(p.prop))))
+  }
+
+  def cache(): Kb = Kb(nodes.cache(), edges.cache(), attrs.cache(), types.cache(), tbox)
+  def unpersist(): Unit = { nodes.unpersist(); edges.unpersist(); attrs.unpersist(); types.unpersist() }
+}
+
+object Kb {
+  /** Empty KB bound to a session (unit-test convenience). */
+  def empty(spark: SparkSession): Kb = {
+    def df(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    Kb(df(Schemas.nodes), df(Schemas.edges), df(Schemas.attrs), df(Schemas.types), Tbox.empty)
+  }
+}

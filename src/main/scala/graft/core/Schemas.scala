@@ -1,0 +1,104 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Canonical fact-table schemas of the engine (SURVEY.md §1.2).
+  *
+  * An OWL knowledge base (reference: ontolearn_light/knowledge_base.py:47-190)
+  * is split into four big ABox fact tables plus small TBox metadata:
+  *   - nodes(id)                          — OWLNamedIndividual
+  *   - edges(src, pred, dst)              — OWLObjectPropertyAssertionAxiom
+  *   - attrs(node, prop, lexical, dtype)  — OWLDataPropertyAssertionAxiom
+  *   - types(node, cls)                   — OWLClassAssertionAxiom
+  * TBox (class/property hierarchies, domains/ranges) is driver-scale metadata,
+  * carried as Scala collections and broadcast where joins need it.
+  */
+object Schemas {
+  val RdfType = "rdf:type"
+  val SubClassOf = "rdfs:subClassOf"
+  val SubPropertyOf = "rdfs:subPropertyOf"
+  val EquivalentClass = "owl:equivalentClass"
+  val EquivalentProperty = "owl:equivalentProperty"
+  val Domain = "rdfs:domain"
+  val Range = "rdfs:range"
+
+  val nodes: StructType = StructType(Seq(StructField("id", StringType, nullable = false)))
+  val edges: StructType = StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("pred", StringType, nullable = false),
+    StructField("dst", StringType, nullable = false)))
+  val attrs: StructType = StructType(Seq(
+    StructField("node", StringType, nullable = false),
+    StructField("prop", StringType, nullable = false),
+    StructField("lexical", StringType, nullable = false),
+    StructField("dtype", StringType, nullable = false)))
+  val types: StructType = StructType(Seq(
+    StructField("node", StringType, nullable = false),
+    StructField("cls", StringType, nullable = false)))
+  val triples: StructType = StructType(Seq(
+    StructField("subj", StringType, nullable = false),
+    StructField("pred", StringType, nullable = false),
+    StructField("obj", StringType, nullable = false)))
+}
+
+/** Typed rows (Dataset[T] encoders) for stages where type safety helps. */
+case class Edge(src: String, pred: String, dst: String)
+case class Attr(node: String, prop: String, lexical: String, dtype: String)
+case class TypeAssertion(node: String, cls: String)
+case class Triple(subj: String, pred: String, obj: String)
+
+/** Property metadata row; kind ∈ {object, data}. */
+case class PropMeta(prop: String, kind: String, domain: String, range: String)
+
+/** TBox: driver-scale schema metadata (reference knowledge_base.py:346-432 —
+  * tbox emission enumerates exactly subClassOf, equivalentClass, subPropertyOf,
+  * equivalentProperty, domain, range). Always small even at web scale.
+  */
+case class Tbox(
+    classes: Seq[String],
+    subClass: Seq[(String, String)],            // (sub, sup)
+    equivClass: Seq[(String, String)] = Nil,
+    subProp: Seq[(String, String)] = Nil,
+    equivProp: Seq[(String, String)] = Nil,
+    props: Seq[PropMeta] = Nil) {
+
+  lazy val objectProps: Seq[PropMeta] = props.filter(_.kind == "object")
+  lazy val dataProps: Seq[PropMeta] = props.filter(_.kind == "data")
+
+  private lazy val parents: Map[String, Seq[String]] =
+    subClass.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+  private lazy val children: Map[String, Seq[String]] =
+    subClass.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+
+  /** All (improper) subclasses of c: {c} ∪ transitive closure downward.
+    * TBox DAGs are tiny, so a driver-side BFS is the right tool. */
+  def subClassesOf(c: String): Set[String] = closure(c, children)
+  def superClassesOf(c: String): Set[String] = closure(c, parents)
+
+  private def closure(start: String, step: Map[String, Seq[String]]): Set[String] = {
+    var seen = Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => step.getOrElse(n, Nil)).filterNot(seen)
+      seen ++= next
+      frontier = next
+    }
+    seen
+  }
+
+  /** TBox triples, matching the reference's six relation kinds
+    * (knowledge_base.py:308-434). Deduplicated set semantics. */
+  def tripleRows: Seq[Triple] = {
+    import Schemas._
+    (subClass.map { case (a, b) => Triple(a, SubClassOf, b) } ++
+      equivClass.map { case (a, b) => Triple(a, EquivalentClass, b) } ++
+      subProp.map { case (a, b) => Triple(a, SubPropertyOf, b) } ++
+      equivProp.map { case (a, b) => Triple(a, EquivalentProperty, b) } ++
+      props.filter(_.domain.nonEmpty).map(p => Triple(p.prop, Domain, p.domain)) ++
+      props.filter(_.range.nonEmpty).map(p => Triple(p.prop, Range, p.range))).distinct
+  }
+}
+
+object Tbox {
+  val empty: Tbox = Tbox(Nil, Nil)
+}
