@@ -41,13 +41,12 @@ object Determinism {
   val LcgM = 2147483647L
 
   def lcg(key: Column, seed: Long): Column =
-    pmod(key.cast("long") * lit(LcgA) + lit(seed), lit(LcgM))
+    pmod(pmod(key.cast("long"), lit(LcgM)) * lit(LcgA) + lit(seed), lit(LcgM))
 
-  /** The same LCG as portable SQL text, for oracle queries. */
-  def lcgSql(keyExpr: String, seed: Long): String =
-    s"(($keyExpr * ${LcgA}L + ${seed}L) % ${LcgM}L + ${LcgM}L) % ${LcgM}L"
-
-  /** DuckDB flavor (no L suffix; BIGINT literals are default). */
-  def lcgDuck(keyExpr: String, seed: Long): String =
-    s"((CAST($keyExpr AS BIGINT) * $LcgA + $seed) % $LcgM + $LcgM) % $LcgM"
+  /** DuckDB mirror of [[lcg]] for oracle queries (pre-mod keeps the
+    * multiply inside int64 for any key). */
+  def lcgDuck(keyExpr: String, seed: Long): String = {
+    val k = s"((CAST($keyExpr AS BIGINT) % $LcgM + $LcgM) % $LcgM)"
+    s"(($k * $LcgA + $seed) % $LcgM + $LcgM) % $LcgM"
+  }
 }

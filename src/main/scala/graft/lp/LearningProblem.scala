@@ -1,0 +1,71 @@
+package graft.lp
+
+import graft.core.{Determinism, Kb}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PosNegLPStandard (reference ontolearn_light/learning_problem.py:44-74):
+  * a learning problem is two small sets of individual IRIs. */
+final case class Lp(pos: Seq[String], neg: Seq[String])
+
+/** EncodedPosNegLPStandard (learning_problem.py:13-41): the LP partitioned
+  * against the KB — kb_pos, kb_neg, kb_all, kb_diff = all − (pos ∪ neg). */
+final case class EncodedLp(kbPos: DataFrame, kbNeg: DataFrame, kbAll: DataFrame, kbDiff: DataFrame)
+
+object LearningProblem {
+
+  /** encode_learning_problem (reference knowledge_base.py:658-706).
+    * When `neg` is empty, negatives are sampled uniformly from kb_all with
+    * |neg| = |pos| (reference :686-688 `random.sample`) — here via the
+    * seeded data-keyed LCG order over `keyed` (id, k), so the draw is
+    * deterministic across parallelism levels. */
+  def encode(kb: Kb, lp: Lp, keyed: Option[DataFrame] = None, seed: Long = 42L): EncodedLp = {
+    require(lp.pos.nonEmpty, "0 < |pos| required (reference knowledge_base.py:679)")
+    val spark = kb.spark
+    import org.apache.spark.sql.Encoders
+    val posDf = spark.createDataset(lp.pos)(Encoders.STRING).toDF("id")
+    val all = kb.nodes
+    val negDf =
+      if (lp.neg.nonEmpty) spark.createDataset(lp.neg)(Encoders.STRING).toDF("id")
+      else {
+        val k = keyed.getOrElse(
+          all.withColumn("k", abs(xxhash64(col("id")))))
+        val w = Window.orderBy(Determinism.lcg(col("k"), seed), col("id"))
+        k.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= lp.pos.size)
+          .select("id")
+      }
+    EncodedLp(
+      kbPos = posDf,
+      kbNeg = negDf,
+      kbAll = all,
+      kbDiff = all.except(posDf.union(negDf)))
+  }
+
+  /** Confusion counts (reference abstracts.py:52-61): tp/tn/fp/fn of a
+    * retrieved-individuals set against the encoded LP. One aggregate pass:
+    * pos/neg are LP-scale, so they broadcast into the two semi/anti joins. */
+  def confusion(retrieved: DataFrame, elp: EncodedLp): (Long, Long, Long, Long) = {
+    val r = retrieved.select(col("id")).distinct().cache()
+    try {
+      val tp = elp.kbPos.join(r, Seq("id"), "left_semi").count()
+      val fn = elp.kbPos.join(r, Seq("id"), "left_anti").count()
+      val fp = elp.kbNeg.join(r, Seq("id"), "left_semi").count()
+      val tn = elp.kbNeg.join(r, Seq("id"), "left_anti").count()
+      (tp, fn, fp, tn)
+    } finally r.unpersist()
+  }
+
+  /** evaluate_concept (reference knowledge_base.py:708-727): retrieval via
+    * Eval + metric score. Returns (applicable, score). */
+  def evaluateConcept(kb: Kb, ce: graft.expr.ClassExpr, metric: Metric,
+                      elp: EncodedLp): (Boolean, Double) = {
+    val retrieved = graft.expr.Eval(kb, ce)
+    if (retrieved.isEmpty) (false, 0.0) // score_elp empty-retrieval guard (abstracts.py:53-54)
+    else {
+      val (tp, fn, fp, tn) = confusion(retrieved, elp)
+      metric.score2(tp, fn, fp, tn)
+    }
+  }
+}

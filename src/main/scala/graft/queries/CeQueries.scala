@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.expr._
+import graft.lp._
+import graft.sources.{TpchKg, TpchKgSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.core.Determinism
+
+/** Class-expression retrieval (SURVEY §2.7) + learning-problem encoding and
+  * metric scoring (§2.4 A3/A4, §2.6), each with an exact DuckDB oracle. */
+object CeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eval(ce: ClassExpr): Q = (s, d) => Eval(TpchKg.load(s, d), ce)
+
+  private val agentClosure = TpchKg.tbox.subClassesOf("Agent").toSeq.sorted
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  def queries: Map[String, Q] = Map(
+    "ce_named_agent" -> eval(Named("Agent")),
+    "ce_and_hasvalue" -> eval(And(Seq(Named("Customer"), HasValue("inNation", "n:7")))),
+    "ce_or" -> eval(Or(Seq(Named("Nation"), Named("Region")))),
+    "ce_not" -> eval(And(Seq(Named("Agent"), Not(Named("Customer"))))),
+    "ce_exists_nested" -> eval(
+      Exists("placedBy", Exists("inNation", HasValue("inRegion", "r:2")))),
+    "ce_forall" -> eval(
+      And(Seq(Named("Order"), ForAll("contains", DataCompare("psize", "<=", 25.0))))),
+    "ce_mincard" -> eval(MinCard(5, "contains", Named("Part"))),
+    "ce_maxcard" -> eval(And(Seq(Named("Order"), MaxCard(2, "contains", Top)))),
+    "ce_exactcard" -> eval(ExactCard(1, "suppliedBy", Named("Supplier"))),
+    "ce_data" -> eval(And(Seq(Named("Customer"), DataCompare("acctbal", ">", 5000.0)))),
+    "lp_encode_diff" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val keys = TpchKg.table(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 1 || col("c_custkey") % 100 === 2)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+      val (posK, negK) = keys.partition(_ % 100 == 1)
+      val lp = Lp(posK.map("c:" + _), negK.map("c:" + _))
+      LearningProblem.encode(kb, lp).kbDiff
+    }),
+    "lp_encode_negsample" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val posK = TpchKg.table(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 1)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+      val lp = Lp(posK.map("c:" + _), Nil)
+      LearningProblem.encode(kb, lp, keyed = Some(TpchKg.nodesWithKey(s, d)), seed = 7L).kbNeg
+    }),
+    "lp_eval_metrics" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val inN = kb.edges.filter(col("pred") === "inNation")
+      val pos = inN.filter(col("dst").isin("n:1", "n:2") && col("src").startsWith("c:"))
+        .select("src").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val neg = inN.filter(col("dst") === "n:1" && col("src").startsWith("s:"))
+        .select("src").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val retrieved = Eval(kb, HasValue("inNation", "n:1"))
+      val (tp, fn, fp, tn) = LearningProblem.confusion(retrieved, elp)
+      val rows = Seq((tp, fn, fp, tn,
+        F1.score2(tp, fn, fp, tn)._2,
+        Accuracy.score2(tp, fn, fp, tn)._2,
+        Precision.score2(tp, fn, fp, tn)._2,
+        Recall.score2(tp, fn, fp, tn)._2,
+        WeightedAccuracy.score2(tp, fn, fp, tn)._2))
+      s.createDataFrame(rows).toDF(
+        "tp", "fn", "fp", "tn", "f1", "accuracy", "precision", "recall", "wacc")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "ce_named_agent" -> TpchKgSql.withKg(
+      s"SELECT DISTINCT node AS id FROM types WHERE cls IN ${inList(agentClosure)}"),
+    "ce_and_hasvalue" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Customer'
+        |INTERSECT
+        |SELECT DISTINCT src FROM edges WHERE pred = 'inNation' AND dst = 'n:7'""".stripMargin),
+    "ce_or" -> TpchKgSql.withKg(
+      "SELECT DISTINCT node AS id FROM types WHERE cls IN ('Nation', 'Region')"),
+    "ce_not" -> TpchKgSql.withKg(
+      s"""SELECT DISTINCT node AS id FROM types WHERE cls IN ${inList(agentClosure)}
+         |INTERSECT
+         |(SELECT id FROM nodes EXCEPT SELECT DISTINCT node FROM types WHERE cls = 'Customer')""".stripMargin),
+    "ce_exists_nested" -> TpchKgSql.withKg(
+      """SELECT DISTINCT e1.src AS id FROM edges e1
+        |WHERE e1.pred = 'placedBy' AND e1.dst IN (
+        |  SELECT e2.src FROM edges e2 WHERE e2.pred = 'inNation' AND e2.dst IN (
+        |    SELECT e3.src FROM edges e3 WHERE e3.pred = 'inRegion' AND e3.dst = 'r:2'))""".stripMargin),
+    "ce_forall" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Order'
+        |INTERSECT
+        |(SELECT id FROM nodes
+        | EXCEPT
+        | SELECT e.src FROM edges e WHERE e.pred = 'contains' AND e.dst IN (
+        |   SELECT id FROM nodes
+        |   EXCEPT
+        |   SELECT node FROM attrs WHERE prop = 'psize' AND CAST(lexical AS DOUBLE) <= 25.0))""".stripMargin),
+    "ce_mincard" -> TpchKgSql.withKg(
+      """SELECT src AS id FROM edges
+        |WHERE pred = 'contains' AND dst IN (SELECT node FROM types WHERE cls = 'Part')
+        |GROUP BY src HAVING COUNT(*) >= 5""".stripMargin),
+    "ce_maxcard" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Order'
+        |INTERSECT
+        |(SELECT id FROM nodes EXCEPT
+        | SELECT src FROM edges WHERE pred = 'contains' GROUP BY src HAVING COUNT(*) > 2)""".stripMargin),
+    "ce_exactcard" -> TpchKgSql.withKg(
+      """SELECT src AS id FROM edges
+        |WHERE pred = 'suppliedBy' AND dst IN (SELECT node FROM types WHERE cls = 'Supplier')
+        |GROUP BY src HAVING COUNT(*) = 1""".stripMargin),
+    "ce_data" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Customer'
+        |INTERSECT
+        |SELECT DISTINCT node FROM attrs WHERE prop = 'acctbal' AND CAST(lexical AS DOUBLE) > 5000.0""".stripMargin),
+    "lp_encode_diff" -> TpchKgSql.withKg(
+      """SELECT id FROM nodes
+        |EXCEPT
+        |SELECT 'c:' || CAST(c_custkey AS VARCHAR) FROM customer WHERE c_custkey % 100 IN (1, 2)""".stripMargin),
+    "lp_encode_negsample" -> TpchKgSql.withKg(
+      s"""SELECT id FROM (
+         |  SELECT id, row_number() OVER (ORDER BY ${Determinism.lcgDuck("k", 7L)}, id) AS rn
+         |  FROM nodesk) r
+         |WHERE rn <= (SELECT COUNT(*) FROM customer WHERE c_custkey % 100 = 1)""".stripMargin),
+    "lp_eval_metrics" -> TpchKgSql.withKg(
+      """retrieved AS (SELECT DISTINCT src AS id FROM edges WHERE pred = 'inNation' AND dst = 'n:1'),
+        |pos AS (SELECT DISTINCT src AS id FROM edges WHERE pred = 'inNation' AND dst IN ('n:1','n:2') AND src LIKE 'c:%'),
+        |neg AS (SELECT DISTINCT src AS id FROM edges WHERE pred = 'inNation' AND dst = 'n:1' AND src LIKE 's:%'),
+        |c AS (SELECT
+        |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM retrieved)) AS BIGINT) AS tp,
+        |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM retrieved)) AS BIGINT) AS fn,
+        |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM retrieved)) AS BIGINT) AS fp,
+        |  CAST((SELECT COUNT(*) FROM neg WHERE id NOT IN (SELECT id FROM retrieved)) AS BIGINT) AS tn)
+        |SELECT tp, fn, fp, tn,
+        |  ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+        |        / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) AS f1,
+        |  ROUND(CAST(tp+tn AS DOUBLE) / (tp+tn+fp+fn), 5) AS accuracy,
+        |  ROUND(CAST(tp AS DOUBLE) / (tp+fp), 5) AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / (tp+fn), 5) AS recall,
+        |  ROUND(((CAST(tp AS DOUBLE)/(tp+fn)) + (CAST(tn AS DOUBLE)/(fp+tn)))
+        |        / ((CAST(tp AS DOUBLE)/(tp+fn)) + (CAST(tn AS DOUBLE)/(fp+tn))
+        |           + (CAST(fp AS DOUBLE)/(fp+tn)) + (CAST(fn AS DOUBLE)/(tp+fn))), 5) AS wacc
+        |FROM c""".stripMargin, inCte = true))
+
+  // helper lives in TpchKgSql; see withKg(body, inCte)
+}

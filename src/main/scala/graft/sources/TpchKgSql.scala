@@ -72,8 +72,10 @@ object TpchKgSql {
 
   def triples: String = s"$aboxTriples\nUNION ALL\nSELECT * FROM ($tboxTriples) tb"
 
-  /** Wrap a body with the standard CTE prelude. */
-  def withKg(body: String): String =
-    s"""WITH nodes AS ($nodes), edges AS ($edges), attrs AS ($attrs), types AS ($types), nodesk AS ($nodesk)
-       |$body""".stripMargin
+  /** Wrap a body with the standard CTE prelude. When `inCte`, the body
+    * itself begins with further CTE definitions (joined with a comma). */
+  def withKg(body: String, inCte: Boolean = false): String = {
+    val prelude = s"WITH nodes AS ($nodes), edges AS ($edges), attrs AS ($attrs), types AS ($types), nodesk AS ($nodesk)"
+    if (inCte) s"$prelude,\n$body" else s"$prelude\n$body"
+  }
 }
