@@ -19,8 +19,8 @@ object SparkEntry {
     graft.sources.TpchKg.load(spark, "/root/testdata/sf0.001").triples
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KgQueries.queries ++ CeQueries.queries
+    KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    KgQueries.oracleSql ++ CeQueries.oracleSql
+    KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.core.Kb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end KG construction (north_star): pages → byte-identical text
+  * extraction → mention detection → alias entity linking (broadcast join)
+  * → pattern-rule triple extraction → canonicalization (blocking + CC) →
+  * materialized graph. Every stage is checkpointed with lineage metrics
+  * (Lineage.stage) so a killed run resumes from the last completed stage.
+  */
+object KgPipeline {
+
+  val stages = Seq("pages", "extracted", "mentions", "linked", "triples")
+
+  /** Run up to `upTo` (inclusive); default full. Returns the last stage's
+    * DataFrame. `checkpointDir` holds the per-stage parquet + lineage. */
+  def run(spark: SparkSession, dataDir: String, checkpointDir: String,
+          upTo: String = "triples"): DataFrame = {
+    val limit = stages.indexOf(upTo)
+    require(limit >= 0, s"unknown stage $upTo")
+    val aliases = Pages.aliases(spark)
+
+    var out: DataFrame = null
+    if (limit >= 0)
+      out = Lineage.stage(spark, checkpointDir, "pages") {
+        Pages.fromDir(spark, dataDir)
+      }
+    if (limit >= 1)
+      out = Lineage.stage(spark, checkpointDir, "extracted") {
+        Extract(out).toDF()
+      }
+    if (limit >= 2)
+      out = Lineage.stage(spark, checkpointDir, "mentions") {
+        Mentions(out.as[Extract.Extracted](
+          org.apache.spark.sql.Encoders.product[Extract.Extracted])).toDF()
+      }
+    if (limit >= 3)
+      out = Lineage.stage(spark, checkpointDir, "linked") {
+        Link(out, aliases)
+      }
+    if (limit >= 4)
+      out = Lineage.stage(spark, checkpointDir, "triples") {
+        Canonicalize(out, aliases).distinct()
+      }
+    out
+  }
+
+  /** Full run + materialization into a Kb. */
+  def buildKb(spark: SparkSession, dataDir: String, checkpointDir: String): Kb =
+    Materialize.asKb(run(spark, dataDir, checkpointDir))
+
+  /** Fresh throwaway checkpoint dir (verify/bench runs). */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  val dataDir = "/root/testdata/sf0.001"
+
+  private def triplesOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("extract: byte-identical boilerplate stripping") {
+    val html = ("<html><head><title>Doc 1</title><script>var x=1;</script></head>" +
+      "<body><nav>Home | About | Contact</nav><p>hello  world 42</p>" +
+      "<footer>&copy; 2025 example.org</footer></body></html>").getBytes("UTF-8")
+    assert(Extract.extractText(html) === "hello  world 42")
+    // generated pages: extracted text equals the golden `text` column for every row
+    val pages = Pages.fromDir(spark, dataDir)
+    val ext = Extract(pages).toDF().withColumnRenamed("text", "extracted")
+    val diff = ext.join(pages.select("url", "text"), Seq("url"))
+      .filter(col("extracted") =!= col("text")).count()
+    assert(diff === 0)
+  }
+
+  test("connected components: transitive chains across blocking keys") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a", "b", "c", "d").map(comp) === Set("a"))
+    assert(Set("x", "y").map(comp) === Set("x"))
+  }
+
+  test("canonicalization merges alias namespaces (entA/entB/entX share a key)") {
+    val m = Canonicalize.canonicalMap(Pages.aliases(spark)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("entA_7") === "entA_7")
+    assert(m("entB_7") === "entA_7")
+    assert(m("entX_7") === "entA_7")
+    assert(m("city_5") === "city_5")
+  }
+
+  test("pipeline output is invariant to input partitioning (parallelism determinism)") {
+    val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+    val aliases = Pages.aliases(spark)
+    def runWith(parts: Int) = {
+      val pages = Pages.fromDocuments(docs.repartition(parts))
+      val tri = Canonicalize(Link(Mentions(Extract(pages)).toDF(), aliases), aliases).distinct()
+      triplesOf(tri)
+    }
+    assert(runWith(1) === runWith(7))
+  }
+
+  test("resume: completed stages are not recomputed; outputs identical") {
+    val ck = KgPipeline.tempDir("graft_resume_")
+    KgPipeline.run(spark, dataDir, ck, upTo = "mentions")
+    assert(Lineage.isDone(ck, "mentions") && !Lineage.isDone(ck, "linked"))
+    val mentionsMarker = java.nio.file.Paths.get(
+      s"${Lineage.stagePath(ck, "mentions")}/_GRAFT_DONE")
+    val t0 = java.nio.file.Files.getLastModifiedTime(mentionsMarker)
+
+    val resumed = KgPipeline.run(spark, dataDir, ck) // full run, resumes
+    assert(java.nio.file.Files.getLastModifiedTime(mentionsMarker) === t0)
+
+    val fresh = KgPipeline.run(spark, dataDir, KgPipeline.tempDir("graft_fresh_"))
+    assert(triplesOf(resumed) === triplesOf(fresh))
+
+    // lineage has rows for every stage
+    val stages = Lineage.read(spark, ck).select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages === KgPipeline.stages.toSet)
+  }
+
+  test("materialized graph is a first-class Kb: samplers + CE run on it") {
+    val kb = KgPipeline.buildKb(spark, dataDir, KgPipeline.tempDir("graft_kb_")).cache()
+    assert(kb.nodes.count() > 100)
+    val s = new graft.sample.RandomNodeSampler(kb, seed = 5).sample(40)
+    assert(s.nodes.count() === 40)
+    val cities = graft.expr.Eval(kb, graft.expr.Named("City"))
+    assert(ids(cities).forall(_.startsWith("city_")))
+  }
+}
