@@ -19,8 +19,10 @@ object SparkEntry {
     graft.sources.TpchKg.load(spark, "/root/testdata/sf0.001").triples
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries
+    KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries ++
+      TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
-    KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql
+    KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      TrainingDataQueries.oracleSql
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis),
+  * each hash-checked against a DuckDB oracle. Near/exact duplicates are
+  * planted deterministically (corpus CTE) so dedup outputs are non-trivial
+  * and identical on both sides.
+  */
+object TrainingDataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** documents ∪ planted exact dups (+200000) ∪ planted near dups (+100000,
+    * text + " x"). */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text")))
+  }
+
+  /** embeddings ∪ planted identical copies (+100000). */
+  def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select(col("vec_id"), col("embedding"))
+    base.unionAll(base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "td_dedup_exact" -> ((s, d) => Dedup.exact(corpus(s, d))),
+    "td_shingle_count" -> ((s, d) =>
+      TextOps.shingles(corpus(s, d)).groupBy("doc_id").agg(count(lit(1)).as("n"))),
+    "td_minhash" -> ((s, d) => Dedup.minhash(corpus(s, d))),
+    "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
+    "td_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(corpus(s, d), 0.8)),
+    "td_simhash" -> ((s, d) => Dedup.simhash(corpus(s, d))),
+    "td_jaccard_consecutive" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+      Dedup.jaccardOf(docs(s, d).select(col("doc_id"), col("text")), pairs)
+    }),
+    "td_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("predicted"))),
+    "td_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    "td_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))),
+    "td_ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 0L to 9L, 5)),
+    "td_ann_lsh_bucket" -> ((s, d) => Ann.lshBucket(emb(s, d))),
+    "td_dedup_embedding" -> ((s, d) =>
+      Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
+    // winnowing fingerprints via the custom RollingHash64 Catalyst
+    // expression — no SQL oracle (rows-only check); covered by unit tests
+    "td_winnow_fp" -> ((s, d) => {
+      import graft.expr.RollingHash
+      val k = 8
+      docs(s, d).select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= k)
+        .select(col("doc_id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"), col("t"))
+        .select(col("doc_id"), RollingHash.rollingHash64(expr(s"substring(t, i, $k)")).as("h"))
+        .groupBy("doc_id").agg(countDistinct(col("h")).as("n_kgram_hashes"))
+    }))
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 100000, text || ' x' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val shCte = s"sh AS (${TextOps.shinglesSql})"
+
+  private val mhCte =
+    """mh AS (
+      |  SELECT doc_id, CAST(j AS INT) AS j,
+      |    MIN((h * (1000003 + 999983 * j) + (7 + 104729 * j)) % 2147483647) AS mh
+      |  FROM sh CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j)""".stripMargin
+
+  private val bandsCte =
+    """bands AS (
+      |  SELECT doc_id, CAST(j // 4 AS INT) AS band, string_agg(mh, '_' ORDER BY j) AS key
+      |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
+
+  private def jaccardSql(pairsCte: String) =
+    s"""$pairsCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+       |  GROUP BY c.a, c.b)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT c.a, c.b,
+       |    ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)), 5) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |  JOIN sizes na ON na.doc_id = c.a
+       |  JOIN sizes nb ON nb.doc_id = c.b) q""".stripMargin
+
+  private val embCte =
+    """ec AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin
+
+  /** exploded double-precision vector view over a relation r(vec_id, embedding)
+    * (DuckDB 1.0 has no WITH ORDINALITY — static series + 1-based indexing) */
+  private def evCte(rel: String) =
+    s"""ev AS (SELECT $rel.vec_id, CAST(i1 - 1 AS INT) AS i, CAST($rel.embedding[i1] AS DOUBLE) AS x
+       |  FROM $rel CROSS JOIN generate_series(1, 64) g(i1)
+       |  WHERE i1 <= len($rel.embedding))""".stripMargin
+
+  private val bucketSql =
+    """SELECT vec_id,
+      |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+      |FROM (
+      |  SELECT vec_id, CAST(j AS INT) AS j,
+      |    SUM(CASE WHEN (i + 17 * j) % 2 = 0 THEN x ELSE -x END) AS s
+      |  FROM ev CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id, j) proj
+      |GROUP BY vec_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "td_dedup_exact" -> s"WITH $corpusCte\nSELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text",
+    "td_shingle_count" -> s"WITH $corpusCte, $shCte\nSELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id",
+    "td_minhash" -> s"WITH $corpusCte, $shCte, $mhCte\nSELECT doc_id, j, mh FROM mh",
+    "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
+    "td_dedup_minhash" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
+      jaccardSql(
+        """cand AS (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+          |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin) +
+      "\nWHERE jaccard >= 0.8"),
+    "td_simhash" -> s"""WITH $corpusCte, $shCte,
+      |bits AS (
+      |  SELECT doc_id, CAST(j AS INT) AS j,
+      |    SUM(CASE WHEN (h * (1000003 + 999983 * j) + (7 + 104729 * j)) % 1021 >= 510 THEN 1 ELSE -1 END) AS tot
+      |  FROM sh CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin,
+    "td_jaccard_consecutive" -> (s"WITH corpus AS (SELECT doc_id, text FROM documents), $shCte,\n" +
+      jaccardSql(
+        """cand AS (
+          |  SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM documents a
+          |  WHERE EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = a.doc_id + 1))""".stripMargin)),
+    "td_langid" -> {
+      def cnt(w: String) = s"CAST((length(t) - length(replace(t, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${cnt("the")} + ${cnt("and")} + ${cnt("of")} AS en,
+         |  ${cnt("der")} + ${cnt("und")} + ${cnt("die")} AS de,
+         |  ${cnt("le")} + ${cnt("et")} + ${cnt("la")} AS fr,
+         |  ${cnt("el")} + ${cnt("y")} + ${cnt("los")} AS es
+         |FROM d)
+         |SELECT doc_id, CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END AS predicted
+         |FROM sc""".stripMargin
+    },
+    "td_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) + 1 AS n_tokens,
+        |  CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, ',', ''))) / 1 AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '!', ''))) / 1 AS BIGINT) AS punct,
+        |  CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS BIGINT)
+        |    + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' a ', ''))) / 3 AS BIGINT)
+        |    + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) / 4 AS BIGINT) AS stop
+        |FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(punct AS DOUBLE) / n_tokens, 5) AS punct_ratio,
+        |  ROUND(CAST(stop AS DOUBLE) / n_tokens, 5) AS stop_ratio,
+        |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |        * (1.0 - LEAST(CAST(punct AS DOUBLE) / n_tokens, 1.0))
+        |        * LEAST(CAST(stop AS DOUBLE) * 10.0 / n_tokens + 0.1, 1.0), 5) AS quality
+        |FROM d""".stripMargin,
+    "td_fingerprint" -> "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "td_ann_topk" ->
+      s"""WITH ${evCte("embeddings")},
+         |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS q, b.vec_id AS neighbor, SUM(a.x * b.x) AS dot
+         |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  GROUP BY a.vec_id, b.vec_id)
+         |SELECT q, rank, neighbor FROM (
+         |  SELECT q, neighbor, CAST(row_number() OVER (
+         |    PARTITION BY q ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, neighbor) AS INT) AS rank
+         |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
+         |WHERE rank <= 5""".stripMargin,
+    "td_ann_lsh_bucket" -> s"WITH ${evCte("embeddings")}\n$bucketSql",
+    "td_dedup_embedding" ->
+      s"""WITH $embCte, ${evCte("ec")},
+         |buckets AS (
+         |  ${bucketSql.replace("\n", "\n  ")}),
+         |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+         |cand AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b FROM buckets l
+         |  JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |dots AS (
+         |  SELECT c.a, c.b, SUM(ea.x * eb.x) AS dot FROM cand c
+         |  JOIN ev ea ON ea.vec_id = c.a JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b FROM (
+         |  SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim FROM dots d
+         |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b) s
+         |WHERE sim >= 0.999""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sim.Ann
+import graft.text.TextOps
+import graft.expr.RollingHash
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content with zero overlap qqq")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text") {
+    val survivors = ids2(Dedup.exact(corpus))
+    assert(survivors === Set(1L, 3L, 4L))
+  }
+
+  test("minhash-lsh finds exact and near dups, not disjoint docs") {
+    val pairs = Dedup.minhashLsh(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 === 1.0)
+    assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard is exact") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup.jaccardOf(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 4L)) < 0.2)
+  }
+
+  test("simhash: identical texts same hash; disjoint texts differ") {
+    val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("cosine: identical → 1, orthogonal → 0; topk ranks identical first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      .crossJoin(e)
+      .select($"vec_id", round(Ann.cosine($"qe", $"embedding"), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(1L) === 1.0)
+    assert(sims(2L) === 0.0)
+    val top = Ann.bruteForceTopK(e, Seq(0L), 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(top(1) === 1L)
+    assert(top(2) === 3L)
+  }
+
+  test("identical vectors share an LSH bucket; near-dup pairs found") {
+    val e = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (100L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = Ann.lshBucket(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(100L))
+    val pairs = Ann.nearDupPairs(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("rolling-hash expression matches the Scala reference and runs in codegen") {
+    val df = Seq("abc", "hello world", "").toDF("s")
+      .select($"s", RollingHash.rollingHash64($"s").as("h"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ref(s: String): Long = {
+      var h = 1125899906842597L
+      s.getBytes("UTF-8").foreach(b => h = 31L * h + b)
+      h
+    }
+    Seq("abc", "hello world", "").foreach(s => assert(got(s) === ref(s)))
+  }
+
+  test("text ops: token count, langid priority, md5 fingerprint") {
+    val d = Seq((1L, "the cat and the dog of it"), (2L, "der hund und die katze und")).toDF("doc_id", "text")
+    val lid = d.select($"doc_id", TextOps.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lid(1L) === "en")
+    assert(lid(2L) === "de")
+    val tok = d.select(TextOps.tokenCount($"text")).collect().map(_.getLong(0))
+    assert(tok.toSet === Set(7L, 6L))
+    val fp = d.filter($"doc_id" === 1).select(TextOps.fingerprintMd5($"text")).head().getString(0)
+    assert(fp === java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat and the dog of it".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
+  private def ids2(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+}
