@@ -30,14 +30,19 @@ object Dedup {
       .select(col("keeper").as("doc_id"))
 
   /** (doc_id, j, mh): MinHash signatures over distinct 3-gram shingles —
-    * mh_j = min over shingles of (a_j·h + b_j) mod P. */
+    * mh_j = min over shingles of (a_j·h + b_j) mod P.
+    * One scan + one partial-aggregating shuffle: all 16 mins are computed
+    * as conditional aggregates of a single groupBy, then unpivoted with
+    * stack() — not 16 unioned re-scans of the shingle explode. */
   def minhash(corpus: DataFrame): DataFrame = {
     val sh = TextOps.shingles(corpus)
-    val perHash = (0 until NumHashes).map { j =>
-      sh.select(col("doc_id"), lit(j).as("j"),
-        pmod(col("h") * hashA(j) + hashB(j), lit(P)).as("v"))
-    }.reduce(_.unionAll(_))
-    perHash.groupBy("doc_id", "j").agg(min(col("v")).as("mh"))
+    val aggs = (0 until NumHashes).map(j =>
+      min(pmod(col("h") * hashA(j) + hashB(j), lit(P))).as(s"mh$j"))
+    val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until NumHashes).map(j => s"$j, mh$j").mkString(", ")
+    wide.select(col("doc_id"),
+      expr(s"stack($NumHashes, $stackArgs)").as(Seq("j", "mh")))
+      .select(col("doc_id"), col("j"), col("mh"))
   }
 
   /** LSH band keys: (doc_id, band, key), key = band's signature rows joined
@@ -50,15 +55,35 @@ object Dedup {
         array_sort(collect_list(struct(col("j"), col("mh")))),
         x => x.getField("mh").cast("string")), "_").as("key"))
 
-  /** near-dup pairs via MinHash-LSH banding + exact Jaccard ≥ threshold.
-    * Returns (a, b, jaccard) with a < b, Jaccard rounded to 5. */
+  /** signature agreements required before the exact-Jaccard pass: 10/16
+    * matching minhashes estimate J ≳ 0.6 — a cheap prefilter that keeps the
+    * expensive shingle-level join linear in true near-dups, not in band
+    * collisions. */
+  val SigAgreeMin = 10
+
+  /** near-dup pairs via MinHash-LSH banding → signature-estimate prefilter
+    * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
+    * Jaccard rounded to 5. */
   def minhashLsh(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val bands = lshBands(corpus)
+    val mh = minhash(corpus).cache()
+    val bands = mh.withColumn("band", (col("j") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh").cast("string")), "_").as("key"))
     val candidates = bands.select(col("doc_id").as("a"), col("band"), col("key"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    jaccardOf(corpus, candidates).filter(col("jaccard") >= threshold)
+    // prefilter: enough full-signature agreement (estimated Jaccard)
+    val agree = candidates
+      .join(mh.select(col("doc_id").as("a"), col("j"), col("mh").as("ma")), Seq("a"))
+      .join(mh.select(col("doc_id").as("b"), col("j"), col("mh").as("mb")), Seq("b", "j"))
+      .groupBy("a", "b")
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("agree"))
+      .filter(col("agree") >= SigAgreeMin)
+      .select("a", "b")
+    jaccardOf(corpus, agree).filter(col("jaccard") >= threshold)
   }
 
   /** exact n-gram Jaccard for given (a, b) pairs: |A∩B| / |A∪B| over
@@ -84,15 +109,13 @@ object Dedup {
     * the j-th bit hash ((h·a_j + b_j) mod 1021 ≥ 510). */
   def simhash(corpus: DataFrame): DataFrame = {
     val sh = TextOps.shingles(corpus)
-    val bits = (0 until NumHashes).map { j =>
-      sh.select(col("doc_id"), lit(j).as("j"),
-        when(pmod(col("h") * hashA(j) + hashB(j), lit(1021L)) >= 510, 1L)
-          .otherwise(-1L).as("s"))
-    }.reduce(_.unionAll(_))
-    bits.groupBy("doc_id", "j").agg(sum(col("s")).as("tot"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("tot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    val aggs = (0 until NumHashes).map(j =>
+      sum(when(pmod(col("h") * hashA(j) + hashB(j), lit(1021L)) >= 510, 1L)
+        .otherwise(-1L)).as(s"t$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until NumHashes).map(j =>
+          when(col(s"t$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 }

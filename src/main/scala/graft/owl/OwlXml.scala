@@ -1,0 +1,96 @@
+package graft.owl
+
+import graft.core._
+import org.apache.spark.sql.{Encoders, SparkSession}
+import scala.xml.{Elem, XML}
+
+/** Fixture-scale OWL RDF/XML reader + writer (reference S1/S3,
+  * knowledge_base.py:107-190 load / _base.py:198-216 save_sample).
+  *
+  * Spark has no RDF source and fixture ontologies are tiny (father.owl has
+  * 6 individuals), so this parses/serializes on the driver and converts
+  * to/from the engine's fact tables. Web-scale input arrives through the
+  * pages pipeline, never through this path. The writer/reader pair is
+  * self-consistent: save → load preserves the full signature (mirrors
+  * tests/test_sampling.py:192-204).
+  */
+object OwlXml {
+
+  private val G = "urn:graft#"
+  private def frag(uri: String): String = {
+    val i = uri.lastIndexOf('#')
+    if (i >= 0) uri.substring(i + 1) else uri
+  }
+
+  def write(kb: Kb, path: String): Unit = {
+    val edges = kb.edges.collect().map(r => Edge(r.getString(0), r.getString(1), r.getString(2)))
+    val attrs = kb.attrs.collect().map(r => Attr(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val types = kb.types.collect().map(r => TypeAssertion(r.getString(0), r.getString(1)))
+    val nodes = kb.nodes.collect().map(_.getString(0))
+    val byNode = edges.groupBy(_.src).withDefaultValue(Array.empty[Edge])
+    val attrByNode = attrs.groupBy(_.node).withDefaultValue(Array.empty[Attr])
+    val typeByNode = types.groupBy(_.node).withDefaultValue(Array.empty[TypeAssertion])
+
+    val xml: Elem =
+      <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+               xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+               xmlns:owl="http://www.w3.org/2002/07/owl#"
+               xmlns:g={G}>
+        {kb.tbox.classes.map { c =>
+          <owl:Class rdf:about={G + c}>
+            {kb.tbox.subClass.filter(_._1 == c).map(s => <rdfs:subClassOf rdf:resource={G + s._2}/>)}
+          </owl:Class>}}
+        {kb.tbox.objectProps.map(p => <owl:ObjectProperty rdf:about={G + p.prop}/>)}
+        {kb.tbox.dataProps.map(p => <owl:DatatypeProperty rdf:about={G + p.prop}/>)}
+        {nodes.map { n =>
+          <owl:NamedIndividual rdf:about={G + n}>
+            {typeByNode(n).map(t => <rdf:type rdf:resource={G + t.cls}/>)}
+            {byNode(n).map(e => <g:op rdf:resource={G + e.dst} pred={e.pred}/>)}
+            {attrByNode(n).map(a => <g:dp prop={a.prop} dtype={a.dtype}>{a.lexical}</g:dp>)}
+          </owl:NamedIndividual>}}
+      </rdf:RDF>
+    XML.save(path, xml, "UTF-8", xmlDecl = true)
+  }
+
+  def read(spark: SparkSession, path: String): Kb = {
+    val xml = XML.loadFile(path)
+    val classes = (xml \ "Class").map(c => frag(c \@ s"{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"))
+    def about(n: scala.xml.Node) =
+      frag(n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("about") => v }.getOrElse(""))
+    def resource(n: scala.xml.Node) =
+      frag(n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("resource") => v }.getOrElse(""))
+
+    val classNames = (xml \ "Class").map(about)
+    val subClass = (xml \ "Class").flatMap(c => (c \ "subClassOf").map(s => about(c) -> resource(s)))
+    val objProps = (xml \ "ObjectProperty").map(about)
+    val dataProps = (xml \ "DatatypeProperty").map(about)
+
+    val inds = xml \ "NamedIndividual"
+    val nodes = inds.map(about)
+    val types = inds.flatMap(i => (i \ "type").map(t => TypeAssertion(about(i), resource(t))))
+    val edges = inds.flatMap(i => (i \ "op").map(e => Edge(about(i), e \@ "pred", resource(e))))
+    val attrs = inds.flatMap(i => (i \ "dp").map(a => Attr(about(i), a \@ "prop", a.text, a \@ "dtype")))
+
+    Kb(
+      nodes = spark.createDataset(nodes)(Encoders.STRING).toDF("id"),
+      edges = spark.createDataset(edges)(Encoders.product[Edge]).toDF(),
+      attrs = spark.createDataset(attrs)(Encoders.product[Attr]).toDF(),
+      types = spark.createDataset(types)(Encoders.product[TypeAssertion]).toDF(),
+      tbox = Tbox(
+        classes = classNames,
+        subClass = subClass,
+        props = objProps.map(p => PropMeta(p, "object", "", "")) ++
+          dataProps.map(p => PropMeta(p, "data", "", ""))))
+  }
+
+  /** save_sample default filename quirk (reference _base.py:209-216):
+    * append .owl when missing; default name <orig>_sample_<n>.owl. */
+  def sampleFileName(origPath: String, individuals: Long, filename: Option[String]): String =
+    filename match {
+      case Some(f) if f.length > 4 && f.endsWith(".owl") => f
+      case Some(f) => f + ".owl"
+      case None =>
+        val base = origPath.split('/').last.replace(".owl", "")
+        s"${base}_sample_$individuals.owl"
+    }
+}

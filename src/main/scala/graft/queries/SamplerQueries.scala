@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.core.Determinism
+import graft.sample._
+import graft.sources.{TpchKg, TpchKgSql}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sampler surface for the correctness gate.
+  *
+  * RandomNode uses the SQL-portable LCG order, so its node set, its induced
+  * edge set, the LPC tiering, and the dpp attribute retention are all
+  * EXACTLY reproduced by the DuckDB oracle. The iterative samplers
+  * (edge/walk/fire) are seeded-random; their contract is the reference
+  * test-suite invariants (exact counts, LP retention, edge validity),
+  * emitted as boolean rows against a constant oracle — the same assertions
+  * the reference's own tests make (tests/test_sampling.py).
+  */
+object SamplerQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Seed = 42L
+  private def lpOf(s: SparkSession, d: String): Seq[String] = Seq("c:1", "c:2", "s:1", "s:2")
+
+  private def rnSampler(s: SparkSession, d: String, lpc: Boolean) = {
+    val kb = TpchKg.load(s, d)
+    new RandomNodeSampler(kb, Seed, keyed = Some(TpchKg.nodesWithKey(s, d)),
+      lpSeeds = if (lpc) lpOf(s, d) else Nil, lpc = lpc)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "smp_rn_nodes" -> ((s, d) => rnSampler(s, d, lpc = false).sample(50).nodes),
+    "smp_rn_edges" -> ((s, d) => rnSampler(s, d, lpc = false).sample(50).edges),
+    "smp_rn_lpc_nodes" -> ((s, d) => rnSampler(s, d, lpc = true).sample(50).nodes),
+    // dpp contract at scale: per-node attr count after dpp=0.5 equals
+    // cnt - int(0.5·cnt) of the original (reference _base.py:273)
+    "smp_rn_dpp_counts" -> ((s, d) =>
+      rnSampler(s, d, lpc = false).sample(50, 0.5).attrs
+        .groupBy("node").agg(count(lit(1)).as("n_attrs"))),
+    "smp_invariants" -> ((s, d) => invariants(s, d)),
+    "smp_pagerank_props" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val pr = PageRank.compute(kb, iterations = 30)
+      val n = kb.nodes.count()
+      pr.agg(
+        (count(lit(1)) === n).as("count_ok"),
+        (sum(col("pr")) <= n.toDouble).as("mass_leaky"),
+        (min(col("pr")) > 0.0).as("positive"))
+    }))
+
+  /** Run a representative sampler set; emit the reference-test invariants
+    * as booleans (constant oracle). */
+  private def invariants(s: SparkSession, d: String): DataFrame = {
+    val kb = TpchKg.load(s, d).cache()
+    val lp = lpOf(s, d)
+    val n = 25
+    val configs: Seq[(String, GraphSampler, Boolean)] = Seq( // (name, sampler, reAllowed+1)
+      ("RandomNodeSampler", new RandomNodeSampler(kb, Seed), false),
+      ("RandomEdgeSampler", new RandomEdgeSampler(kb, Seed), true),
+      ("RandomWalkSampler", new WalkSampler(kb, Seed), false),
+      ("RandomWalkerJumpsSampler", new WalkSampler(kb, Seed, jumpProb = Some(0.1)), false),
+      ("ForestFireSampler", new ForestFireSampler(kb, Seed), false),
+      ("RandomNodeSamplerLPCentralized", new RandomNodeSampler(kb, Seed, lpSeeds = lp, lpc = true), false),
+      ("RandomEdgeSamplerLPFirst", new RandomEdgeSampler(kb, Seed, lpSeeds = lp), true),
+      ("RandomWalkerJumpsSamplerLPCentralized",
+        new WalkSampler(kb, Seed, jumpProb = Some(0.1), lpSeeds = lp, lpc = true), false),
+      ("ForestFireSamplerLPCentralized", new ForestFireSampler(kb, Seed, lpSeeds = lp), false))
+    val lpDf = s.createDataset(lp)(org.apache.spark.sql.Encoders.STRING).toDF("id")
+    val rows = configs.map { case (name, sampler, plusOneAllowed) =>
+      val sampled = sampler.sample(n)
+      val cnt = sampled.nodes.count()
+      val countOk = cnt == n || (plusOneAllowed && cnt == n + 1)
+      val lpRetained =
+        if (name.contains("LP")) lpDf.join(sampled.nodes, Seq("id"), "left_anti").isEmpty
+        else true
+      // every kept edge exists in the original and has both endpoints sampled
+      val edgesOk = sampled.edges
+        .join(kb.edges, Seq("src", "pred", "dst"), "left_anti").isEmpty &&
+        sampled.edges.join(sampled.nodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti").isEmpty &&
+        sampled.edges.join(sampled.nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti").isEmpty
+      Row(name, countOk, lpRetained, edgesOk)
+    }
+    val schema = StructType(Seq(
+      StructField("sampler", StringType, nullable = false),
+      StructField("count_ok", BooleanType, nullable = false),
+      StructField("lp_ok", BooleanType, nullable = false),
+      StructField("edges_ok", BooleanType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+      .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private val lcgOrder = Determinism.lcgDuck("k", Seed)
+  private val sampleCte =
+    s"sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 50)"
+
+  def oracleSql: Map[String, String] = Map(
+    "smp_rn_nodes" -> TpchKgSql.withKg(s"$sampleCte SELECT id FROM sample", inCte = true),
+    "smp_rn_edges" -> TpchKgSql.withKg(
+      s"""$sampleCte
+         |SELECT src, pred, dst FROM edges
+         |WHERE src IN (SELECT id FROM sample) AND dst IN (SELECT id FROM sample)""".stripMargin,
+      inCte = true),
+    "smp_rn_lpc_nodes" -> TpchKgSql.withKg(
+      s"""lp AS (SELECT * FROM (VALUES ('c:1'), ('c:2'), ('s:1'), ('s:2')) t(id)),
+         |t1 AS (SELECT DISTINCT e.dst AS id FROM edges e WHERE e.src IN (SELECT id FROM lp)),
+         |t2 AS (SELECT DISTINCT e.dst AS id FROM edges e WHERE e.src IN (SELECT id FROM t1)),
+         |tiers AS (
+         |  SELECT n.id, COALESCE(MIN(t.tier), 3) AS tier FROM nodesk n
+         |  LEFT JOIN (
+         |    SELECT id, 0 AS tier FROM lp
+         |    UNION ALL SELECT id, 1 FROM t1
+         |    UNION ALL SELECT id, 2 FROM t2) t ON t.id = n.id
+         |  GROUP BY n.id)
+         |SELECT n.id FROM nodesk n JOIN tiers t ON t.id = n.id
+         |ORDER BY t.tier, $lcgOrder, n.id LIMIT 50""".stripMargin, inCte = true),
+    "smp_rn_dpp_counts" -> TpchKgSql.withKg(
+      s"""$sampleCte
+         |SELECT node, n - CAST(FLOOR(0.5 * n) AS BIGINT) AS n_attrs FROM (
+         |  SELECT node, COUNT(*) AS n FROM attrs
+         |  WHERE node IN (SELECT id FROM sample) GROUP BY node) c""".stripMargin,
+      inCte = true),
+    "smp_invariants" ->
+      """SELECT * FROM (VALUES
+        |  ('RandomNodeSampler', TRUE, TRUE, TRUE),
+        |  ('RandomEdgeSampler', TRUE, TRUE, TRUE),
+        |  ('RandomWalkSampler', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerJumpsSampler', TRUE, TRUE, TRUE),
+        |  ('ForestFireSampler', TRUE, TRUE, TRUE),
+        |  ('RandomNodeSamplerLPCentralized', TRUE, TRUE, TRUE),
+        |  ('RandomEdgeSamplerLPFirst', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerJumpsSamplerLPCentralized', TRUE, TRUE, TRUE),
+        |  ('ForestFireSamplerLPCentralized', TRUE, TRUE, TRUE)
+        |) t(sampler, count_ok, lp_ok, edges_ok)""".stripMargin,
+    "smp_pagerank_props" ->
+      "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
+}

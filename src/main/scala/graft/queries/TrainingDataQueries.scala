@@ -136,9 +136,14 @@ object TrainingDataQueries {
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
     "td_dedup_minhash" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
       jaccardSql(
-        """cand AS (
+        """cand0 AS (
           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
-          |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin) +
+          |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+          |cand AS (
+          |  SELECT c.a, c.b FROM cand0 c
+          |  JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+          |  GROUP BY c.a, c.b
+          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= 10)""".stripMargin) +
       "\nWHERE jaccard >= 0.8"),
     "td_simhash" -> s"""WITH $corpusCte, $shCte,
       |bits AS (

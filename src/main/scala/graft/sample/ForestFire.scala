@@ -1,7 +1,7 @@
 package graft.sample
 
 import graft.core.{Determinism, Kb}
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * fire dies and the sample is still short, re-ignite at a random unburned
   * node (:392-398). Because every sampled node is burned with its full edge
   * list, the materialized edge set equals the induced subgraph on the
-  * sample — so finalize uses the induced path.
+  * sample — finalize uses the induced path.
   *
-  * Spark-native form: level-synchronous burning — the whole frontier burns
-  * per round (one join + per-source geometric cap via window rank); the
-  * backlog deque (maxlen 100, hop 10) is a sequential artifact the batch
-  * engine replaces with re-ignition — the reference's tested invariants
-  * (exact n nodes, LP retention for the LPC variant) are preserved via the
+  * Spark-native split of state: the neighbor expansion is a distributed
+  * broadcast-frontier ⋈ edges join with per-source geometric caps (window
+  * rank); the burn bookkeeping is O(sample) and lives on the driver — the
+  * sample is being collected anyway. Each round is one job over literal
+  * frontier data: no lineage growth. The reference's backlog deque
+  * (maxlen 100, hop 10) is a sequential artifact replaced by re-ignition;
+  * the tested invariants (exact n, LP retention) are preserved by the
   * deterministic (round, hash) trim.
   *
   * LPCentralized (lpc_samplers.py:270-316): the first fire's queue is the
@@ -26,59 +28,63 @@ import org.apache.spark.sql.functions._
   */
 final class ForestFireSampler(
     kb: Kb, seed: Long = 42L, p: Double = 0.4, lpSeeds: Seq[String] = Nil,
-    checkpointEvery: Int = 8, maxRounds: Int = 2000) extends GraphSampler {
+    maxRounds: Int = 10000) extends GraphSampler {
 
   def draw(n: Int): Drawn = {
     val spark = kb.spark
     val edges = kb.edges.cache()
+    val strEnc = Encoders.STRING
 
-    def igniteFrom(pool: DataFrame, round: Int): DataFrame =
-      pool.orderBy(Determinism.detHash(seed + 13 * round, col("id")), col("id"))
-        .select("id").limit(1)
+    // deterministic permutation for (re-)ignition picks, collected lazily in
+    // blocks as needed (usually a handful of rows)
+    lazy val ignitionPool: Array[String] = kb.nodes
+      .orderBy(Determinism.detHash(seed ^ 0x55, col("id")), col("id"))
+      .limit(n + 1000) // burned ≤ n, so ≥1000 unburned candidates remain
+      .collect().map(_.getString(0))
 
-    var frontier =
-      if (lpSeeds.nonEmpty)
-        spark.createDataset(lpSeeds)(Encoders.STRING).toDF("id")
-      else igniteFrom(kb.nodes, 0)
-    frontier = frontier.localCheckpoint(true)
+    // driver-side burn state: insertion order = (round, in-round hash) order
+    val burned = scala.collection.mutable.LinkedHashSet.empty[String]
+    // restart batch mirrors the reference's restart_hop_size=10 (it pops up
+    // to 10 backlog nodes when the queue dies, classic_samplers.py:369-372)
+    def ignite(k: Int = 10): Seq[String] =
+      ignitionPool.iterator.filterNot(burned.contains).take(k).toSeq
 
-    var burned = frontier.select(col("id"), lit(0).as("step"),
-      Determinism.detHash(seed ^ 0x99, col("id")).as("ord")).localCheckpoint(true)
-    var burnedCount = burned.count()
+    var frontier: Seq[String] =
+      if (lpSeeds.nonEmpty) lpSeeds else ignite(1)
     var round = 0
 
-    while (burnedCount < n && round < maxRounds) {
+    while (burned.size < n && round < maxRounds && frontier.nonEmpty) {
       round += 1
-      // neighbors of the burning frontier, minus already-burned
-      val nbrs = broadcast(frontier).withColumnRenamed("id", "src")
-        .join(edges, Seq("src"))
-        .select(col("src"), col("dst"))
-        .join(burned.select("id").withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-        .distinct()
-      // per source: burn min(geometric(p), available) random neighbors
-      val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
-      var next = nbrs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= g)
-        .select(col("dst").as("id")).distinct()
-        .join(burned.select("id"), Seq("id"), "left_anti")
+      // burn the frontier (bounded by n — stop admitting once full)
+      frontier.foreach(id => if (burned.size < n) burned += id)
+      if (burned.size >= n) {
+        frontier = Nil
+      } else {
+        val f = broadcast(spark.createDataset(frontier)(strEnc).toDF("src"))
+        val burnedDf = broadcast(spark.createDataset(burned.toSeq)(strEnc).toDF("dst"))
+        // per source: burn min(geometric(p), available) random unburned neighbors
+        val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
+        val next = f.join(edges, Seq("src"))
+          .select(col("src"), col("dst")).distinct()
+          .join(burnedDf, Seq("dst"), "left_anti")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= g)
+          .select(col("dst"),
+            Determinism.detHash(seed + 23 * round, col("dst")).as("h"))
+          .distinct()
+          .orderBy(col("h"), col("dst"))
+          .collect().map(_.getString(0)).toSeq
 
-      if (next.isEmpty) {
-        // fire died: re-ignite at a random unburned node (:392-398)
-        val remaining = kb.nodes.join(burned.select("id"), Seq("id"), "left_anti")
-        next = igniteFrom(remaining, round)
+        frontier =
+          if (next.nonEmpty) next
+          else ignite() // fire died: re-ignite at random unburned nodes
       }
-      frontier = next.localCheckpoint(true)
-      burned = burned.unionAll(frontier.select(col("id"), lit(round).as("step"),
-        Determinism.detHash(seed ^ 0x99, col("id")).as("ord")))
-      if (round % checkpointEvery == 0) burned = burned.localCheckpoint(true)
-      burnedCount = burned.count() // ids are distinct by construction
     }
 
-    val sampled = burned.orderBy(col("step"), col("ord"), col("id"))
-      .select("id").limit(n)
-    Drawn(sampled, selectedEdges = None) // induced: see class doc
+    val sampledDf = spark.createDataset(burned.toSeq.take(n))(strEnc).toDF("id")
+    Drawn(sampledDf, selectedEdges = None) // induced: see class doc
   }
 
   def sample(n: Int, dpp: Double = 1.0): Kb = {

@@ -19,13 +19,19 @@ import org.apache.spark.sql.functions._
   *    LP → 1-hop → 2-hop → all when stalled 0.05·|V| steps
   *    (lpc_samplers.py:89-116,158-169)
   *
-  * Spark-native form: B parallel walkers advanced level-synchronously; each
-  * step is one frontier⋈edges join + per-walker seeded pick (window rank) +
-  * teleport join against a cached node index. The reference's single walker
-  * is sequential by nature; the parity contract is its tests' invariants —
-  * exact node counts, LP retention — enforced by the deterministic
-  * arrival-order trim (SURVEY §7.3 #1). All randomness is keyed by
-  * (walker, step, data) under the seed: identical output at any parallelism.
+  * Spark-native split of state: the GRAPH stays distributed (the per-step
+  * neighbor expansion is a broadcast-frontier ⋈ edges join with per-walker
+  * seeded window picks; teleports join a cached node index) while the WALK
+  * state — B walker positions, first-visit order, traversed edges — is
+  * inherently O(B·steps) and lives on the driver. Each step is exactly one
+  * Spark job built from literal frontier data, so lineage never grows and
+  * no mid-loop checkpointing is needed.
+  *
+  * The reference's single walker is sequential by nature; the parity
+  * contract is its tests' invariants — exact node counts, LP retention —
+  * enforced by the deterministic arrival-order trim (SURVEY §7.3 #1). All
+  * randomness is keyed by (walker, step, data) under the seed: identical
+  * output at any parallelism.
   *
   * Dead ends teleport uniformly and record no edge
   * (classic_samplers.py:121-127: Neighbor(None, random)).
@@ -33,17 +39,18 @@ import org.apache.spark.sql.functions._
 final class WalkSampler(
     kb: Kb, seed: Long = 42L, jumpProb: Option[Double] = None,
     prioritized: Boolean = false, lpSeeds: Seq[String] = Nil, lpc: Boolean = false,
-    walkers: Int = 16, checkpointEvery: Int = 8, maxSteps: Int = 2000,
-    prIterations: Int = 100)
+    walkers: Int = 16, maxSteps: Int = 2000, prIterations: Int = 100)
   extends GraphSampler {
+
+  import WalkSampler.StepOut
 
   def draw(n: Int): Drawn = {
     val spark = kb.spark
     val edges = kb.edges.cache()
     val nTotal = kb.nodes.count()
 
-    // teleport index: tier-ordered for LPC (tier 0 first), random otherwise;
-    // trn ∈ [1, N] dense — teleport = join on a drawn rank
+    // teleport index: tier-ordered for LPC (tier 0 first), hash-random
+    // otherwise; trn ∈ [1, N] dense — a teleport is a join on a drawn rank
     val tiers =
       if (lpc) Samplers.lpcTiers(kb, lpSeeds)
       else kb.nodes.select(col("id"), lit(0).as("tier"))
@@ -51,7 +58,6 @@ final class WalkSampler(
         row_number().over(Window.orderBy(col("tier"),
           Determinism.detHash(seed ^ 0x77, col("id")), col("id"))).as("trn"))
       .cache()
-    // tier boundaries for LPC escalation (4 rows, driver-side)
     val tierCum: Array[Long] =
       if (lpc) {
         val counts = nodesIdx.groupBy("tier").agg(count(lit(1)).as("c"))
@@ -61,54 +67,52 @@ final class WalkSampler(
 
     val ranks =
       if (prioritized)
-        PageRank.compute(kb, iterations = prIterations).select(col("id").as("dst"), col("pr").as("w"))
+        PageRank.compute(kb, iterations = prIterations)
+          .select(col("id").as("dst"), col("pr").as("w"))
       else null
 
-    // walkers: start on LP nodes when given (all of them), else the first
-    // min(walkers, n) nodes of the deterministic permutation (the reference
-    // starts at the arbitrary first node of set-iteration order,
-    // classic_samplers.py:116)
-    val starts: DataFrame =
-      if (lpSeeds.nonEmpty)
-        spark.createDataset(lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id) })(
-          Encoders.tuple(Encoders.scalaLong, Encoders.STRING)).toDF("walker", "cur")
-      else {
-        val w = math.max(1, math.min(walkers, n))
-        nodesIdx.orderBy(col("trn")).limit(w)
-          .select((col("trn") - 1).cast("long").as("walker"), col("id").as("cur"))
-      }
+    // walkers: all LP nodes when given; else the first min(walkers, n)
+    // nodes of the deterministic permutation (the reference starts at the
+    // arbitrary first node of set-iteration order, classic_samplers.py:116)
+    val starts: Seq[(Long, String)] =
+      if (lpSeeds.nonEmpty) lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id) }
+      else nodesIdx.orderBy(col("trn")).limit(math.max(1, math.min(walkers, n)))
+        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getString(0)) }
 
-    var frontier = starts.localCheckpoint(true)
-    var visited = frontier.select(col("cur").as("id"), lit(0).as("step"),
-      col("walker").as("word")).localCheckpoint(true)
-    var edgeLog = spark.createDataset(Seq.empty[(String, String, String)])(
-      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING))
-      .toDF("src", "pred", "dst")
+    // driver-side walk state (O(walkers · steps))
+    var frontier: Seq[(Long, String)] = starts
+    val firstVisit = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    starts.sortBy(_._1).foreach { case (w, id) =>
+      if (!firstVisit.contains(id)) firstVisit(id) = (0, w)
+    }
+    val edgeLog = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
 
     var step = 0
-    var distinctCount = visited.select("id").distinct().count()
-    var lastCount = distinctCount
+    var lastCount = firstVisit.size
     var stall = 0L
     var esc = if (lpc) 0 else 3
-    val stallThreshold = math.max(1L, (0.05 * nTotal).toLong)
+    // reference stalls 0.05·|V| steps before escalating
+    // (lpc_samplers.py:89,158) — calibrated to its in-memory micro-steps.
+    // A batch engine escalates once the current exploration tier is
+    // saturated: after ~2·|tier| no-progress teleports the tier is
+    // exhausted with overwhelming probability. Invariants (LP retention,
+    // exact counts) are unaffected; only time-to-escalate differs.
+    def stallThreshold: Long = math.max(1L,
+      math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val outEnc = Encoders.product[StepOut]
 
-    while (distinctCount < n && step < maxSteps) {
+    while (firstVisit.size < n && step < maxSteps) {
       step += 1
-      val f = broadcast(frontier)
+      val f = broadcast(spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur"))
 
-      // jump decisions (RWJ/RWJP)
-      val jumping = jumpProb match {
-        case Some(p) => f.filter(
-          Determinism.detRand(seed + 3 * step, col("walker")) < p)
-        case None => f.limit(0)
+      val jumpCol = jumpProb match {
+        case Some(p) => Determinism.detRand(seed + 3 * step, col("walker")) < p
+        case None => lit(false)
       }
-      val stepping = jumpProb match {
-        case Some(p) => f.filter(
-          Determinism.detRand(seed + 3 * step, col("walker")) >= p)
-        case None => f
-      }
+      val stepping = f.filter(!jumpCol)
+      val jumping = f.filter(jumpCol)
 
-      // neighbor candidates for stepping walkers
       val cand = stepping.join(edges, stepping("cur") === edges("src"))
         .select(col("walker"), col("src"), col("pred"), col("dst"))
       val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
@@ -120,18 +124,17 @@ final class WalkSampler(
           // weighted choice ∝ pagerank of the neighbor (reference _base.py:96-106)
           val ww = Window.partitionBy(col("walker"))
           val wo = ww.orderBy(pickHash, col("pred"), col("dst"))
-          val withW = cand.join(ranks, Seq("dst")).withColumn("cum",
-              sum(col("w")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+          cand.join(ranks, Seq("dst"))
+            .withColumn("cum", sum(col("w")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
             .withColumn("tot", sum(col("w")).over(ww))
             .withColumn("u", Determinism.detRand(seed + 7 * step, col("walker")))
-          withW.filter(col("cum") >= col("u") * col("tot"))
-            .withColumn("rn", row_number().over(Window.partitionBy(col("walker"))
-              .orderBy(col("cum"), col("pred"), col("dst"))))
+            .filter(col("cum") >= col("u") * col("tot"))
+            .withColumn("rn", row_number().over(Window.partitionBy(col("walker")).orderBy(col("cum"))))
             .filter(col("rn") === 1)
             .select(col("walker"), col("src"), col("pred"), col("dst"))
         }
 
-      // dead ends (no outgoing edges) teleport, recording no edge
+      // dead ends (no outgoing edge) + jumpers teleport, recording no edge
       val deadEnds = stepping.join(picks.select("walker"), Seq("walker"), "left_anti")
       val teleporters = jumping.select("walker", "cur").unionAll(deadEnds.select("walker", "cur"))
       val allowed = tierCum(esc)
@@ -141,43 +144,48 @@ final class WalkSampler(
         .join(nodesIdx.select("id", "trn"), Seq("trn"))
         .select(col("walker"), col("id").as("cur"))
 
-      val newFrontier = picks.select(col("walker"), col("dst").as("cur"))
-        .unionAll(teleports)
+      val stepOut = picks.select(col("walker"), col("dst").as("next"),
+          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"))
+        .unionAll(teleports.select(col("walker"), col("cur").as("next"),
+          lit("").as("src"), lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
+        .as[StepOut](outEnc)
+        .collect()            // ≤ |walkers| rows — the only action per step
+        .sortBy(_.walker)
 
-      edgeLog = edgeLog.unionAll(picks.select("src", "pred", "dst"))
-      visited = visited.unionAll(newFrontier.select(col("cur").as("id"),
-        lit(step).as("step"), col("walker").as("word")))
-      frontier = newFrontier
-
-      if (step % checkpointEvery == 0) {
-        frontier = frontier.localCheckpoint(true)
-        visited = visited.localCheckpoint(true)
-        edgeLog = edgeLog.localCheckpoint(true)
-      } else {
-        frontier = frontier.localCheckpoint(true) // frontier is tiny; always cut
+      frontier = stepOut.map(o => (o.walker, o.next)).toSeq
+      stepOut.foreach { o =>
+        if (o.viaEdge) edgeLog += ((o.src, o.pred, o.dst))
+        if (firstVisit.size < n && !firstVisit.contains(o.next))
+          firstVisit(o.next) = (step, o.walker)
       }
 
-      distinctCount = visited.select("id").distinct().count()
       // LPC stall escalation (lpc_samplers.py:166-169)
       if (lpc) {
-        if (distinctCount == lastCount) stall += 1 else stall = 0
+        if (firstVisit.size == lastCount) stall += 1 else stall = 0
         if (stall >= stallThreshold && esc < 3) { esc += 1; stall = 0 }
-        lastCount = distinctCount
+        lastCount = firstVisit.size
       }
     }
 
-    // arrival-order trim to exactly n distinct nodes
-    val arrival = visited.groupBy("id")
-      .agg(min(struct(col("step"), col("word"))).as("fv"))
-      .select(col("id"), col("fv.step").as("step"), col("fv.word").as("word"))
-    val sampled = arrival.orderBy(col("step"), col("word"), col("id"))
-      .select("id").limit(n)
     nodesIdx.unpersist()
-    Drawn(sampled, Some(edgeLog.distinct()))
+    // arrival-order trim to exactly n (insertion order of the LinkedHashMap
+    // already is (step, walker) order; keep first n)
+    val sampled = firstVisit.keysIterator.take(n).toSeq
+    val sampledDf = spark.createDataset(sampled)(Encoders.STRING).toDF("id")
+    val edgesDf = spark.createDataset(edgeLog.toSeq)(
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .toDF("src", "pred", "dst")
+    Drawn(sampledDf, Some(edgesDf))
   }
 
   def sample(n: Int, dpp: Double = 1.0): Kb = {
     Samplers.checkInput(kb.nodes.count(), n, dpp)
     Samplers.finalizeSample(kb, draw(n), dpp, seed)
   }
+}
+
+object WalkSampler {
+  /** one walker-step result row (top-level for encoder derivation) */
+  final case class StepOut(walker: Long, next: String,
+                           src: String, pred: String, dst: String, viaEdge: Boolean)
 }

@@ -48,16 +48,14 @@ object Ann {
   def lshBucket(embeddings: DataFrame): DataFrame = {
     val parts = embeddings.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
-    val proj = (0 until NumPlanes).map { j =>
-      parts.select(col("vec_id"), lit(j).as("j"),
-        when((col("i") + 17 * j) % 2 === 0, col("x").cast("double"))
-          .otherwise(-col("x").cast("double")).as("t"))
-    }.reduce(_.unionAll(_))
-    proj.groupBy("vec_id", "j").agg(sum(col("t")).as("s"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("s") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("bucket"))
+    val aggs = (0 until NumPlanes).map(j =>
+      sum(when((col("i") + 17 * j) % 2 === 0, col("x").cast("double"))
+        .otherwise(-col("x").cast("double"))).as(s"s$j"))
+    parts.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        (0 until NumPlanes).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
   }
 
   /** near-duplicate vector pairs: same LSH bucket AND cosine ≥ threshold.

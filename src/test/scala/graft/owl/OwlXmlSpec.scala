@@ -1,0 +1,56 @@
+package graft.owl
+
+import graft.SparkSpec
+import graft.core.{ParquetTableIO, Tbox}
+import graft.fixtures.FamilyKb
+
+/** save/load roundtrip parity (reference tests/test_sampling.py:192-204:
+  * signature equality after serialize + reload) for both persistence
+  * paths: the fixture-scale .owl writer/reader and the TableIO parquet
+  * tables. */
+class OwlXmlSpec extends SparkSpec {
+
+  test("owl xml roundtrip preserves the full signature") {
+    val kb = FamilyKb.kb(spark)
+    val sampled = new graft.sample.RandomNodeSampler(kb, seed = 3).sample(10)
+    val path = java.nio.file.Files.createTempDirectory("owl_").toString + "/sample.owl"
+    OwlXml.write(sampled, path)
+    val back = OwlXml.read(spark, path)
+    assert(ids(back.nodes) === ids(sampled.nodes))
+    assert(back.tbox.classes.toSet === sampled.tbox.classes.toSet)
+    assert(back.tbox.objectProps.map(_.prop).toSet === sampled.tbox.objectProps.map(_.prop).toSet)
+    assert(back.tbox.dataProps.map(_.prop).toSet === sampled.tbox.dataProps.map(_.prop).toSet)
+    assert(back.edges.collect().toSet === sampled.edges.collect().toSet)
+    assert(back.attrs.collect().toSet === sampled.attrs.collect().toSet)
+    assert(back.types.collect().toSet === sampled.types.collect().toSet)
+  }
+
+  test("save_sample filename quirk parity (_base.py:209-216)") {
+    assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out")) === "out.owl")
+    assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out.owl")) === "out.owl")
+    assert(OwlXml.sampleFileName("/x/family.owl", 20, None) === "family_sample_20.owl")
+  }
+
+  test("TableIO: salted partitioned kb roundtrip") {
+    val kb = FamilyKb.kb(spark)
+    val io = new ParquetTableIO(spark, java.nio.file.Files.createTempDirectory("tio_").toString)
+    io.writeKb(kb, "family")
+    val back = io.readKb("family", kb.tbox)
+    assert(ids(back.nodes) === ids(kb.nodes))
+    assert(back.edges.collect().toSet === kb.edges.collect().toSet)
+    // salt column exists on disk for downstream skew handling
+    assert(io.read("family/edges").columns.contains("salt"))
+  }
+
+  test("sampler registry resolves all 20 reference names") {
+    val kb = FamilyKb.kb(spark)
+    graft.sample.Samplers.allNames.foreach { n =>
+      val s = graft.sample.Samplers.byName(n, kb, lp = Seq("m1", "f1"))
+      assert(s != null, n)
+    }
+    assert(graft.sample.Samplers.allNames.size === 20)
+    intercept[IllegalArgumentException] {
+      graft.sample.Samplers.byName("NoSuchSampler", kb)
+    }
+  }
+}
