@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries ++
-      TrainingDataQueries.queries ++ SamplerQueries.queries
+      TrainingDataQueries.queries ++ SamplerQueries.queries ++ AccessorQueries.queries
 
   def oracleSql: Map[String, String] =
     KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TrainingDataQueries.oracleSql ++ SamplerQueries.oracleSql
+      TrainingDataQueries.oracleSql ++ SamplerQueries.oracleSql ++ AccessorQueries.oracleSql
 }

@@ -65,6 +65,20 @@ final case class Kb(
     hasValue.unionAll(existsC).unionAll(minCard)
   }
 
+  /** Per-individual accessors (reference knowledge_base.py:1074-1150,
+    * SURVEY F5-F7) — point lookups expressed as pushdown-friendly filters. */
+  def typesOf(id: String): DataFrame =
+    types.filter(col("node") === id).select(col("cls"))
+  def objectPropertiesOf(id: String): DataFrame =
+    edges.filter(col("src") === id).select(col("pred")).distinct()
+  def dataPropertiesOf(id: String): DataFrame =
+    attrs.filter(col("node") === id).select(col("prop")).distinct()
+  def objectPropertyValues(id: String, prop: String): DataFrame =
+    edges.filter(col("src") === id && col("pred") === prop).select(col("dst"))
+  def dataPropertyValues(id: String, prop: String): DataFrame =
+    attrs.filter(col("node") === id && col("prop") === prop)
+      .select(col("lexical"), col("dtype"))
+
   /** Signature scans (reference _base.py:71-73, knowledge_base.py:978-1040). */
   def individuals: DataFrame = nodes
   def objectPropertiesInSignature: Seq[String] = tbox.objectProps.map(_.prop)

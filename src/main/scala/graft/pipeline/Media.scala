@@ -23,6 +23,20 @@ object Media {
     (64 + n % 101, 64 + n % 67, if (n % 2 == 0) "png" else "jpeg")
   }
 
+  final case class Frame(url: String, frame_idx: Int, byte_offset: Long)
+
+  /** STUB frame sampling (video analog): derive a deterministic frame count
+    * from the payload size and emit evenly-spaced byte offsets — the
+    * one-blob → many-frames flatMap shape a real decoder would use. */
+  def frameSample(pages: DataFrame): Dataset[Frame] = {
+    val in = pages.select("url", "html").as[MediaIn](Encoders.product[MediaIn])
+    in.mapPartitions(_.flatMap { m =>
+      val n = m.html.length
+      val frames = 1 + n % 7
+      (0 until frames).map(i => Frame(m.url, i, i.toLong * (n / frames)))
+    })(Encoders.product[Frame])
+  }
+
   def apply(pages: DataFrame): Dataset[MediaMeta] = {
     val in = pages.select("url", "html").as[MediaIn](Encoders.product[MediaIn])
     in.mapPartitions(_.map { m =>

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.pipeline.{KgPipeline, Media, Pages}
+import graft.sources.{TpchKg, TpchKgSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-individual accessors (SURVEY F5-F7), evaluation statistics (A7) and
+  * the multimodal frame-sampling stub — all oracle-checked. */
+object AccessorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "acc_types_of" -> ((s, d) => TpchKg.load(s, d).typesOf("c:1")),
+    "acc_obj_props_of" -> ((s, d) => TpchKg.load(s, d).objectPropertiesOf("o:1")),
+    "acc_prop_values" -> ((s, d) => TpchKg.load(s, d).objectPropertyValues("o:1", "contains")),
+    "acc_data_values" -> ((s, d) => TpchKg.load(s, d).dataPropertyValues("c:1", "acctbal")),
+    // A7: mean + population stddev, the eval harness's statistics
+    // (reference examples/evaluation_table_generator.py:189-207)
+    "stats_mean_stddev" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 5).as("mean_chars"),
+          round(stddev_pop(col("n_chars")), 5).as("sd_chars"))),
+    "fe_media_frames" -> ((s, d) =>
+      Media.frameSample(Pages.fromDir(s, d)).toDF()))
+
+  private val htmlLen =
+    """octet_length(encode('<html><head><title>Doc ' || doc_id ||
+      |'</title><script>var x=1;</script></head><body>' ||
+      |'<nav>Home | About | Contact</nav><p>' || body ||
+      |'</p><footer>&copy; 2025 example.org</footer></body></html>'))""".stripMargin.replace("\n", " ")
+
+  def oracleSql: Map[String, String] = Map(
+    "acc_types_of" -> TpchKgSql.withKg("SELECT cls FROM types WHERE node = 'c:1'"),
+    "acc_obj_props_of" -> TpchKgSql.withKg(
+      "SELECT DISTINCT pred FROM edges WHERE src = 'o:1'"),
+    "acc_prop_values" -> TpchKgSql.withKg(
+      "SELECT dst FROM edges WHERE src = 'o:1' AND pred = 'contains'"),
+    "acc_data_values" -> TpchKgSql.withKg(
+      "SELECT lexical, dtype FROM attrs WHERE node = 'c:1' AND prop = 'acctbal'"),
+    "stats_mean_stddev" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(AVG(n_chars), 5) AS mean_chars,
+        |  ROUND(STDDEV_POP(n_chars), 5) AS sd_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "fe_media_frames" ->
+      s"""WITH d AS (SELECT ${Pages.Sql.url} AS url, $htmlLen AS n
+         |  FROM (SELECT doc_id, ${Pages.Sql.body} AS body FROM documents) b)
+         |SELECT url, CAST(i AS INT) AS frame_idx,
+         |  CAST(i * (n // (1 + n % 7)) AS BIGINT) AS byte_offset
+         |FROM d CROSS JOIN generate_series(0, 6) g(i)
+         |WHERE i < 1 + n % 7""".stripMargin)
+}

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted plans for the hot paths — pushdown / broadcast /
+  * whole-stage-codegen audit (run via sbt "runMain graft.tools.ExplainAudit"). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+    }
+
+    val kb = graft.sources.TpchKg.load(spark, dir)
+    show("kg_triples")(kb.triples)
+    show("ce_exists_nested")(graft.expr.Eval(kb,
+      graft.expr.Exists("placedBy", graft.expr.Exists("inNation",
+        graft.expr.HasValue("inRegion", "r:2")))))
+    show("link_stage") {
+      val pages = graft.pipeline.Pages.fromDir(spark, dir)
+      val m = graft.pipeline.Mentions(graft.pipeline.Extract(pages)).toDF()
+      graft.pipeline.Link(m, graft.pipeline.Pages.aliases(spark))
+    }
+    show("minhash")(graft.dedup.Dedup.minhash(
+      graft.queries.TrainingDataQueries.corpus(spark, dir)))
+    show("ann_topk")(graft.sim.Ann.bruteForceTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5))
+    spark.stop()
+  }
+}
