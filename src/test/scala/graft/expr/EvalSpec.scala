@@ -77,6 +77,26 @@ class EvalSpec extends SparkSpec {
     assert(neg1 === neg2)
   }
 
+  test("cached eval returns identical results and reuses the plan (F4)") {
+    val cached = new Eval.Cached(kb, maxSize = 4)
+    val ce = And(Seq(Named("male"), Exists("hasChild", Top)))
+    val first = cached(ce)
+    val second = cached(ce)
+    assert(first eq second) // same cached DataFrame instance
+    assert(ids(first) === ids(Eval(kb, ce)))
+  }
+
+  test("ignoring removes classes/properties everywhere (F10)") {
+    val view = kb.ignoring(ignoredClasses = Set("female"), ignoredProps = Set("age"))
+    assert(view.types.filter(org.apache.spark.sql.functions.col("cls") === "female").count() === 0)
+    assert(view.attrs.filter(org.apache.spark.sql.functions.col("prop") === "age").count() === 0)
+    assert(!view.tbox.classes.contains("female"))
+    assert(!view.tbox.dataProps.map(_.prop).contains("age"))
+    // nodes untouched; male side intact
+    assert(ids(view.nodes) === FamilyKb.all.toSet)
+    assert(ids(Eval(view, Named("male"))) === FamilyKb.males.toSet)
+  }
+
   test("restrictedTo drops dangling assertions on both endpoints") {
     val keep = spark.createDataset(Seq("m1", "f1", "m2"))(
       org.apache.spark.sql.Encoders.STRING).toDF("id")
