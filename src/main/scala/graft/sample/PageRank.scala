@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * is a *weighted random* choice, so trajectory differences are immaterial
   * (SURVEY §7.3 #2).
   *
-  * Scale: each iteration is one shuffle on `dst`; lineage is truncated with
-  * localCheckpoint every `checkpointEvery` iterations (north-rule iterative
-  * self-join discipline).
+  * Scale shape: after the first sweep, every node with no in-links holds
+  * the constant rank d/n forever, so its outgoing contribution is a
+  * CONSTANT vector — computed once and added each round. Iterations then
+  * run only over the in-linked subgraph (on web-shaped graphs the
+  * source-only fraction is large: in the TPC-H KG it is ~80% of nodes and
+  * ~97% of edges). Each iteration is one shuffle on `dst`; lineage is
+  * truncated with localCheckpoint every `checkpointEvery` iterations.
   */
 object PageRank {
 
@@ -26,26 +30,55 @@ object PageRank {
               checkpointEvery: Int = 10): DataFrame = {
     val n = kb.nodes.count().toDouble
     val outdeg = kb.edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) — reused every iteration, cache once
     val adj = kb.edges.select("src", "dst").join(outdeg, Seq("src")).cache()
-    adj.count() // materialize
+    val dstNodes = adj.select(col("dst").as("id")).distinct().cache()
 
-    var ranks = kb.nodes.select(col("id"), lit(1.0).as("pr"))
-    var i = 0
+    // edges from source-only nodes (pr = d/n from sweep 2 on) vs edges from
+    // in-linked nodes (pr evolves)
+    val adjIter = adj.join(dstNodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi").cache()
+    val adjConst = adj.join(dstNodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+
+    def massOf(a: DataFrame, ranks: DataFrame): DataFrame = a
+      .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("mass"))
+
+    if (iterations == 0) return kb.nodes.select(col("id"), lit(1.0).as("pr"))
+
+    // the constant source-only contribution, folded into a cached per-node
+    // base vector so a sweep stays at two shuffles (mass agg + join)
+    def baseWith(constRanks: DataFrame): DataFrame = dstNodes
+      .join(massOf(adjConst, constRanks).withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("mass"), lit(0.0)).as("cmass"))
+      .localCheckpoint(true)
+
+    def sweep(ranksAll: DataFrame, base: DataFrame): DataFrame = {
+      val m0 = massOf(adjIter, ranksAll)
+      base.join(m0.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"), (lit(d / n) + lit(1 - d) *
+          (col("cmass") + coalesce(col("mass"), lit(0.0)))).as("pr"))
+    }
+
+    // sweep 1: source-only nodes contribute at the init value 1.0
+    val init = kb.nodes.select(col("id"), lit(1.0).as("pr"))
+    var ranks = sweep(init, baseWith(init)).localCheckpoint(true)
+
+    // from sweep 2 on they sit at d/n forever
+    val base = baseWith(kb.nodes.select(col("id"), lit(d / n).as("pr")))
+
+    var i = 1
     while (i < iterations) {
-      val contrib = adj
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("mass"))
-      val next = kb.nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(d / n) + lit(1 - d) * coalesce(col("mass"), lit(0.0))).as("pr"))
-      ranks = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next
+      val next = sweep(ranks, base)
+      ranks = if ((i + 1) % checkpointEvery == 0 || i + 1 == iterations)
+        next.localCheckpoint(true) else next
       i += 1
     }
-    val out = ranks.localCheckpoint(true)
-    adj.unpersist()
+
+    // final ranks: evolving dst-set ranks ∪ constant d/n source-only nodes
+    val sourceOnly = kb.nodes.join(dstNodes, Seq("id"), "left_anti")
+      .select(col("id"), lit(d / n).as("pr"))
+    val out = ranks.unionAll(sourceOnly).localCheckpoint(true)
+    adj.unpersist(); adjIter.unpersist(); dstNodes.unpersist()
     out
   }
 }
