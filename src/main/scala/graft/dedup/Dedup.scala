@@ -55,54 +55,67 @@ object Dedup {
         array_sort(collect_list(struct(col("j"), col("mh")))),
         x => x.getField("mh").cast("string")), "_").as("key"))
 
-  /** signature agreements required before the exact-Jaccard pass: 10/16
-    * matching minhashes estimate J ≳ 0.6 — a cheap prefilter that keeps the
-    * expensive shingle-level join linear in true near-dups, not in band
-    * collisions. */
-  val SigAgreeMin = 10
+  /** signature agreements required before the exact-Jaccard pass: the
+    * agreement fraction is an unbiased estimate of J, so requiring
+    * ⌈threshold·NumHashes⌉ matches keeps the expensive exact verification
+    * linear in plausible near-dups instead of in band collisions (on
+    * similarity-saturated corpora collisions are quadratic). */
+  def sigAgreeMin(threshold: Double): Int = math.ceil(threshold * NumHashes).toInt
 
   /** near-dup pairs via MinHash-LSH banding → signature-estimate prefilter
     * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
     * Jaccard rounded to 5. */
   def minhashLsh(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val mh = minhash(corpus).cache()
-    val bands = mh.withColumn("band", (col("j") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh").cast("string")), "_").as("key"))
-    val candidates = bands.select(col("doc_id").as("a"), col("band"), col("key"))
-      .join(bands.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
+    val mh = minhash(corpus)
+    // per-doc: full signature array (j-ordered) + the 4 band keys — built in
+    // one aggregation so the band self-join can evaluate the signature
+    // agreement INLINE (zip_with, codegen) instead of re-joining 16
+    // signature rows per candidate pair (band collisions can be quadratic;
+    // the prefilter must not shuffle them)
+    val sigs = mh.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), " +
+          s"b -> struct(b AS band, array_join(transform(slice(sig, b * $BandRows + 1, $BandRows), x -> cast(x AS string)), '_') AS key))")).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val agreeExpr = aggregate(
+      zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val candidates = sigs.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+        Seq("band", "key"))
       .filter(col("a") < col("b"))
+      .filter(agreeExpr >= sigAgreeMin(threshold))
       .select("a", "b").distinct()
-    // prefilter: enough full-signature agreement (estimated Jaccard)
-    val agree = candidates
-      .join(mh.select(col("doc_id").as("a"), col("j"), col("mh").as("ma")), Seq("a"))
-      .join(mh.select(col("doc_id").as("b"), col("j"), col("mh").as("mb")), Seq("b", "j"))
-      .groupBy("a", "b")
-      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("agree"))
-      .filter(col("agree") >= SigAgreeMin)
-      .select("a", "b")
-    jaccardOf(corpus, agree).filter(col("jaccard") >= threshold)
+    jaccardOf(corpus, candidates).filter(col("jaccard") >= threshold)
   }
 
   /** exact n-gram Jaccard for given (a, b) pairs: |A∩B| / |A∪B| over
-    * distinct shingles, rounded to 5. Pairs with empty intersection yield
-    * jaccard 0 via the left join. */
+    * distinct shingles, rounded to 5.
+    *
+    * Shape: each doc's distinct-shingle set rides as ONE array row (the
+    * per-doc set is bounded by document length), so the pair-level
+    * intersection is a map-side `array_intersect` — no shuffle proportional
+    * to |pairs|·|shingles|, which explodes on near-dup-saturated corpora
+    * where candidate pairs are quadratic. Catalyst broadcasts the array
+    * table when small; at larger scale it hash-joins on the pair keys —
+    * either way the intersection itself never shuffles. */
   def jaccardOf(corpus: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(corpus)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.withColumnRenamed("doc_id", "a"), Seq("a"))
-      .join(sh.withColumnRenamed("doc_id", "b"), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    // per-doc distinct-shingle arrays: |docs| rows × bounded length — far
+    // smaller than the pair side, so broadcast both joins: array-laden rows
+    // then never shuffle (shuffling pairs WITH attached arrays is what
+    // blows up on quadratic candidate sets)
+    val shArr = broadcast(TextOps.shingles(corpus)
+      .groupBy("doc_id").agg(collect_list(col("h")).as("hs")))
     pairs
-      .join(inter, Seq("a", "b"), "left_outer")
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(coalesce(col("i"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 5).as("jaccard"))
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+        size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"))
   }
 
   /** SimHash (16-bit): bit_j set iff the shingle-majority hashes to 1 under

@@ -143,7 +143,7 @@ object TrainingDataQueries {
           |  SELECT c.a, c.b FROM cand0 c
           |  JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
           |  GROUP BY c.a, c.b
-          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= 10)""".stripMargin) +
+          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= 13)""".stripMargin) +
       "\nWHERE jaccard >= 0.8"),
     "td_simhash" -> s"""WITH $corpusCte, $shCte,
       |bits AS (
