@@ -52,24 +52,59 @@ object OwlXml {
     XML.save(path, xml, "UTF-8", xmlDecl = true)
   }
 
+  /** Reads standard OWL-API RDF/XML (e.g. the reference's KGs/father.owl)
+    * as well as this writer's own output. Property assertions appear either
+    * as generic child elements of NamedIndividual (label = property,
+    * rdf:resource → edge, text + rdf:datatype → literal) or as this
+    * writer's g:op/g:dp forms. */
   def read(spark: SparkSession, path: String): Kb = {
     val xml = XML.loadFile(path)
-    val classes = (xml \ "Class").map(c => frag(c \@ s"{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"))
     def about(n: scala.xml.Node) =
       frag(n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("about") => v }.getOrElse(""))
-    def resource(n: scala.xml.Node) =
-      frag(n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("resource") => v }.getOrElse(""))
+    def resourceOpt(n: scala.xml.Node): Option[String] =
+      n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("resource") => frag(v) }
+    def resource(n: scala.xml.Node) = resourceOpt(n).getOrElse("")
+    def datatypeOpt(n: scala.xml.Node): Option[String] =
+      n.attributes.asAttrMap.collectFirst { case (k, v) if k.endsWith("datatype") => "xsd:" + frag(v) }
 
-    val classNames = (xml \ "Class").map(about)
+    val classNames = (xml \ "Class").map(about).filter(_.nonEmpty).distinct
     val subClass = (xml \ "Class").flatMap(c => (c \ "subClassOf").map(s => about(c) -> resource(s)))
-    val objProps = (xml \ "ObjectProperty").map(about)
-    val dataProps = (xml \ "DatatypeProperty").map(about)
+    val equivClass = (xml \ "Class").flatMap { c =>
+      (c \ "equivalentClass").flatMap { e =>
+        resourceOpt(e).map(about(c) -> _).orElse {
+          // nested anonymous class: complementOf (father.owl male ≡ ¬female)
+          (e \\ "complementOf").headOption.map(comp => about(c) -> ("not:" + resource(comp)))
+        }
+      }
+    }
+    def propsOf(label: String, kind: String) = (xml \ label).map { p =>
+      PropMeta(about(p), kind,
+        (p \ "domain").headOption.map(resource).getOrElse(""),
+        (p \ "range").headOption.map(resource).getOrElse(""))
+    }
+    val objProps = propsOf("ObjectProperty", "object")
+    val dataProps = propsOf("DatatypeProperty", "data")
+    val objPropNames = objProps.map(_.prop).toSet
 
     val inds = xml \ "NamedIndividual"
     val nodes = inds.map(about)
     val types = inds.flatMap(i => (i \ "type").map(t => TypeAssertion(about(i), resource(t))))
-    val edges = inds.flatMap(i => (i \ "op").map(e => Edge(about(i), e \@ "pred", resource(e))))
-    val attrs = inds.flatMap(i => (i \ "dp").map(a => Attr(about(i), a \@ "prop", a.text, a \@ "dtype")))
+    val edges = inds.flatMap { i =>
+      i.child.collect {
+        case e: Elem if e.label == "op" => Edge(about(i), e \@ "pred", resource(e))
+        case e: Elem if e.label != "type" && e.label != "dp" && resourceOpt(e).isDefined &&
+          (objPropNames.contains(e.label) || objPropNames.isEmpty) =>
+          Edge(about(i), e.label, resource(e))
+      }
+    }
+    val attrs = inds.flatMap { i =>
+      i.child.collect {
+        case a: Elem if a.label == "dp" => Attr(about(i), a \@ "prop", a.text, a \@ "dtype")
+        case a: Elem if a.label != "type" && a.label != "op" && resourceOpt(a).isEmpty &&
+          a.text.nonEmpty =>
+          Attr(about(i), a.label, a.text, datatypeOpt(a).getOrElse("xsd:string"))
+      }
+    }
 
     Kb(
       nodes = spark.createDataset(nodes)(Encoders.STRING).toDF("id"),
@@ -79,8 +114,8 @@ object OwlXml {
       tbox = Tbox(
         classes = classNames,
         subClass = subClass,
-        props = objProps.map(p => PropMeta(p, "object", "", "")) ++
-          dataProps.map(p => PropMeta(p, "data", "", ""))))
+        equivClass = equivClass,
+        props = objProps ++ dataProps))
   }
 
   /** save_sample default filename quirk (reference _base.py:209-216):

@@ -25,6 +25,30 @@ class OwlXmlSpec extends SparkSpec {
     assert(back.types.collect().toSet === sampled.types.collect().toSet)
   }
 
+  test("reads the reference's real father.owl (OWL-API RDF/XML)") {
+    val kb = OwlXml.read(spark, "/root/reference/KGs/father.owl")
+    assert(ids(kb.nodes) === Set("anna", "heinz", "markus", "martin", "michelle", "stefan"))
+    assert(kb.tbox.classes.toSet === Set("female", "male", "person"))
+    assert(kb.tbox.objectProps.map(_.prop) === Seq("hasChild"))
+    assert(kb.tbox.objectProps.head.domain === "person")
+    assert(kb.tbox.subClass.toSet === Set(
+      "female" -> "person", "male" -> "person", "person" -> "Thing"))
+    assert(kb.tbox.equivClass === Seq("male" -> "not:female"))
+    val edges = kb.edges.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(edges === Set(("anna", "heinz"), ("markus", "anna"),
+      ("martin", "heinz"), ("stefan", "markus")))
+    // golden triples (FIXTURES F2 style): 6 rdf:type + 4 edges ABox rows
+    assert(kb.aboxTriples.count() === 10)
+    // a sampler runs directly on the loaded KB (reference usage pattern)
+    val s = new graft.sample.RandomNodeSampler(kb, seed = 1).sample(3)
+    assert(s.nodes.count() === 3)
+    // class expressions evaluate: males with a child
+    assert(ids(graft.expr.Eval(kb,
+      graft.expr.And(Seq(graft.expr.Named("male"),
+        graft.expr.Exists("hasChild", graft.expr.Top))))) ===
+      Set("markus", "martin", "stefan"))
+  }
+
   test("save_sample filename quirk parity (_base.py:209-216)") {
     assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out")) === "out.owl")
     assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out.owl")) === "out.owl")
