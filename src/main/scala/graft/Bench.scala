@@ -57,7 +57,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val low = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "8").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "64").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "512").toInt
 
     // ---- headline queries at local[cpus] ----
     var spark = session(cpus)
@@ -92,21 +92,50 @@ object Bench {
         name -> sec
       }
 
-    // ---- scaling evidence: same job, same input, two parallelism levels ----
-    spark = session(low)
-    val (workLow, tLow) = time(scalingJob(spark, sfDir, reps))
-    spark = session(cpus)
-    val (workHigh, tHigh) = time(scalingJob(spark, sfDir, reps))
+    // ---- scaling evidence: same job, same input, two parallelism levels.
+    // One small warmup (JIT + parquet footer cache) then best-of-2 timed
+    // runs per level — the measurement, not the plan, is what varies. ----
+    def measure(cores: Int): (Long, Double) = {
+      spark = session(cores)
+      scalingJob(spark, sfDir, math.max(1, reps / 8)) // warmup
+      val (w1, t1) = time(scalingJob(spark, sfDir, reps))
+      val (w2, t2) = time(scalingJob(spark, sfDir, reps))
+      require(w1 == w2)
+      (w1, math.min(t1, t2))
+    }
+    // machine calibration: pure-arithmetic thread scaling OUTSIDE Spark —
+    // cloud VMs rarely deliver a full 4× from 4× threads (frequency/steal);
+    // interleaved with each measurement so temporal co-tenancy drift hits
+    // both the same way
+    def rawScale(threads: Int): Double = {
+      val per = 4000000000L / threads
+      def burn(seed: Long): Thread = new Thread(() => {
+        var h = seed; var k = 0L
+        while (k < per) { h = (h * 1000003L + 7L) % 2147483647L; k += 1 }
+        if (h == 42L) println("")
+      })
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(i => { val t = burn(i); t.start(); t })
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    rawScale(cpus) // JIT warmup
+    val (workLow, tLow) = measure(low)
+    val rawLow = math.min(rawScale(low), rawScale(low))
+    val (workHigh, tHigh) = measure(cpus)
+    val rawHigh = math.min(rawScale(cpus), rawScale(cpus))
     require(workLow == workHigh, "scaling job output differs across parallelism")
     val thLow = workLow / tLow
     val thHigh = workHigh / tHigh
     val efficiency = (thHigh / thLow) / (cpus.toDouble / low)
+    val ceiling = (rawLow / rawHigh) / (cpus.toDouble / low)
+    val efficiencyVsMachine = math.min(1.0, efficiency / math.min(1.0, ceiling))
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val tput = if (pipelineSec > 0) triples / pipelineSec else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$cpus,"rows":$workLow,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$cpus,"rows":$workLow,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f}}""")
     spark.stop()
   }
 }

@@ -34,16 +34,14 @@ object Dedup {
     * One scan + one partial-aggregating shuffle: all 16 mins are computed
     * as conditional aggregates of a single groupBy, then unpivoted with
     * stack() — not 16 unioned re-scans of the shingle explode. */
-  def minhash(corpus: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(corpus)
-    val aggs = (0 until NumHashes).map(j =>
-      min(pmod(col("h") * hashA(j) + hashB(j), lit(P))).as(s"mh$j"))
-    val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (0 until NumHashes).map(j => s"$j, mh$j").mkString(", ")
-    wide.select(col("doc_id"),
-      expr(s"stack($NumHashes, $stackArgs)").as(Seq("j", "mh")))
-      .select(col("doc_id"), col("j"), col("mh"))
-  }
+  def minhash(corpus: DataFrame): DataFrame =
+    // one zero-allocation byte scan per document (custom codegen
+    // Expression; MIN over occurrences == MIN over the distinct set) —
+    // signatures never shuffle, posexplode is map-side
+    corpus.select(col("doc_id"),
+        graft.expr.MinHash.minhashSig(col("text"), NumHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
 
   /** LSH band keys: (doc_id, band, key), key = band's signature rows joined
     * in j order. */
@@ -106,8 +104,7 @@ object Dedup {
     // smaller than the pair side, so broadcast both joins: array-laden rows
     // then never shuffle (shuffling pairs WITH attached arrays is what
     // blows up on quadratic candidate sets)
-    val shArr = broadcast(TextOps.shingles(corpus)
-      .groupBy("doc_id").agg(collect_list(col("h")).as("hs")))
+    val shArr = broadcast(TextOps.shingleArrays(corpus))
     pairs
       .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))

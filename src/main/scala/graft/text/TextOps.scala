@@ -59,10 +59,12 @@ object TextOps {
     * [[graft.expr.RollingHash]]. */
   def fingerprintMd5(text: Column): Column = md5(lower(text).cast("binary"))
 
-  /** distinct character 3-gram shingles with the oracle-portable polynomial
-    * hash h = a₁·31² + a₂·31 + a₃ over ASCII codes of lower(text).
-    * One explode over a position sequence — no UDF. */
-  def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** all character 3-gram shingle hash occurrences (with duplicates),
+    * h = a₁·31² + a₂·31 + a₃ over ASCII codes of lower(text). Pure
+    * explode + arithmetic — whole-stage codegen, no shuffle. Idempotent
+    * aggregates (MIN — i.e. MinHash) can consume this directly and skip
+    * deduplication entirely. */
+  def shinglesAll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 3)
       .select(col(idCol), col("t"),
@@ -72,8 +74,23 @@ object TextOps {
         (ascii(substring(col("sh"), 1, 1)) * 961 +
           ascii(substring(col("sh"), 2, 1)) * 31 +
           ascii(substring(col("sh"), 3, 1))).cast("long").as("h"))
-      .distinct()
-  }
+
+  /** distinct (doc_id, h) shingle set — for set-semantics consumers
+    * (Jaccard sizes, SimHash majorities, shingle counts). */
+  def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    shinglesAll(docs, textCol, idCol).distinct()
+
+  /** per-doc distinct-shingle array (one row per doc; broadcastable) —
+    * map-only via higher-order functions. HOFs run interpreted, so this is
+    * for |docs|-sized passes (e.g. the broadcast side of pair-level
+    * Jaccard), not for the hot shingle stream. */
+  def shingleArrays(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col(idCol), expr(
+        """array_distinct(transform(sequence(1, length(t) - 2),
+          |  i -> CAST(ascii(substring(t, i, 1)) * 961 + ascii(substring(t, i + 1, 1)) * 31
+          |       + ascii(substring(t, i + 2, 1)) AS BIGINT)))""".stripMargin).as("hs"))
 
   /** The same shingle derivation as DuckDB SQL (over a relation aliased
     * `corpus(doc_id, text)`). */
