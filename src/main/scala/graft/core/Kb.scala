@@ -35,9 +35,10 @@ final case class Kb(
       .unionAll(attrs.select(col("node").as("subj"), col("prop").as("pred"), col("lexical").as("obj")))
       .unionAll(edges.select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
 
-  /** TBox triples (reference knowledge_base.py:308-434). Driver-scale. */
+  /** TBox triples, iri mode (reference knowledge_base.py:308-434; dp ranges
+    * skipped per the reference quirk). Driver-scale. */
   def tboxTriples: DataFrame =
-    spark.createDataset(tbox.tripleRows)(
+    spark.createDataset(tbox.tripleRows())(
       org.apache.spark.sql.Encoders.product[Triple]).toDF()
 
   /** Full triple export (reference knowledge_base.py:436-448) — the
@@ -45,11 +46,17 @@ final case class Kb(
   def triples: DataFrame = aboxTriples.unionAll(tboxTriples)
 
   /** ABox `expression` mode (reference knowledge_base.py:262-302): per node,
-    * group object edges by predicate; emit ∃r.{x} for each object, ∃r.C per
-    * distinct (pred, class of object), and ≥n r.C when a (pred, class) pair
-    * occurs more than once. Expressed as one hash-aggregate plan (partial +
-    * final handled by Catalyst). */
+    * emit (1) each direct class (the reference yields the OWLClass for
+    * rdf:type triples), (2) ∃p.{lexical} per data-property literal
+    * (OWLDataSomeValuesFrom over OWLDataOneOf), (3) ∃r.{x} for each object,
+    * (4) ∃r.C per distinct (pred, class of object), and (5) ≥n r.C when a
+    * (pred, class) pair occurs more than once. Expressed as one
+    * hash-aggregate plan (partial + final handled by Catalyst). */
   def aboxExpression: DataFrame = {
+    val classRows = types.select(col("node").as("subj"), col("cls").as("expr"))
+    val dataOneOf = attrs.select(
+      col("node").as("subj"),
+      concat(lit("∃"), col("prop"), lit(".{"), col("lexical"), lit("}")).as("expr"))
     val hasValue = edges.select(
       col("src").as("subj"),
       concat(lit("∃"), col("pred"), lit(".{"), col("dst"), lit("}")).as("expr"))
@@ -62,7 +69,7 @@ final case class Kb(
     // reference emits the cardinality row only when count > 1 (knowledge_base.py:295-302)
     val minCard = byType.filter(col("n") > 1).select(col("subj"),
       concat(lit("≥"), col("n"), lit(" "), col("pred"), lit("."), col("cls")).as("expr"))
-    hasValue.unionAll(existsC).unionAll(minCard)
+    classRows.unionAll(dataOneOf).unionAll(hasValue).unionAll(existsC).unionAll(minCard)
   }
 
   /** Per-individual accessors (reference knowledge_base.py:1074-1150,
@@ -84,6 +91,29 @@ final case class Kb(
   def objectPropertiesInSignature: Seq[String] = tbox.objectProps.map(_.prop)
   def dataPropertiesInSignature: Seq[String] = tbox.dataProps.map(_.prop)
   def classesInSignature: Seq[String] = tbox.classes
+
+  /** Typed data-property accessors (reference knowledge_base.py:1042-1072):
+    * enumerate the data properties whose declared range falls in a datatype
+    * group — what a concept learner needs to enumerate boolean/numeric/time
+    * data restrictions. */
+  def booleanDataProperties: Seq[String] =
+    tbox.dataPropsByRange(DatatypeGroups.Boolean).map(_.prop)
+  def numericDataProperties: Seq[String] =
+    tbox.dataPropsByRange(DatatypeGroups.Numeric).map(_.prop)
+  def doubleDataProperties: Seq[String] =
+    tbox.dataPropsByRange(DatatypeGroups.Double).map(_.prop)
+  def timeDataProperties: Seq[String] =
+    tbox.dataPropsByRange(DatatypeGroups.Time).map(_.prop)
+
+  /** Typed-column materialization of a datatype group (SURVEY §1.3): the
+    * assertions of the group's properties with `lexical` cast to `castTo`
+    * ((node, prop, value)). The prop list is driver-scale, so the filter is
+    * an isin that pushes down to the attrs scan. */
+  def typedDataValues(group: Set[String], castTo: String): DataFrame = {
+    val props = tbox.dataPropsByRange(group).map(_.prop)
+    attrs.filter(col("prop").isInCollection(props))
+      .select(col("node"), col("prop"), col("lexical").cast(castTo).as("value"))
+  }
 
   /** ignore_and_copy (reference knowledge_base.py:450-510): a view of the KB
     * with the given classes / properties removed everywhere. */

@@ -50,6 +50,20 @@ case class Triple(subj: String, pred: String, obj: String)
 /** Property metadata row; kind ∈ {object, data}. */
 case class PropMeta(prop: String, kind: String, domain: String, range: String)
 
+/** Datatype groups for the typed data-property accessors (reference
+  * knowledge_base.py:1042-1072: get_boolean/numeric/double/time_data_
+  * properties over owlapy's BooleanOWLDatatype / NUMERIC_DATATYPES /
+  * DoubleOWLDatatype / TIME_DATATYPES). */
+object DatatypeGroups {
+  val Boolean: Set[String] = Set("xsd:boolean")
+  val Double: Set[String] = Set("xsd:double")
+  val Numeric: Set[String] = Set(
+    "xsd:double", "xsd:float", "xsd:decimal", "xsd:int", "xsd:integer",
+    "xsd:long", "xsd:short", "xsd:byte", "xsd:nonNegativeInteger")
+  val Time: Set[String] = Set(
+    "xsd:date", "xsd:dateTime", "xsd:time", "xsd:duration")
+}
+
 /** TBox: driver-scale schema metadata (reference knowledge_base.py:346-432 —
   * tbox emission enumerates exactly subClassOf, equivalentClass, subPropertyOf,
   * equivalentProperty, domain, range). Always small even at web scale.
@@ -64,6 +78,11 @@ case class Tbox(
 
   lazy val objectProps: Seq[PropMeta] = props.filter(_.kind == "object")
   lazy val dataProps: Seq[PropMeta] = props.filter(_.kind == "data")
+
+  /** data properties whose declared range datatype is in `ranges`
+    * (reference get_data_properties(ranges), knowledge_base.py:1020-1040). */
+  def dataPropsByRange(ranges: Set[String]): Seq[PropMeta] =
+    dataProps.filter(p => ranges(p.range))
 
   private lazy val parents: Map[String, Seq[String]] =
     subClass.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
@@ -86,16 +105,24 @@ case class Tbox(
     seen
   }
 
-  /** TBox triples, matching the reference's six relation kinds
-    * (knowledge_base.py:308-434). Deduplicated set semantics. */
-  def tripleRows: Seq[Triple] = {
+  /** TBox triples, matching the reference's six relation kinds in `iri`
+    * mode (knowledge_base.py:308-434). Deduplicated set semantics.
+    *
+    * iri-mode quirk: the reference does NOT emit ranges of DATA properties
+    * (knowledge_base.py:328 prints the warning; :410-413 is the
+    * commented-out dp-range branch) — only object-property ranges appear.
+    * Pass `includeDataRanges = true` for the full surface (what the
+    * reference's `native`/`axiom` modes would carry). */
+  def tripleRows(includeDataRanges: Boolean = false): Seq[Triple] = {
     import Schemas._
+    val rangeProps =
+      if (includeDataRanges) props else props.filter(_.kind == "object")
     (subClass.map { case (a, b) => Triple(a, SubClassOf, b) } ++
       equivClass.map { case (a, b) => Triple(a, EquivalentClass, b) } ++
       subProp.map { case (a, b) => Triple(a, SubPropertyOf, b) } ++
       equivProp.map { case (a, b) => Triple(a, EquivalentProperty, b) } ++
       props.filter(_.domain.nonEmpty).map(p => Triple(p.prop, Domain, p.domain)) ++
-      props.filter(_.range.nonEmpty).map(p => Triple(p.prop, Range, p.range))).distinct
+      rangeProps.filter(_.range.nonEmpty).map(p => Triple(p.prop, Range, p.range))).distinct
   }
 }
 

@@ -53,12 +53,18 @@ object Dedup {
         array_sort(collect_list(struct(col("j"), col("mh")))),
         x => x.getField("mh").cast("string")), "_").as("key"))
 
-  /** signature agreements required before the exact-Jaccard pass: the
-    * agreement fraction is an unbiased estimate of J, so requiring
-    * ⌈threshold·NumHashes⌉ matches keeps the expensive exact verification
-    * linear in plausible near-dups instead of in band collisions (on
-    * similarity-saturated corpora collisions are quadratic). */
-  def sigAgreeMin(threshold: Double): Int = math.ceil(threshold * NumHashes).toInt
+  /** signature agreements required before the exact-Jaccard pass. The
+    * agreement fraction is an unbiased estimate of J (agreement ~
+    * Binomial(n, J)), so a bound at ⌈threshold·n⌉ would discard ~half of
+    * the genuine pairs sitting exactly at the threshold. The bound is
+    * therefore slacked 2σ below the threshold (σ = √(t(1−t)/n)): it still
+    * prunes clear non-candidates — keeping the exact verification linear in
+    * plausible near-dups instead of in band collisions — while losing
+    * < ~2.3% of threshold-level pairs. */
+  def sigAgreeMin(threshold: Double): Int = {
+    val sigma = math.sqrt(threshold * (1 - threshold) / NumHashes)
+    math.max(0, math.ceil((threshold - 2 * sigma) * NumHashes).toInt)
+  }
 
   /** near-dup pairs via MinHash-LSH banding → signature-estimate prefilter
     * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
@@ -77,9 +83,10 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), " +
           s"b -> struct(b AS band, array_join(transform(slice(sig, b * $BandRows + 1, $BandRows), x -> cast(x AS string)), '_') AS key))")).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val agreeExpr = aggregate(
-      zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // codegen agreement count — NOT aggregate(zip_with(...)): HOFs run
+    // interpreted and this predicate sits on the (possibly quadratic)
+    // band-collision stream
+    val agreeExpr = graft.expr.SigOps.agree(col("siga"), col("sigb"))
     val candidates = sigs.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
         Seq("band", "key"))
@@ -100,11 +107,13 @@ object Dedup {
     * table when small; at larger scale it hash-joins on the pair keys —
     * either way the intersection itself never shuffles. */
   def jaccardOf(corpus: DataFrame, pairs: DataFrame): DataFrame = {
-    // per-doc distinct-shingle arrays: |docs| rows × bounded length — far
-    // smaller than the pair side, so broadcast both joins: array-laden rows
-    // then never shuffle (shuffling pairs WITH attached arrays is what
-    // blows up on quadratic candidate sets)
-    val shArr = broadcast(TextOps.shingleArrays(corpus))
+    // per-doc distinct-shingle arrays: |docs| rows × bounded length. NO
+    // forced broadcast — at 100 TB the whole-corpus array table cannot live
+    // on the driver. The joins key the PAIRS to the array table (pairs ride
+    // the shuffle bare; each array row shuffles once per join, linear in
+    // |docs|), and AQE still picks a broadcast join when the corpus is
+    // actually small.
+    val shArr = TextOps.shingleArrays(corpus)
     pairs
       .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))

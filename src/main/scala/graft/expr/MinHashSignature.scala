@@ -37,7 +37,12 @@ object MinHashFn {
   def a(j: Int): Long = 1000003L + 999983L * j
   def b(j: Int): Long = 7L + 104729L * j
 
-  /** public static so generated code can call it */
+  /** public static so generated code can call it. ASCII text takes the
+    * zero-allocation byte scan; any non-ASCII byte falls back to lowercased
+    * CODE POINTS (TextCodePoints), matching the composable plan's
+    * lower()+ascii(substring) semantics — UTF-8 bytes with ASCII-only
+    * lowercasing would silently diverge from the SQL oracle on non-ASCII
+    * documents. */
   def sig(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     val mins = new Array[Long](k)
@@ -45,6 +50,10 @@ object MinHashFn {
     var any = false
     var i = 0
     val n = bytes.length
+    var ascii = true
+    while (i < n && ascii) { if ((bytes(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (!ascii) return sigCodePoints(TextCodePoints.lowered(s), k, mins)
+    i = 0
     while (i + 2 < n) {
       val c1 = lower(bytes(i)); val c2 = lower(bytes(i + 1)); val c3 = lower(bytes(i + 2))
       val h = c1 * 961L + c2 * 31L + c3
@@ -58,6 +67,23 @@ object MinHashFn {
       i += 1
     }
     if (!any) new GenericArrayData(Array.empty[Long]) else new GenericArrayData(mins)
+  }
+
+  private def sigCodePoints(cps: Array[Int], k: Int, mins: Array[Long]): ArrayData = {
+    val n = cps.length
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    var i = 0
+    while (i + 2 < n) {
+      val h = cps(i) * 961L + cps(i + 1) * 31L + cps(i + 2)
+      var j = 0
+      while (j < k) {
+        val v = (h * (1000003L + 999983L * j) + (7L + 104729L * j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 
   @inline private def lower(b: Byte): Long = {

@@ -2,7 +2,6 @@ package graft.lp
 
 import graft.core.{Determinism, Kb}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PosNegLPStandard (reference ontolearn_light/learning_problem.py:44-74):
@@ -31,9 +30,10 @@ object LearningProblem {
       else {
         val k = keyed.getOrElse(
           all.withColumn("k", abs(xxhash64(col("id")))))
-        val w = Window.orderBy(Determinism.lcg(col("k"), seed), col("id"))
-        k.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= lp.pos.size)
+        // global top-|pos| via TakeOrderedAndProject — NOT a row_number over
+        // an unpartitioned window, which would single-task-sort all nodes
+        k.orderBy(Determinism.lcg(col("k"), seed), col("id"))
+          .limit(lp.pos.size)
           .select("id")
       }
     EncodedLp(

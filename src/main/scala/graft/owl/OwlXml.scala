@@ -17,10 +17,19 @@ import scala.xml.{Elem, XML}
 object OwlXml {
 
   private val G = "urn:graft#"
+  private val Xsd = "http://www.w3.org/2001/XMLSchema#"
   private def frag(uri: String): String = {
     val i = uri.lastIndexOf('#')
     if (i >= 0) uri.substring(i + 1) else uri
   }
+  private def xsdUri(dtype: String): String = Xsd + frag(dtype.stripPrefix("xsd:"))
+
+  /** a property-assertion element with the PROPERTY NAME as element label —
+    * the standard RDF/XML striped form the OWL API emits and reloads
+    * (reference save path, _base.py:198-216). */
+  private def propElem(label: String, attr: scala.xml.MetaData,
+                       children: scala.xml.Node*): Elem =
+    Elem(null, label, attr, scala.xml.TopScope, minimizeEmpty = true, children: _*)
 
   def write(kb: Kb, path: String): Unit = {
     val edges = kb.edges.collect().map(r => Edge(r.getString(0), r.getString(1), r.getString(2)))
@@ -35,7 +44,7 @@ object OwlXml {
       <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
                xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
                xmlns:owl="http://www.w3.org/2002/07/owl#"
-               xmlns:g={G}>
+               xmlns={G}>
         {kb.tbox.classes.map { c =>
           <owl:Class rdf:about={G + c}>
             {kb.tbox.subClass.filter(_._1 == c).map(s => <rdfs:subClassOf rdf:resource={G + s._2}/>)}
@@ -45,8 +54,11 @@ object OwlXml {
         {nodes.map { n =>
           <owl:NamedIndividual rdf:about={G + n}>
             {typeByNode(n).map(t => <rdf:type rdf:resource={G + t.cls}/>)}
-            {byNode(n).map(e => <g:op rdf:resource={G + e.dst} pred={e.pred}/>)}
-            {attrByNode(n).map(a => <g:dp prop={a.prop} dtype={a.dtype}>{a.lexical}</g:dp>)}
+            {byNode(n).map(e => propElem(e.pred,
+              new scala.xml.PrefixedAttribute("rdf", "resource", G + e.dst, scala.xml.Null)))}
+            {attrByNode(n).map(a => propElem(a.prop,
+              new scala.xml.PrefixedAttribute("rdf", "datatype", xsdUri(a.dtype), scala.xml.Null),
+              scala.xml.Text(a.lexical)))}
           </owl:NamedIndividual>}}
       </rdf:RDF>
     XML.save(path, xml, "UTF-8", xmlDecl = true)

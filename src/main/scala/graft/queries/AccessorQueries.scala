@@ -25,7 +25,23 @@ object AccessorQueries {
           round(avg(col("n_chars")), 5).as("mean_chars"),
           round(stddev_pop(col("n_chars")), 5).as("sd_chars"))),
     "fe_media_frames" -> ((s, d) =>
-      Media.frameSample(Pages.fromDir(s, d)).toDF()))
+      Media.frameSample(Pages.fromDir(s, d)).toDF()),
+    // typed data-property accessors (reference knowledge_base.py:1042-1072)
+    "acc_typed_props" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      import org.apache.spark.sql.Encoders
+      val rows =
+        kb.booleanDataProperties.map(_ -> "boolean") ++
+          kb.numericDataProperties.map(_ -> "numeric") ++
+          kb.doubleDataProperties.map(_ -> "double") ++
+          kb.timeDataProperties.map(_ -> "time")
+      s.createDataset(rows)(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .toDF("prop", "grp")
+    }),
+    // typed-column materialization: numeric group cast to double
+    "acc_typed_values" -> ((s, d) =>
+      TpchKg.load(s, d).typedDataValues(graft.core.DatatypeGroups.Numeric, "double")
+        .select(col("node"), col("prop"), round(col("value"), 5).as("value"))))
 
   private val htmlLen =
     """octet_length(encode('<html><head><title>Doc ' || doc_id ||
@@ -46,6 +62,19 @@ object AccessorQueries {
         |  ROUND(AVG(n_chars), 5) AS mean_chars,
         |  ROUND(STDDEV_POP(n_chars), 5) AS sd_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    // hand-enumerated from the TPC-H KG schema declarations (a real check
+    // of the tbox-driven group filter, not generated from the same code)
+    "acc_typed_props" ->
+      """SELECT * FROM (VALUES
+        |  ('acctbal', 'numeric'), ('retailprice', 'numeric'),
+        |  ('totalprice', 'numeric'), ('psize', 'numeric'),
+        |  ('acctbal', 'double'), ('retailprice', 'double'),
+        |  ('totalprice', 'double'),
+        |  ('orderdate', 'time')
+        |) t(prop, grp)""".stripMargin,
+    "acc_typed_values" -> TpchKgSql.withKg(
+      """SELECT node, prop, ROUND(CAST(lexical AS DOUBLE), 5) AS value FROM attrs
+        |WHERE prop IN ('acctbal', 'psize', 'retailprice', 'totalprice')""".stripMargin),
     "fe_media_frames" ->
       s"""WITH d AS (SELECT ${Pages.Sql.url} AS url, $htmlLen AS n
          |  FROM (SELECT doc_id, ${Pages.Sql.body} AS body FROM documents) b)

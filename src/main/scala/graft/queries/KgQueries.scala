@@ -28,7 +28,11 @@ object KgQueries {
     "kg_tbox_triples" -> TpchKgSql.tboxTriples,
     "kg_triples" -> TpchKgSql.triples,
     "kg_abox_expression" -> TpchKgSql.withKg(
-      """SELECT src AS subj, '∃' || pred || '.{' || dst || '}' AS expr FROM edges
+      """SELECT node AS subj, cls AS expr FROM types
+        |UNION ALL
+        |SELECT node, '∃' || prop || '.{' || lexical || '}' FROM attrs
+        |UNION ALL
+        |SELECT src, '∃' || pred || '.{' || dst || '}' FROM edges
         |UNION ALL
         |SELECT subj, '∃' || pred || '.' || cls FROM
         |  (SELECT e.src AS subj, e.pred, t.cls FROM edges e JOIN types t ON e.dst = t.node GROUP BY 1,2,3) g

@@ -32,7 +32,10 @@ object SamplerQueries {
 
   def queries: Map[String, Q] = Map(
     "smp_rn_nodes" -> ((s, d) => rnSampler(s, d, lpc = false).sample(50).nodes),
-    "smp_rn_edges" -> ((s, d) => rnSampler(s, d, lpc = false).sample(50).edges),
+    // n=500 so the induced edge set is non-trivially non-empty — a 50-node
+    // uniform sample of an 18k-node KG induces no edges, which would make
+    // this oracle row vacuous (0 = 0)
+    "smp_rn_edges" -> ((s, d) => rnSampler(s, d, lpc = false).sample(500).edges),
     "smp_rn_lpc_nodes" -> ((s, d) => rnSampler(s, d, lpc = true).sample(50).nodes),
     // dpp contract at scale: per-node attr count after dpp=0.5 equals
     // cnt - int(0.5·cnt) of the original (reference _base.py:273)
@@ -98,7 +101,7 @@ object SamplerQueries {
   def oracleSql: Map[String, String] = Map(
     "smp_rn_nodes" -> TpchKgSql.withKg(s"$sampleCte SELECT id FROM sample", inCte = true),
     "smp_rn_edges" -> TpchKgSql.withKg(
-      s"""$sampleCte
+      s"""sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500)
          |SELECT src, pred, dst FROM edges
          |WHERE src IN (SELECT id FROM sample) AND dst IN (SELECT id FROM sample)""".stripMargin,
       inCte = true),

@@ -62,17 +62,9 @@ object TrainingDataQueries {
     "td_ann_lsh_bucket" -> ((s, d) => Ann.lshBucket(emb(s, d))),
     "td_dedup_embedding" -> ((s, d) =>
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
-    // winnowing fingerprints via the custom RollingHash64 Catalyst
-    // expression — no SQL oracle (rows-only check); covered by unit tests
-    "td_winnow_fp" -> ((s, d) => {
-      import graft.expr.RollingHash
-      val k = 8
-      docs(s, d).select(col("doc_id"), lower(col("text")).as("t"))
-        .filter(length(col("t")) >= k)
-        .select(col("doc_id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"), col("t"))
-        .select(col("doc_id"), RollingHash.rollingHash64(expr(s"substring(t, i, $k)")).as("h"))
-        .groupBy("doc_id").agg(countDistinct(col("h")).as("n_kgram_hashes"))
-    }))
+    // winnowing fingerprints (window-min selection, rightmost-min tiebreak)
+    // over the codegen KGramHashes rolling hash — full DuckDB oracle
+    "td_winnow_fp" -> ((s, d) => TextOps.winnow(docs(s, d), k = 8, w = 4)))
 
   private val corpusCte =
     """corpus AS (
@@ -143,7 +135,8 @@ object TrainingDataQueries {
           |  SELECT c.a, c.b FROM cand0 c
           |  JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
           |  GROUP BY c.a, c.b
-          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= 13)""".stripMargin) +
+          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= """.stripMargin +
+      s"${Dedup.sigAgreeMin(0.8)})") +
       "\nWHERE jaccard >= 0.8"),
     "td_simhash" -> s"""WITH $corpusCte, $shCte,
       |bits AS (
@@ -202,14 +195,44 @@ object TrainingDataQueries {
          |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
          |WHERE rank <= 5""".stripMargin,
     "td_ann_lsh_bucket" -> s"WITH ${evCte("embeddings")}\n$bucketSql",
+    // winnowing: same k-gram polynomial (Σ cp·31^j mod P, direct form of
+    // the Spark side's rolling mod) + same h·2³²+(2³²−1−i) window-min key
+    "td_winnow_fp" -> {
+      val k = 8
+      val pows = (0 until k).map(j => BigInt(31).pow(k - 1 - j).toLong)
+      val terms = pows.zipWithIndex
+        .map { case (p, j) => s"CAST(ascii(substr(t, i + $j, 1)) AS BIGINT) * $p" }
+        .mkString(" + ")
+      s"""WITH kg AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(($terms) % 2147483647 AS BIGINT) AS h
+         |  FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= $k) d
+         |  CROSS JOIN generate_series(1, ${TextOps.OracleMaxDocLen}) g(i)
+         |  WHERE i <= length(t) - ${k - 1}),
+         |sel AS (
+         |  SELECT doc_id, i,
+         |    MIN(h * 4294967296 + (4294967295 - i)) OVER (
+         |      PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+         |  FROM kg)
+         |SELECT DISTINCT doc_id, 4294967295 - (s % 4294967296) AS pos, s // 4294967296 AS h
+         |FROM sel WHERE i >= 3""".stripMargin
+    },
     "td_dedup_embedding" ->
       s"""WITH $embCte, ${evCte("ec")},
-         |buckets AS (
-         |  ${bucketSql.replace("\n", "\n  ")}),
+         |proj AS (
+         |  SELECT vec_id, CAST(j AS INT) AS j,
+         |    SUM(CASE WHEN (i + 17 * j) % 2 = 0 THEN q ELSE -q END) AS s
+         |  FROM (SELECT vec_id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS q FROM ev) evq
+         |  CROSS JOIN generate_series(0, ${Ann.EmbBands * Ann.EmbBandBits - 1}) t(j)
+         |  GROUP BY vec_id, j),
+         |bands AS (
+         |  SELECT vec_id, CAST(j // ${Ann.EmbBandBits} AS INT) AS band,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (j % ${Ann.EmbBandBits})) ELSE 0 END) AS BIGINT) AS key
+         |  FROM proj GROUP BY vec_id, j // ${Ann.EmbBandBits}),
          |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
          |cand AS (
-         |  SELECT l.vec_id AS a, r.vec_id AS b FROM buckets l
-         |  JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM bands l
+         |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
          |dots AS (
          |  SELECT c.a, c.b, SUM(ea.x * eb.x) AS dot FROM cand c
          |  JOIN ev ea ON ea.vec_id = c.a JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i

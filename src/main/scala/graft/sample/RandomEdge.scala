@@ -31,8 +31,6 @@ final class RandomEdgeSampler(
     kb: Kb, seed: Long = 42L, keyed: Option[DataFrame] = None,
     lpSeeds: Seq[String] = Nil, lpc: Boolean = false) extends GraphSampler {
 
-  private val Block = 1L << 32
-
   def draw(n: Int): Drawn = {
     val spark = kb.spark
     // (1) one random outgoing edge per source (reference: uniform choice
@@ -43,42 +41,50 @@ final class RandomEdgeSampler(
     val picked = kb.edges.withColumn("prn", row_number().over(pickW))
       .filter(col("prn") === 1).drop("prn")
 
-    // (2) position of a pick = random order of its source (+ tier / LP-first bias)
+    // (2) position of a pick = (bias tier, random order of its source, the
+    // source id) as one lexicographically-ordered struct — a TOTAL order
+    // because the source is unique per pick, so no two picks can tie at the
+    // cutoff (a truncated numeric position collided across sources ~|V|²/2^30
+    // times and could nondeterministically exceed the {n, n+1} bound)
     val srcOrd = Samplers.withOrd(kb.nodes, seed, keyed)
-      .select(col("id").as("src"), pmod(col("ord"), lit(Block / 8)).as("o"))
+      .select(col("id").as("src"), col("ord").as("o"))
+    def pos(g: org.apache.spark.sql.Column) =
+      struct(g.as("g"), col("o"), col("src").as("s")).as("pos")
     val posEdges = {
       val base = picked.join(srcOrd, Seq("src"))
       if (lpc) {
         val tiers = Samplers.lpcTiers(kb, lpSeeds).select(col("id").as("src"), col("tier"))
         base.join(tiers, Seq("src"))
-          .select(col("src"), col("pred"), col("dst"),
-            (col("tier").cast("long") * Block + col("o")).as("pos"))
+          .select(col("src"), col("pred"), col("dst"), pos(col("tier").cast("long")))
       } else if (lpSeeds.nonEmpty) {
         val lpDf = spark.createDataset(lpSeeds)(Encoders.STRING).toDF("src")
           .withColumn("pre", lit(0L))
         base.join(broadcast(lpDf), Seq("src"), "left_outer")
-          .select(col("src"), col("pred"), col("dst"),
-            (coalesce(col("pre"), lit(1L)) * Block + col("o")).as("pos"))
-      } else base.select(col("src"), col("pred"), col("dst"), col("o").as("pos"))
+          .select(col("src"), col("pred"), col("dst"), pos(coalesce(col("pre"), lit(1L))))
+      } else base.select(col("src"), col("pred"), col("dst"), pos(lit(0L)))
     }.cache()
 
-    // (3) first-occurrence position per node; LP nodes pre-inserted at -1
+    // (3) first-occurrence position per node; LP nodes pre-inserted below
+    // every real position
     val endpoints = posEdges.select(col("src").as("id"), col("pos"))
       .unionAll(posEdges.select(col("dst").as("id"), col("pos")))
     val withLp =
       if (lpSeeds.isEmpty) endpoints
       else endpoints.unionAll(
         spark.createDataset(lpSeeds)(Encoders.STRING).toDF("id")
-          .select(col("id"), lit(-1L).as("pos")))
+          .select(col("id"), struct(lit(-1L).as("g"), lit(Long.MinValue).as("o"),
+            lit("").as("s")).as("pos")))
     val fo = withLp.groupBy("id").agg(min(col("pos")).as("fo")).cache()
 
     val reachable = fo.count()
     val drawn = if (reachable >= n) {
-      // (4) cutoff = n-th smallest fo
+      // (4) cutoff = n-th smallest fo (TakeOrdered on the struct order; the
+      // 1-row cutoff broadcast-joins into both prefix filters)
       val pStar = fo.orderBy(col("fo")).limit(n)
-        .agg(max(col("fo"))).collect()(0).getLong(0)
-      Drawn(fo.filter(col("fo") <= pStar).select("id"),
-        Some(posEdges.filter(col("pos") <= pStar).select("src", "pred", "dst")))
+        .agg(max(col("fo")).as("ps"))
+      Drawn(fo.join(broadcast(pStar), col("fo") <= col("ps")).select("id"),
+        Some(posEdges.join(broadcast(pStar), col("pos") <= col("ps"))
+          .select("src", "pred", "dst")))
     } else {
       // fallback: RandomNode fill (reference classic_samplers.py:89-101);
       // filled nodes keep no edges

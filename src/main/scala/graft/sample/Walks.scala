@@ -50,13 +50,18 @@ final class WalkSampler(
     val nTotal = kb.nodes.count()
 
     // teleport index: tier-ordered for LPC (tier 0 first), hash-random
-    // otherwise; trn ∈ [1, N] dense — a teleport is a join on a drawn rank
+    // otherwise; trn ∈ [1, N] dense — a teleport is a join on a drawn rank.
+    // Ranked via bucketed two-pass (tier × top hash bits → offsets +
+    // partitioned window), NOT a global orderBy window: that would be a
+    // single-task sort of the whole node table at scale.
     val tiers =
       if (lpc) Samplers.lpcTiers(kb, lpSeeds)
       else kb.nodes.select(col("id"), lit(0).as("tier"))
-    val nodesIdx = tiers.select(col("id"), col("tier"),
-        row_number().over(Window.orderBy(col("tier"),
-          Determinism.detHash(seed ^ 0x77, col("id")), col("id"))).as("trn"))
+    val teleHash = Determinism.detHash(seed ^ 0x77, col("id"))
+    val nodesIdx = graft.core.Ranks.rankByBucketedOrder(
+        tiers.select(col("id"), col("tier")),
+        col("tier") * 64 + graft.core.Ranks.signedRangeBucket(teleHash, 6),
+        Seq(teleHash, col("id")), "trn")
       .cache()
     val tierCum: Array[Long] =
       if (lpc) {
@@ -104,7 +109,10 @@ final class WalkSampler(
 
     while (firstVisit.size < n && step < maxSteps) {
       step += 1
-      val f = broadcast(spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur"))
+      // broadcast hints are scoped to the joins that support them below
+      // (hinting the whole frontier here propagated to the LEFT side of the
+      // dead-end anti join, where build-left is unsupported — log spam)
+      val f = spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur")
 
       val jumpCol = jumpProb match {
         case Some(p) => Determinism.detRand(seed + 3 * step, col("walker")) < p
@@ -113,7 +121,7 @@ final class WalkSampler(
       val stepping = f.filter(!jumpCol)
       val jumping = f.filter(jumpCol)
 
-      val cand = stepping.join(edges, stepping("cur") === edges("src"))
+      val cand = broadcast(stepping).join(edges, stepping("cur") === edges("src"))
         .select(col("walker"), col("src"), col("pred"), col("dst"))
       val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
       val picks =
@@ -135,12 +143,12 @@ final class WalkSampler(
         }
 
       // dead ends (no outgoing edge) + jumpers teleport, recording no edge
-      val deadEnds = stepping.join(picks.select("walker"), Seq("walker"), "left_anti")
+      val deadEnds = stepping.join(broadcast(picks.select("walker")), Seq("walker"), "left_anti")
       val teleporters = jumping.select("walker", "cur").unionAll(deadEnds.select("walker", "cur"))
       val allowed = tierCum(esc)
-      val teleports = teleporters
-        .withColumn("trn", (pmod(Determinism.detHash(seed + 11 * step, col("walker")),
-          lit(allowed)) + 1).cast("int"))
+      val teleports = broadcast(teleporters
+        .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
+          lit(allowed)) + 1))
         .join(nodesIdx.select("id", "trn"), Seq("trn"))
         .select(col("walker"), col("id").as("cur"))
 

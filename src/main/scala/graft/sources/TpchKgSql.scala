@@ -59,7 +59,7 @@ object TpchKgSql {
   /** TBox triples as a constant VALUES list — generated from TpchKg.tbox so
     * the two sides cannot drift. */
   def tboxTriples: String = {
-    val rows = TpchKg.tbox.tripleRows
+    val rows = TpchKg.tbox.tripleRows()
       .map(t => s"('${t.subj}', '${t.pred}', '${t.obj}')")
       .mkString(",\n")
     s"SELECT * FROM (VALUES\n$rows\n) AS t(subj, pred, obj)"

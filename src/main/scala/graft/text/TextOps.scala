@@ -92,12 +92,48 @@ object TextOps {
           |  i -> CAST(ascii(substring(t, i, 1)) * 961 + ascii(substring(t, i + 1, 1)) * 31
           |       + ascii(substring(t, i + 2, 1)) AS BIGINT)))""".stripMargin).as("hs"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — MOSS
+    * local fingerprinting): from the k-gram hash sequence of lower(text),
+    * every window of `w` consecutive hashes selects its minimal hash,
+    * rightmost occurrence on ties; the fingerprint set is the distinct
+    * (position, hash) selections. Guarantees a shared fingerprint for any
+    * match of length ≥ w + k − 1.
+    *
+    * Shape: k-gram hashes come from the codegen [[graft.expr.KGramHashes]]
+    * expression (one rolling scan per doc, map-side posexplode); selection
+    * is a doc-partitioned sliding MIN over key = h·2³² + (2³²−1−i), which
+    * encodes "smallest hash, rightmost position" in one sortable long.
+    * All windows are per-document — no global sort anywhere. */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 4294967296L // 2^32; h < 2^31 so h·M + (M−1−i) stays in int64
+    val hs = docs.select(col(idCol),
+        posexplode(graft.expr.KGram.kgramHashes(col(textCol), k)).as(Seq("i", "h")))
+      .select(col(idCol), col("i").cast("long").as("i"), col("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(-(w - 1), 0)
+    hs.withColumn("sel", min(col("h") * M + (lit(M - 1) - col("i"))).over(win))
+      .filter(col("i") >= w - 1) // only complete windows select
+      .select(col(idCol),
+        (lit(M - 1) - pmod(col("sel"), lit(M))).as("pos"),
+        shiftright(col("sel"), 32).as("h")) // sel ≥ 0: >> 32 = exact div by 2³²
+      .distinct()
+  }
+
+  /** Oracle-side document-length bound for the static generate_series
+    * (DuckDB 1.0 requires CONSTANT series bounds — a scalar subquery is a
+    * binder error). Testdata documents are ≤ 577 chars at every sf; 4096
+    * gives 7× headroom, and any longer document would fail the oracle
+    * compare loudly (missing shingles ⇒ hash mismatch), not silently. */
+  val OracleMaxDocLen = 4096
+
   /** The same shingle derivation as DuckDB SQL (over a relation aliased
     * `corpus(doc_id, text)`). */
   val shinglesSql: String =
-    """SELECT DISTINCT doc_id,
+    s"""SELECT DISTINCT doc_id,
       |  CAST(ascii(substr(t, i, 1)) * 961 + ascii(substr(t, i + 1, 1)) * 31 + ascii(substr(t, i + 2, 1)) AS BIGINT) AS h
       |FROM (SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 3) c
-      |CROSS JOIN generate_series(1, 2000) g(i)
+      |CROSS JOIN generate_series(1, $OracleMaxDocLen) g(i)
       |WHERE i <= length(t) - 2""".stripMargin
 }

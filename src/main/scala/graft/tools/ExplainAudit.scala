@@ -32,6 +32,29 @@ object ExplainAudit {
       graft.queries.TrainingDataQueries.corpus(spark, dir)))
     show("ann_topk")(graft.sim.Ann.bruteForceTopK(
       spark.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5))
+    // walk setup (teleport index): must contain NO WindowExec without
+    // partitioning — ranks come from the bucketed two-pass (Ranks)
+    show("walk_teleport_index") {
+      import org.apache.spark.sql.functions._
+      val h = graft.core.Determinism.detHash(42L ^ 0x77, col("id"))
+      graft.core.Ranks.rankByBucketedOrder(
+        kb.nodes.select(col("id"), lit(0).as("tier")),
+        col("tier") * 64 + graft.core.Ranks.signedRangeBucket(h, 6),
+        Seq(h, col("id")), "trn")
+    }
+    // LP encode negative sampling: TakeOrderedAndProject, no global window
+    show("lp_encode_negsample")(graft.lp.LearningProblem.encode(kb,
+      graft.lp.Lp(pos = Seq("c:1", "c:2"), neg = Nil)).kbNeg)
+    // dedup verify stage: pairs join arrays (no forced broadcast), codegen
+    // signature-agreement prefilter
+    show("dedup_verify")(graft.dedup.Dedup.minhashLsh(
+      graft.queries.TrainingDataQueries.corpus(spark, dir), 0.8))
+    // winnowing: doc-partitioned sliding window over the KGramHashes expr
+    show("winnow")(graft.text.TextOps.winnow(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    // banded embedding LSH near-dup
+    show("emb_near_dup")(graft.sim.Ann.nearDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 0.999))
     spark.stop()
   }
 }

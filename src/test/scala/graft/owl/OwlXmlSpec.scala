@@ -49,6 +49,32 @@ class OwlXmlSpec extends SparkSpec {
       Set("markus", "martin", "stefan"))
   }
 
+  test("writer emits standard OWL property elements; father.owl write-read equality") {
+    val kb = OwlXml.read(spark, "/root/reference/KGs/father.owl")
+    val path = java.nio.file.Files.createTempDirectory("owl_std_").toString + "/father_out.owl"
+    OwlXml.write(kb, path)
+    val xml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    // standard striped RDF/XML: property NAME is the element, object via
+    // rdf:resource — no private g:op/g:dp vocabulary
+    assert(xml.contains("<hasChild rdf:resource="))
+    assert(!xml.contains("g:op") && !xml.contains("g:dp"))
+    val back = OwlXml.read(spark, path)
+    assert(ids(back.nodes) === ids(kb.nodes))
+    assert(back.edges.collect().toSet === kb.edges.collect().toSet)
+    assert(back.types.collect().toSet === kb.types.collect().toSet)
+    assert(back.tbox.classes.toSet === kb.tbox.classes.toSet)
+  }
+
+  test("writer serializes data properties with rdf:datatype; roundtrip keeps dtype") {
+    val kb = FamilyKb.kb(spark)
+    val path = java.nio.file.Files.createTempDirectory("owl_dp_").toString + "/family.owl"
+    OwlXml.write(kb, path)
+    val xml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(xml.contains("rdf:datatype=\"http://www.w3.org/2001/XMLSchema#int\""))
+    val back = OwlXml.read(spark, path)
+    assert(back.attrs.collect().toSet === kb.attrs.collect().toSet)
+  }
+
   test("save_sample filename quirk parity (_base.py:209-216)") {
     assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out")) === "out.owl")
     assert(OwlXml.sampleFileName("/x/family.owl", 20, Some("out.owl")) === "out.owl")
