@@ -107,18 +107,21 @@ object Dedup {
     * table when small; at larger scale it hash-joins on the pair keys —
     * either way the intersection itself never shuffles. */
   def jaccardOf(corpus: DataFrame, pairs: DataFrame): DataFrame = {
-    // per-doc distinct-shingle arrays: |docs| rows × bounded length. NO
-    // forced broadcast — at 100 TB the whole-corpus array table cannot live
-    // on the driver. The joins key the PAIRS to the array table (pairs ride
-    // the shuffle bare; each array row shuffles once per join, linear in
-    // |docs|), and AQE still picks a broadcast join when the corpus is
-    // actually small.
+    // per-doc SORTED distinct-shingle int arrays: |docs| rows × bounded
+    // length. NO forced broadcast — at 100 TB the whole-corpus array table
+    // cannot live on the driver; the array table shuffles once per join,
+    // linear in |docs|. SHUFFLE_HASH hints: on near-dup-saturated corpora
+    // the pair stream is orders of magnitude larger than the array table,
+    // and a sort-merge join would SORT the array-laden pair rows — the
+    // hash join builds on the small array side and streams the pairs
+    // unsorted. Intersection is the codegen two-pointer merge (SigOps),
+    // not array_intersect's per-row hash set.
     val shArr = TextOps.shingleArrays(corpus)
     pairs
-      .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
-      .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")).hint("shuffle_hash"), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")).hint("shuffle_hash"), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+        graft.expr.SigOps.sortedOverlap(col("ha"), col("hb")).cast("long").as("i"),
         size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
       .select(col("a"), col("b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"))

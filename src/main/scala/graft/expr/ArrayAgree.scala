@@ -41,12 +41,51 @@ object ArrayAgreeFn {
     }
     c
   }
+
+  /** two-pointer merge count over sorted distinct int arrays; public
+    * static so generated code can call it */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** |A ∩ B| of two SORTED distinct int arrays by linear merge — the exact
+  * set-intersection size the pair-level Jaccard verify needs, with zero
+  * per-row allocation. The built-in `array_intersect` builds a hash set and
+  * an output array per row; on millions of candidate pairs that allocation
+  * (not the comparison) dominates the verify stage. */
+case class SortedIntArrayOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayAgreeFn.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ArrayAgreeFn.sortedOverlap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntArrayOverlap =
+    copy(left = newLeft, right = newRight)
 }
 
 object SigOps {
-  /** Column API: agree(sigA, sigB) → int. */
-  def agree(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graftshim.GraftColumns
+  import org.apache.spark.sql.graftshim.GraftColumns
+  /** Column API: agree(sigA, sigB) → int (positional, long arrays). */
+  def agree(a: Column, b: Column): Column =
     GraftColumns.column(ArrayLongAgree(GraftColumns.expression(a), GraftColumns.expression(b)))
-  }
+  /** Column API: sortedOverlap(hsA, hsB) → int (|A∩B| of sorted int arrays). */
+  def sortedOverlap(a: Column, b: Column): Column =
+    GraftColumns.column(SortedIntArrayOverlap(GraftColumns.expression(a), GraftColumns.expression(b)))
 }

@@ -66,6 +66,30 @@ object CeQueries {
         WeightedAccuracy.score2(tp, fn, fp, tn)._2))
       s.createDataFrame(rows).toDF(
         "tp", "fn", "fp", "tn", "f1", "accuracy", "precision", "recall", "wacc")
+    }),
+    // T1 best-hypotheses: score a candidate pool with F1 against an LP,
+    // return get_top_n(3, 'quality') (reference search.py:620-638)
+    "lp_best_hypotheses" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      def regionAgents(r: String) = kb.edges.filter(col("pred") === "inNation")
+        .join(kb.edges.filter(col("pred") === "inRegion" && col("dst") === r)
+          .select(col("src").as("nat")), col("dst") === col("nat"), "left_semi")
+        .select(col("src")).distinct()
+      val pos = regionAgents("r:0").collect().map(_.getString(0)).toSeq.sorted
+      val neg = regionAgents("r:1").filter(col("src").startsWith("s:"))
+        .collect().map(_.getString(0)).toSeq.sorted
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val cands: Seq[(String, ClassExpr)] = Seq(
+        "Customer" -> Named("Customer"),
+        "Supplier" -> Named("Supplier"),
+        "Agent" -> Named("Agent"),
+        "∃inNation.∃inRegion.{r:0}" ->
+          Exists("inNation", HasValue("inRegion", "r:0")),
+        "Order" -> Named("Order"))
+      val scored = cands.map { case (nm, ce) =>
+        (nm, LearningProblem.evaluateConcept(kb, ce, F1, elp)._2)
+      }
+      Hypotheses.topN(s.createDataFrame(scored).toDF("concept", "quality"), 3)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -139,7 +163,37 @@ object CeQueries {
         |  ROUND(((CAST(tp AS DOUBLE)/(tp+fn)) + (CAST(tn AS DOUBLE)/(fp+tn)))
         |        / ((CAST(tp AS DOUBLE)/(tp+fn)) + (CAST(tn AS DOUBLE)/(fp+tn))
         |           + (CAST(fp AS DOUBLE)/(fp+tn)) + (CAST(fn AS DOUBLE)/(tp+fn))), 5) AS wacc
-        |FROM c""".stripMargin, inCte = true))
+        |FROM c""".stripMargin, inCte = true),
+    "lp_best_hypotheses" -> {
+      def scoredRow(name: String, ret: String) =
+        s"""SELECT '$name' AS concept,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN ($ret)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN ($ret)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN ($ret)) AS BIGINT) AS fp""".stripMargin
+      val rows = Seq(
+        scoredRow("Customer", "SELECT node FROM types WHERE cls = 'Customer'"),
+        scoredRow("Supplier", "SELECT node FROM types WHERE cls = 'Supplier'"),
+        scoredRow("Agent", s"SELECT node FROM types WHERE cls IN ${inList(agentClosure)}"),
+        scoredRow("∃inNation.∃inRegion.{r:0}",
+          "SELECT src FROM edges WHERE pred = 'inNation' AND dst IN " +
+            "(SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:0')"),
+        scoredRow("Order", "SELECT node FROM types WHERE cls = 'Order'"))
+        .mkString("\nUNION ALL\n")
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT DISTINCT e.src AS id FROM edges e WHERE e.pred = 'inNation'
+           |  AND e.dst IN (SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:0')),
+           |neg AS (SELECT DISTINCT e.src AS id FROM edges e WHERE e.pred = 'inNation'
+           |  AND e.src LIKE 's:%'
+           |  AND e.dst IN (SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:1')),
+           |scored AS (
+           |$rows)
+           |SELECT concept, quality FROM (
+           |  SELECT concept, CASE WHEN tp = 0 THEN 0.0
+           |    ELSE ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+           |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality
+           |  FROM scored) q
+           |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
+    })
 
   // helper lives in TpchKgSql; see withKg(body, inCte)
 }

@@ -64,7 +64,12 @@ object TrainingDataQueries {
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
     // winnowing fingerprints (window-min selection, rightmost-min tiebreak)
     // over the codegen KGramHashes rolling hash — full DuckDB oracle
-    "td_winnow_fp" -> ((s, d) => TextOps.winnow(docs(s, d), k = 8, w = 4)))
+    "td_winnow_fp" -> ((s, d) => TextOps.winnow(docs(s, d), k = 8, w = 4)),
+    // gap-based sessionization over the events stream table (the same
+    // session_window aggregation runs under readStream + watermark —
+    // StreamingSpec proves batch/stream parity)
+    "td_sessionize" -> ((s, d) => graft.streaming.Sessions.sessionize(
+      s.read.parquet(s"$d/events.parquet"), 30)))
 
   private val corpusCte =
     """corpus AS (
@@ -195,6 +200,25 @@ object TrainingDataQueries {
          |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
          |WHERE rank <= 5""".stripMargin,
     "td_ann_lsh_bucket" -> s"WITH ${evCte("embeddings")}\n$bucketSql",
+    // sessionization: new session iff ts > prev_ts + gap — Spark's
+    // session_window merges TOUCHING windows (an event at exactly
+    // prev + gap joins the session; verified empirically in
+    // StreamingSpec); DECIMAL sum = order-independent
+    "td_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // winnowing: same k-gram polynomial (Σ cp·31^j mod P, direct form of
     // the Spark side's rolling mod) + same h·2³²+(2³²−1−i) window-min key
     "td_winnow_fp" -> {

@@ -32,7 +32,10 @@ final class ForestFireSampler(
 
   def draw(n: Int): Drawn = {
     val spark = kb.spark
-    val edges = kb.edges.cache()
+    // (src, dst) neighbor pairs deduplicated ONCE outside the burn loop —
+    // multi-predicate edges would otherwise force a distinct() (a shuffle)
+    // inside every round
+    val neighbors = kb.edges.select(col("src"), col("dst")).distinct().cache()
     val strEnc = Encoders.STRING
 
     // deterministic permutation for (re-)ignition picks, collected lazily in
@@ -66,8 +69,7 @@ final class ForestFireSampler(
         val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
         val w = Window.partitionBy(col("src"))
           .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
-        val next = f.join(edges, Seq("src"))
-          .select(col("src"), col("dst")).distinct()
+        val next = f.join(neighbors, Seq("src"))
           .join(burnedDf, Seq("dst"), "left_anti")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= g)
@@ -83,6 +85,7 @@ final class ForestFireSampler(
       }
     }
 
+    neighbors.unpersist()
     val sampledDf = spark.createDataset(burned.toSeq.take(n))(strEnc).toDF("id")
     Drawn(sampledDf, selectedEdges = None) // induced: see class doc
   }

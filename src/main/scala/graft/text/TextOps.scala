@@ -80,17 +80,20 @@ object TextOps {
   def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     shinglesAll(docs, textCol, idCol).distinct()
 
-  /** per-doc distinct-shingle array (one row per doc; broadcastable) —
-    * map-only via higher-order functions. HOFs run interpreted, so this is
-    * for |docs|-sized passes (e.g. the broadcast side of pair-level
-    * Jaccard), not for the hot shingle stream. */
+  /** per-doc SORTED distinct-shingle array (one row per doc) — map-only via
+    * higher-order functions. HOFs run interpreted, so this is for
+    * |docs|-sized passes (the array side of pair-level Jaccard), not for
+    * the hot shingle stream. Arrays are int (3-gram hash < 2¹⁸) and sorted
+    * so the pair-level intersection is a zero-allocation codegen merge
+    * ([[graft.expr.SigOps.sortedOverlap]]) instead of array_intersect's
+    * per-row hash-set build. */
   def shingleArrays(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 3)
       .select(col(idCol), expr(
-        """array_distinct(transform(sequence(1, length(t) - 2),
-          |  i -> CAST(ascii(substring(t, i, 1)) * 961 + ascii(substring(t, i + 1, 1)) * 31
-          |       + ascii(substring(t, i + 2, 1)) AS BIGINT)))""".stripMargin).as("hs"))
+        """array_sort(array_distinct(transform(sequence(1, length(t) - 2),
+          |  i -> ascii(substring(t, i, 1)) * 961 + ascii(substring(t, i + 1, 1)) * 31
+          |       + ascii(substring(t, i + 2, 1)))))""".stripMargin).as("hs"))
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — MOSS
     * local fingerprinting): from the k-gram hash sequence of lower(text),
