@@ -92,6 +92,58 @@ object Ann {
         .as(Seq("band", "key")))
   }
 
+  /** IVF (inverted-file) coarse quantizer with DETERMINISTIC centroids: the
+    * `nlist` vectors with the lowest seeded LCG order over vec_id serve as
+    * seed centroids (data-keyed — no fitted k-means, so assignments are
+    * identical at any parallelism and reproducible in the SQL oracle).
+    * Returns (vec_id, cid): each vector assigned to its max-cosine
+    * centroid (ties → lowest cid). Centroids are driver-scale (nlist rows)
+    * and broadcast; assignment is one map-side pass — linear, no shuffle
+    * besides the per-vector argmax aggregation. */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int = 16, seed: Long = 97L): DataFrame =
+    embeddings
+      .orderBy(graft.core.Determinism.lcg(col("vec_id"), seed), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16, seed: Long = 97L): DataFrame = {
+    val cents = broadcast(ivfCentroids(embeddings, nlist, seed))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    embeddings.crossJoin(cents)
+      .select(col("vec_id"),
+        col("cid"), round(cosine(col("embedding"), col("ce")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** IVF top-k: each query probes only the vectors assigned to its
+    * `nprobe` nearest centroids — the scale path that turns brute-force
+    * O(|Q|·N) into O(|Q|·N·nprobe/nlist). (q, rank, neighbor), ordering
+    * oracle-stable on round(sim, 6) desc then id. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 97L): DataFrame = {
+    val assign = ivfAssign(embeddings, nlist, seed)
+    val cents = broadcast(ivfCentroids(embeddings, nlist, seed))
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val probeW = Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(cents)
+      .select(col("q"), col("qe"), col("cid"),
+        round(cosine(col("qe"), col("ce")), 6).as("csim"))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
+      .select(col("q"), col("qe"), col("cid"))
+    val cands = probes
+      .join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q"))
+      .join(embeddings, Seq("vec_id"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
+    cands.select(col("q"), col("vec_id").as("neighbor"),
+        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("neighbor"))
+  }
+
   /** near-duplicate vector pairs: same key in ANY band, cosine-verified ≥
     * threshold. (a, b, sim) with a < b. Candidate generation is the banded
     * bucket join above; the verify joins candidates to the embedding table

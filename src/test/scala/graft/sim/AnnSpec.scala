@@ -44,6 +44,19 @@ class AnnSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("IVF: every vector assigned to exactly one list; full probe == brute force") {
+    val v = vectors(50)
+    val assign = Ann.ivfAssign(v, nlist = 8)
+    assert(assign.count() === 50)
+    assert(assign.select("vec_id").distinct().count() === 50)
+    // probing ALL lists degenerates to exact search — must equal brute force
+    val ivf = Ann.ivfTopK(v, 0L to 4L, 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = Ann.bruteForceTopK(v, 0L to 4L, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === bf)
+  }
+
   test("band keys identical at different shuffle partitioning (integer sums)") {
     val v = vectors(30)
     val k4 = Ann.lshBandKeys(v.repartition(4)).collect()
