@@ -45,38 +45,64 @@ object Canonicalize {
   }
 }
 
-/** Connected components via iterative min-label propagation on DataFrames
-  * (the Catalyst-friendly alternative to GraphX the north rule asks for):
-  * each iteration joins current labels across symmetrized edges, takes the
-  * per-node min, and stops when no label changes. Lineage is truncated by
-  * localCheckpoint every iteration pair; convergence needs O(diameter)
-  * rounds (large-star/small-star would be O(log n) — same join shapes —
-  * and is the documented upgrade path for adversarially deep chains).
+/** Connected components via the ALTERNATING large-star / small-star
+  * algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+  * "Connected Components in MapReduce and Beyond", SoCC'14) on DataFrames —
+  * the Catalyst-friendly alternative to GraphX the north rule asks for.
+  *
+  * Each round is two grouped-min + join passes:
+  *   large-star(u): every neighbor v > u re-points to m = min(Γ⁺(u));
+  *   small-star(u): every neighbor v < u re-points to m, and u itself too.
+  * Converges to per-component stars rooted at the minimum id in
+  * O(log n) rounds REGARDLESS of component diameter — min-label
+  * propagation needs O(diameter) rounds, and a web-scale alias graph can
+  * chain thousands deep (worse: an iteration cap would silently return
+  * unconverged, i.e. wrong, components). Non-convergence here raises.
   */
 object ConnectedComponents {
 
-  /** edges(src, dst) undirected → (id, component). */
-  def run(edges: DataFrame, maxIter: Int = 50, checkpointEvery: Int = 2): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      i += 1
-      val viaNbr = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.unionAll(viaNbr)
-        .groupBy("id").agg(min(col("component")).as("component"))
-      val nextCk = if (i % checkpointEvery == 0) next.localCheckpoint(true) else next
-      changed = nextCk.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = nextCk
+  /** edges(src, dst) undirected → (id, component = min id in component).
+    * Only ids incident to an edge appear (callers union isolated nodes).
+    * Every round is localCheckpointed: the convergence check (count +
+    * exceptAll) and the next round each re-read the round's edge set, so an
+    * unmaterialized round would evaluate its star chain three times. */
+  def run(edges: DataFrame, maxIter: Int = 40, checkpointEvery: Int = 1): DataFrame = {
+    def canon(e: DataFrame) = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame) = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def mins(s: DataFrame) = s.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    def largeStar(e: DataFrame) = {
+      val s = sym(e)
+      canon(s.filter(col("v") > col("u")).join(mins(s), Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
     }
-    sym.unpersist()
-    labels
+    def smallStar(e: DataFrame) = {
+      val s = sym(e)
+      val m = mins(s)
+      canon(s.filter(col("v") < col("u")).join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v"))))
+    }
+
+    var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      i += 1
+      val next0 = smallStar(largeStar(e))
+      val next = if (i % checkpointEvery == 0) next0.localCheckpoint(true) else next0
+      // set equality: same cardinality + one-way difference empty
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connected components not converged after $maxIter rounds")
+    // fixpoint is a union of stars rooted at each component's min id
+    val s = sym(e)
+    s.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
   }
 }

@@ -75,9 +75,10 @@ final class ForestFireSampler(
           .filter(col("rn") <= g)
           .select(col("dst"),
             Determinism.detHash(seed + 23 * round, col("dst")).as("h"))
-          .distinct()
-          .orderBy(col("h"), col("dst"))
-          .collect().map(_.getString(0)).toSeq
+          .collect() // ≤ Σ geometric caps rows; dedup + order on the driver
+          .map(r => (r.getString(0), r.getLong(1))).distinct
+          .sortBy { case (dst, h) => (h, dst) }
+          .map(_._1).toSeq
 
         frontier =
           if (next.nonEmpty) next

@@ -16,15 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** cosine similarity between two Array[Float] columns, computed in
-    * double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    def d(x: Column) = transform(x, v => v.cast("double"))
-    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(d(a), v => v * v), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(d(b), v => v * v), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** cosine similarity between two Array[Float]/Array[Double] columns in
+    * double precision — the codegen [[graft.expr.VecCosine]] expression
+    * (bit-identical to the aggregate/zip_with composable form, which runs
+    * interpreted and sat on the ANN candidate stream). */
+  def cosine(a: Column, b: Column): Column = graft.expr.VecOps.cosine(a, b)
 
   /** brute-force top-k neighbors for the given query ids:
     * (q, rank, neighbor). Ordering on round(sim, 6) desc then id keeps the

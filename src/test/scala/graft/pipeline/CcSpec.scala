@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Large-star/small-star connected components vs a driver-side union-find
+  * ground truth, including the adversarial case that breaks capped
+  * min-label propagation: a chain deeper than any sane iteration cap. */
+class CcSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    // canonical = min id per component (lexicographic, like the engine)
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  private def ccOf(edges: Seq[(String, String)]): Map[String, String] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("2000-deep chain with shuffled labels (diameter >> any iteration cap)") {
+    val rnd = new scala.util.Random(7)
+    val labels = rnd.shuffle((0 until 2000).map(i => f"n$i%05d").toVector)
+    val chain = labels.sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = ccOf(chain)
+    val expect = unionFind(chain)
+    assert(got === expect)
+    assert(got.values.toSet.size === 1) // single component
+  }
+
+  test("random graph + isolated pairs + bipartite blocks == union-find") {
+    val rnd = new scala.util.Random(13)
+    val rand = (1 to 400).map(_ => (f"r${rnd.nextInt(300)}%03d", f"r${rnd.nextInt(300)}%03d"))
+      .filter(e => e._1 != e._2)
+    val pairs = (0 until 20).map(i => (s"pa$i", s"pb$i"))
+    val bipartite = (0 until 50).map(i => (s"e$i", s"K:${i % 7}"))
+    val edges = rand ++ pairs ++ bipartite
+    assert(ccOf(edges) === unionFind(edges))
+  }
+}

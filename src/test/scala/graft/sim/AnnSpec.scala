@@ -44,6 +44,21 @@ class AnnSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("VecCosine expression == aggregate/zip_with composable plan (bit-exact)") {
+    import spark.implicits._
+    val df = vectors(25).select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(vectors(25).select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("vec_id") < col("b_id"))
+    def d(x: org.apache.spark.sql.Column) = transform(x, v => v.cast("double"))
+    val composable =
+      aggregate(zip_with(d(col("a")), d(col("b")), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(d(col("a")), v => v * v), lit(0.0), (acc, x) => acc + x)) *
+          sqrt(aggregate(transform(d(col("b")), v => v * v), lit(0.0), (acc, x) => acc + x)))
+    val rows = df.select(Ann.cosine(col("a"), col("b")).as("e"), composable.as("c"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (e, c) => assert(e === c) } // bit-exact, not approx
+  }
+
   test("IVF: every vector assigned to exactly one list; full probe == brute force") {
     val v = vectors(50)
     val assign = Ann.ivfAssign(v, nlist = 8)
