@@ -48,9 +48,23 @@ object OwlXml {
         {kb.tbox.classes.map { c =>
           <owl:Class rdf:about={G + c}>
             {kb.tbox.subClass.filter(_._1 == c).map(s => <rdfs:subClassOf rdf:resource={G + s._2}/>)}
+            {kb.tbox.equivClass.filter(_._1 == c).map { e =>
+              if (e._2.startsWith("not:"))
+                <owl:equivalentClass>
+                  <owl:Class><owl:complementOf rdf:resource={G + e._2.stripPrefix("not:")}/></owl:Class>
+                </owl:equivalentClass>
+              else <owl:equivalentClass rdf:resource={G + e._2}/>}}
           </owl:Class>}}
-        {kb.tbox.objectProps.map(p => <owl:ObjectProperty rdf:about={G + p.prop}/>)}
-        {kb.tbox.dataProps.map(p => <owl:DatatypeProperty rdf:about={G + p.prop}/>)}
+        {kb.tbox.objectProps.map { p =>
+          <owl:ObjectProperty rdf:about={G + p.prop}>
+            {if (p.domain.nonEmpty) Seq(<rdfs:domain rdf:resource={G + p.domain}/>) else Nil}
+            {if (p.range.nonEmpty) Seq(<rdfs:range rdf:resource={G + p.range}/>) else Nil}
+          </owl:ObjectProperty>}}
+        {kb.tbox.dataProps.map { p =>
+          <owl:DatatypeProperty rdf:about={G + p.prop}>
+            {if (p.domain.nonEmpty) Seq(<rdfs:domain rdf:resource={G + p.domain}/>) else Nil}
+            {if (p.range.nonEmpty) Seq(<rdfs:range rdf:resource={xsdUri(p.range)}/>) else Nil}
+          </owl:DatatypeProperty>}}
         {nodes.map { n =>
           <owl:NamedIndividual rdf:about={G + n}>
             {typeByNode(n).map(t => <rdf:type rdf:resource={G + t.cls}/>)}
@@ -89,10 +103,17 @@ object OwlXml {
         }
       }
     }
+    // a range URI in the XMLSchema namespace reads back as its xsd:-prefixed
+    // lexical form (the engine's dtype convention)
+    def rangeOf(n: scala.xml.Node): String =
+      n.attributes.asAttrMap.collectFirst {
+        case (k, v) if k.endsWith("resource") =>
+          if (v.startsWith("http://www.w3.org/2001/XMLSchema#")) "xsd:" + frag(v) else frag(v)
+      }.getOrElse("")
     def propsOf(label: String, kind: String) = (xml \ label).map { p =>
       PropMeta(about(p), kind,
         (p \ "domain").headOption.map(resource).getOrElse(""),
-        (p \ "range").headOption.map(resource).getOrElse(""))
+        (p \ "range").headOption.map(rangeOf).getOrElse(""))
     }
     val objProps = propsOf("ObjectProperty", "object")
     val dataProps = propsOf("DatatypeProperty", "data")

@@ -30,55 +30,76 @@ final class ForestFireSampler(
     kb: Kb, seed: Long = 42L, p: Double = 0.4, lpSeeds: Seq[String] = Nil,
     maxRounds: Int = 10000) extends GraphSampler {
 
+  private val Buckets = 64
+
   def draw(n: Int): Drawn = {
     val spark = kb.spark
-    // (src, dst) neighbor pairs deduplicated ONCE outside the burn loop —
-    // multi-predicate edges would otherwise force a distinct() (a shuffle)
-    // inside every round
-    val neighbors = kb.edges.select(col("src"), col("dst")).distinct().cache()
     val strEnc = Encoders.STRING
+    def bkt(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(Buckets)).cast("int")
+
+    // (src, dst) neighbor pairs deduplicated ONCE outside the burn loop
+    // (multi-predicate edges would otherwise force a distinct — a shuffle —
+    // inside every round), BUCKETED by hash(src) and cached clustered by
+    // bucket: each round filters to the frontier's buckets, so the cached
+    // scan batch-prunes to ~|frontier buckets|/64 of the edge table instead
+    // of re-scanning all of it every round — the 100×-scale fix for
+    // level-synchronous burning. The filter is a superset of the join, so
+    // results are unchanged.
+    val neighbors = kb.edges.select(col("src"), col("dst")).distinct()
+      .withColumn("bkt", bkt(col("src")))
+      .repartition(Buckets, col("bkt"))
+      .cache()
 
     // deterministic permutation for (re-)ignition picks, collected lazily in
-    // blocks as needed (usually a handful of rows)
-    lazy val ignitionPool: Array[String] = kb.nodes
+    // blocks as needed (usually a handful of rows); buckets ride along
+    lazy val ignitionPool: Array[(String, Int)] = kb.nodes
       .orderBy(Determinism.detHash(seed ^ 0x55, col("id")), col("id"))
       .limit(n + 1000) // burned ≤ n, so ≥1000 unburned candidates remain
-      .collect().map(_.getString(0))
+      .select(col("id"), bkt(col("id")).as("bkt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
 
     // driver-side burn state: insertion order = (round, in-round hash) order
     val burned = scala.collection.mutable.LinkedHashSet.empty[String]
     // restart batch mirrors the reference's restart_hop_size=10 (it pops up
     // to 10 backlog nodes when the queue dies, classic_samplers.py:369-372)
-    def ignite(k: Int = 10): Seq[String] =
-      ignitionPool.iterator.filterNot(burned.contains).take(k).toSeq
+    def ignite(k: Int = 10): Seq[(String, Int)] =
+      ignitionPool.iterator.filterNot(p => burned.contains(p._1)).take(k).toSeq
 
-    var frontier: Seq[String] =
-      if (lpSeeds.nonEmpty) lpSeeds else ignite(1)
+    var frontier: Seq[(String, Int)] =
+      if (lpSeeds.nonEmpty)
+        spark.createDataset(lpSeeds)(strEnc).toDF("id")
+          .select(col("id"), bkt(col("id")).as("bkt"))
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      else ignite(1)
     var round = 0
 
     while (burned.size < n && round < maxRounds && frontier.nonEmpty) {
       round += 1
       // burn the frontier (bounded by n — stop admitting once full)
-      frontier.foreach(id => if (burned.size < n) burned += id)
+      frontier.foreach(p => if (burned.size < n) burned += p._1)
       if (burned.size >= n) {
         frontier = Nil
       } else {
-        val f = broadcast(spark.createDataset(frontier)(strEnc).toDF("src"))
+        val f = broadcast(spark.createDataset(frontier.map(_._1))(strEnc).toDF("src"))
         val burnedDf = broadcast(spark.createDataset(burned.toSeq)(strEnc).toDF("dst"))
+        val frontierBuckets = frontier.map(_._2).distinct
         // per source: burn min(geometric(p), available) random unburned neighbors
         val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
         val w = Window.partitionBy(col("src"))
           .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
-        val next = f.join(neighbors, Seq("src"))
+        val next = f
+          .join(neighbors.filter(col("bkt").isInCollection(frontierBuckets)), Seq("src"))
           .join(burnedDf, Seq("dst"), "left_anti")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= g)
           .select(col("dst"),
-            Determinism.detHash(seed + 23 * round, col("dst")).as("h"))
+            Determinism.detHash(seed + 23 * round, col("dst")).as("h"),
+            bkt(col("dst")).as("bkt"))
           .collect() // ≤ Σ geometric caps rows; dedup + order on the driver
-          .map(r => (r.getString(0), r.getLong(1))).distinct
-          .sortBy { case (dst, h) => (h, dst) }
-          .map(_._1).toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).distinct
+          .sortBy { case (dst, h, _) => (h, dst) }
+          .map { case (dst, _, b) => (dst, b) }.toSeq
 
         frontier =
           if (next.nonEmpty) next

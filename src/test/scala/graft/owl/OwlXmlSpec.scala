@@ -63,6 +63,11 @@ class OwlXmlSpec extends SparkSpec {
     assert(back.edges.collect().toSet === kb.edges.collect().toSet)
     assert(back.types.collect().toSet === kb.types.collect().toSet)
     assert(back.tbox.classes.toSet === kb.tbox.classes.toSet)
+    // full TBox parity: equivalence (incl. the ¬female complement form),
+    // subclass links, property domains/ranges all survive the roundtrip
+    assert(back.tbox.equivClass.toSet === kb.tbox.equivClass.toSet)
+    assert(back.tbox.subClass.toSet === kb.tbox.subClass.toSet)
+    assert(back.tbox.props.toSet === kb.tbox.props.toSet)
   }
 
   test("writer serializes data properties with rdf:datatype; roundtrip keeps dtype") {
@@ -73,6 +78,8 @@ class OwlXmlSpec extends SparkSpec {
     assert(xml.contains("rdf:datatype=\"http://www.w3.org/2001/XMLSchema#int\""))
     val back = OwlXml.read(spark, path)
     assert(back.attrs.collect().toSet === kb.attrs.collect().toSet)
+    // dp range declarations roundtrip as xsd:-prefixed dtypes
+    assert(back.tbox.props.toSet === kb.tbox.props.toSet)
   }
 
   test("save_sample filename quirk parity (_base.py:209-216)") {
