@@ -96,7 +96,11 @@ object Bench {
       "td_dedup_minhash" -> (s => graft.dedup.Dedup.minhashLsh(
         graft.queries.TrainingDataQueries.corpus(s, sfDir), 0.8).count()),
       "td_ann_topk" -> (s => graft.sim.Ann.bruteForceTopK(
-        s.read.parquet(s"$sfDir/embeddings.parquet"), 0L to 9L, 5).count()))
+        s.read.parquet(s"$sfDir/embeddings.parquet"), 0L to 9L, 5).count()),
+      "td_winnow" -> (s => graft.text.TextOps.winnow(
+        s.read.parquet(s"$sfDir/documents.parquet")).count()),
+      "td_sessionize" -> (s => graft.streaming.Sessions.sessionize(
+        s.read.parquet(s"$sfDir/events.parquet"), 30).count()))
 
     var triples = 0L
     var pipelineSec = 0.0

@@ -55,8 +55,8 @@ final class WalkSampler(
     // partitioned window), NOT a global orderBy window: that would be a
     // single-task sort of the whole node table at scale.
     val tiers =
-      if (lpc) Samplers.lpcTiers(kb, lpSeeds)
-      else kb.nodes.select(col("id"), lit(0).as("tier"))
+      (if (lpc) Samplers.lpcTiers(kb, lpSeeds)
+       else kb.nodes.select(col("id"), lit(0).as("tier"))).cache()
     val teleHash = Determinism.detHash(seed ^ 0x77, col("id"))
     val nodesIdx = graft.core.Ranks.rankByBucketedOrder(
         tiers.select(col("id"), col("tier")),
@@ -176,6 +176,7 @@ final class WalkSampler(
     }
 
     nodesIdx.unpersist()
+    tiers.unpersist()
     // arrival-order trim to exactly n (insertion order of the LinkedHashMap
     // already is (step, walker) order; keep first n)
     val sampled = firstVisit.keysIterator.take(n).toSeq
