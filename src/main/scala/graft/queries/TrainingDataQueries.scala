@@ -55,6 +55,11 @@ object TrainingDataQueries {
     }),
     "td_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("predicted"))),
+    // token counting: whitespace + BPE-ish pretokenizer match count
+    "td_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))),
     "td_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "td_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))),
@@ -188,6 +193,14 @@ object TrainingDataQueries {
         |        * LEAST(CAST(stop AS DOUBLE) * 10.0 / n_tokens + 0.1, 1.0), 5) AS quality
         |FROM d""".stripMargin,
     "td_fingerprint" -> "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "td_token_count" -> {
+      // the RE2 pattern, single quotes doubled for the SQL literal
+      val pat = TextOps.BpeishPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin
+    },
     "td_ann_topk" ->
       s"""WITH ${evCte("embeddings")},
          |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),

@@ -20,6 +20,17 @@ object TextOps {
   def tokenCount(text: Column): Column =
     countOccurrences(text, " ") + 1
 
+  /** BPE-ish pretokenizer pattern (GPT-2 style: contractions, letter runs,
+    * digit runs, non-space symbol runs) — restricted to RE2-compatible
+    * syntax (no lookarounds) so the engine (Java regex) and the DuckDB
+    * oracle (RE2) count identical matches. */
+  val BpeishPattern: String = "'(?:[sdmt]|ll|ve|re)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: number of pretokenizer matches. Whole-stage
+    * codegen (regexp_extract_all + size), no UDF. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** n-gram-heuristic language ID: stopword-marker counts per language,
     * argmax with fixed priority order (en > de > fr > es). */
   def langId(text: Column): Column = {

@@ -76,6 +76,25 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("bpeishTokenCount == java.util.regex match count (contractions, unicode, runs)") {
+    import spark.implicits._
+    val texts = Seq(
+      "it's the model's we've they're I'll don't",
+      "hello,,, world!!! --- 42 3.14 x86_64",
+      "Grüße über straße λόγος 日本語テキスト",
+      "", "   ", "a", "mixed EN und DE avec FR 123")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.bpeishTokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    val p = java.util.regex.Pattern.compile(TextOps.BpeishPattern)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val m = p.matcher(t)
+      var c = 0L
+      while (m.find()) c += 1
+      assert(got(i.toLong) === c, s"text=$t")
+    }
+  }
+
   test("MinHash expression matches the composable plan on non-ASCII text") {
     import spark.implicits._
     val docs = Seq((1L, "Grüße aus Köln"), (2L, "ΑΛΦΑΒΗΤΑΡΙ ΕΛΛΗΝΙΚΟ"),
