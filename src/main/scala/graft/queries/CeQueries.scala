@@ -67,6 +67,26 @@ object CeQueries {
       s.createDataFrame(rows).toDF(
         "tp", "fn", "fp", "tn", "f1", "accuracy", "precision", "recall", "wacc")
     }),
+    // the reference's evaluation-table experiment (sample 10% × iterations,
+    // trim LP, score with F1, mean/σ) — sampler draws are seeded-random, so
+    // the gate row asserts the harness invariants against a constant oracle
+    "lp_eval_table" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val inN = kb.edges.filter(col("pred") === "inNation")
+      val pos = inN.filter(col("dst").isin("n:1", "n:2") && col("src").startsWith("c:"))
+        .select("src").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val neg = inN.filter(col("dst") === "n:1" && col("src").startsWith("s:"))
+        .select("src").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val t = EvalTable.run(kb,
+        Seq(("cust_n1n2", Lp(pos, neg), HasValue("inNation", "n:1"))),
+        Seq("RandomNodeSampler", "RandomEdgeSampler"),
+        fraction = 0.10, iterations = 2,
+        keyed = Some(TpchKg.nodesWithKey(s, d)))
+      t.select(col("sampler"), col("lp"),
+        (col("mean_f1") >= 0.0 && col("mean_f1") <= 1.0).as("mean_ok"),
+        (col("sd_f1") >= 0.0 && col("sd_f1") <= 0.5).as("sd_ok"),
+        (col("iterations") === 2).as("iters_ok"))
+    }),
     // T1 best-hypotheses: score a candidate pool with F1 against an LP,
     // return get_top_n(3, 'quality') (reference search.py:620-638)
     "lp_best_hypotheses" -> ((s, d) => {
@@ -164,6 +184,11 @@ object CeQueries {
         |        / ((CAST(tp AS DOUBLE)/(tp+fn)) + (CAST(tn AS DOUBLE)/(fp+tn))
         |           + (CAST(fp AS DOUBLE)/(fp+tn)) + (CAST(fn AS DOUBLE)/(tp+fn))), 5) AS wacc
         |FROM c""".stripMargin, inCte = true),
+    "lp_eval_table" ->
+      """SELECT * FROM (VALUES
+        |  ('RandomNodeSampler', 'cust_n1n2', TRUE, TRUE, TRUE),
+        |  ('RandomEdgeSampler', 'cust_n1n2', TRUE, TRUE, TRUE)
+        |) t(sampler, lp, mean_ok, sd_ok, iters_ok)""".stripMargin,
     "lp_best_hypotheses" -> {
       def scoredRow(name: String, ret: String) =
         s"""SELECT '$name' AS concept,

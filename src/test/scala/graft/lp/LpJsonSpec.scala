@@ -19,6 +19,23 @@ class LpJsonSpec extends SparkSpec {
     assert(lp.pos.forall(!_.contains("#")) && lp.pos.forall(!_.startsWith("http")))
   }
 
+  test("EvalTable: reference experiment shape, deterministic per seed") {
+    val kb = FamilyKb.kb(spark)
+    val lps = Seq(("males", Lp(FamilyKb.males, FamilyKb.females),
+      graft.expr.Named("male"): graft.expr.ClassExpr))
+    def table = EvalTable.run(kb, lps, Seq("RandomNodeSampler"),
+      fraction = 0.5, iterations = 2, seed = 11L)
+    val rows = table.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "RandomNodeSampler" && r.getString(1) === "males")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(3) >= 0.0)
+    assert(r.getInt(4) === 2)
+    // same seed ⇒ identical table
+    assert(table.collect().toSeq === rows.toSeq)
+  }
+
   test("restrictToSample drops removed examples; empty-pos falls back to half") {
     val kb = FamilyKb.kb(spark)
     val sampled = new graft.sample.RandomNodeSampler(kb, seed = 5).sample(8)
