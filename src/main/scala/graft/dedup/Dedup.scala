@@ -127,6 +127,30 @@ object Dedup {
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤
+    * maxHamming, (a, b, hamming) with a < b. Candidate generation is the
+    * pigeonhole chunk join: the 16-bit simhash splits into 4 four-bit
+    * chunks; any pair within Hamming ≤ 3 must agree on ≥ 1 whole chunk, so
+    * the self-join keys on (chunk index, chunk value) — bucketed, never
+    * all-pairs — and the exact Hamming check is one codegen
+    * bit_count(xor). */
+  def simhashNearDup(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 chunks covers Hamming <= 3")
+    val sh = simhash(corpus)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "i -> struct(i AS i, shiftright(simhash, i * 4) & 15 AS c))")).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.i").as("i"), col("ch.c").as("c"))
+    chunks.select(col("doc_id").as("a"), col("simhash").as("sa"), col("i"), col("c"))
+      .join(chunks.select(col("doc_id").as("b"), col("simhash").as("sb"), col("i"), col("c")),
+        Seq("i", "c"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(expr("sa ^ sb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash (16-bit): bit_j set iff the shingle-majority hashes to 1 under
     * the j-th bit hash ((h·a_j + b_j) mod 1021 ≥ 510). */
   def simhash(corpus: DataFrame): DataFrame = {

@@ -47,6 +47,7 @@ object TrainingDataQueries {
     "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
     "td_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(corpus(s, d), 0.8)),
     "td_simhash" -> ((s, d) => Dedup.simhash(corpus(s, d))),
+    "td_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d), 3)),
     "td_jaccard_consecutive" -> ((s, d) => {
       val ids = docs(s, d).select(col("doc_id"))
       val pairs = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
@@ -157,6 +158,24 @@ object TrainingDataQueries {
       |SELECT doc_id,
       |  CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin,
+    "td_dedup_simhash" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents), $shCte,
+         |bits AS (
+         |  SELECT doc_id, CAST(j AS INT) AS j,
+         |    SUM(CASE WHEN (h * (1000003 + 999983 * j) + (7 + 104729 * j)) % 1021 >= 510 THEN 1 ELSE -1 END) AS tot
+         |  FROM sh CROSS JOIN generate_series(0, 15) t(j) GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |chunks AS (
+         |  SELECT doc_id, simhash, CAST(i AS INT) AS i, (simhash >> (i * 4)) & 15 AS c
+         |  FROM sim CROSS JOIN generate_series(0, 3) t(i)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+         |  FROM chunks l JOIN chunks r ON l.i = r.i AND l.c = r.c AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "td_jaccard_consecutive" -> (s"WITH corpus AS (SELECT doc_id, text FROM documents), $shCte,\n" +
       jaccardSql(
         """cand AS (
