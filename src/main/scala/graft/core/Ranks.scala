@@ -28,18 +28,30 @@ object Ranks {
   def rankByBucketedOrder(df: DataFrame, bucket: Column, order: Seq[Column],
                           outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val b = df.withColumn("__bucket", bucket.cast("long"))
-    val counts = b.groupBy(col("__bucket")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // temp names chosen to not collide with caller columns (a caller column
+    // named __bucket would silently be overwritten / joined on otherwise)
+    val existing = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!existing.contains(_)).get
+    val bCol = fresh("__bucket")
+    val oCol = fresh("__off")
+    val b = df.withColumn(bCol, bucket.cast("long"))
+    val counts = b.groupBy(col(bCol)).agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "rankByBucketedOrder: bucket expression produced NULL — the total order is undefined for such rows")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (bk, n) => val off = acc; acc += n; (bk, off) }
     import org.apache.spark.sql.Encoders
     val offDf = spark.createDataset(offsets.toSeq)(
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).toDF("__bucket", "__off")
-    val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
-    b.join(broadcast(offDf), Seq("__bucket"))
-      .withColumn(outCol, col("__off") + row_number().over(w))
-      .drop("__bucket", "__off")
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).toDF(bCol, oCol)
+    val w = Window.partitionBy(col(bCol)).orderBy(order: _*)
+    b.join(broadcast(offDf), Seq(bCol))
+      .withColumn(outCol, col(oCol) + row_number().over(w))
+      .drop(bCol, oCol)
   }
 
   /** An order-preserving bucket for a signed-long order column: the top

@@ -22,6 +22,7 @@ final case class HasValue(prop: String, ind: String) extends ClassExpr      // â
 final case class MinCard(n: Int, prop: String, filler: ClassExpr) extends ClassExpr  // â‰¥n r.C (:149-163)
 final case class MaxCard(n: Int, prop: String, filler: ClassExpr) extends ClassExpr  // â‰¤n r.C (:165-179)
 final case class ExactCard(n: Int, prop: String, filler: ClassExpr) extends ClassExpr // =n r.C (:181-195)
+final case class OneOf(inds: Seq[String]) extends ClassExpr       // nominal {a, b, â€¦} (OWLObjectOneOf, reference knowledge_base.py:272,283)
 
 /** Data-property restrictions (:197-240). `op` âˆˆ {<, <=, >, >=, =};
   * `dtype` selects the cast applied to the lexical form. */
@@ -44,6 +45,7 @@ object ClassExpr {
     case MinCard(n, r, f) => s"â‰¥$n $r.${render(f)}"
     case MaxCard(n, r, f) => s"â‰¤$n $r.${render(f)}"
     case ExactCard(n, r, f) => s"=$n $r.${render(f)}"
+    case OneOf(xs) => xs.mkString("{", ", ", "}")
     case DataCompare(p, op, v) => s"âˆƒ$p.($op $v)"
     case DataHasValue(p, l) => s"âˆƒ$p.{$l}"
   }

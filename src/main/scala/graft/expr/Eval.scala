@@ -87,6 +87,11 @@ object Eval {
           nodes.except(any)
         } else countPerSrc(kb, r, f).filter(col("cnt") === n).select(col("src").as("id"))
 
+      case OneOf(xs) =>
+        // nominal {a, b, …}: exactly the listed individuals that exist in
+        // the KB (a broadcast IN-list filter over nodes)
+        nodes.filter(col("id").isInCollection(xs))
+
       case DataCompare(p, op, v) =>
         val x = col("lexical").cast("double")
         val pred = op match {

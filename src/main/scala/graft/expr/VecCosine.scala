@@ -40,8 +40,11 @@ object VecCosineFn {
   /** public static so generated code can call it */
   def cos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     // norms run over each vector's FULL length, the dot over the common
-    // prefix — the same semantics as the zip_with/transform composable plan
-    // (zip_with pads with null → the aggregate sum treats them as absent)
+    // prefix. For EQUAL-length inputs (the only shape the engine produces)
+    // this is bit-identical to the zip_with/aggregate composable plan; for
+    // ragged inputs the composable plan returns null (zip_with pads with
+    // null and `acc + null` nulls the aggregate) while this returns the
+    // common-prefix number — do not rely on the equivalence off fixed dims
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0

@@ -7,54 +7,86 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /** The reference's primary experiment — examples/evaluation_table_generator.py
-  * — as one engine call: for each sampler × iteration, draw a
-  * `fraction`-of-the-KB sample (default 0.10, the reference's
-  * --sampling_size), trim each learning problem to the sample
-  * (LpJson.restrictToSample), score a hypothesis class expression with F1
-  * against the encoded LP on the SAMPLED graph, and aggregate mean/σ_pop
-  * per (sampler, lp) over `iterations` (default 10, the reference's
-  * --iterations; stats per :189-207).
+  * — as one engine call. Per sampler × learning problem × iteration it
+  * reproduces the reference's two-graph protocol exactly:
   *
-  * The reference fits an external concept learner (EvoLearner/CELOE) per
-  * iteration; the learner is out of engine scope (SURVEY §2.9), so the
-  * hypothesis to score is supplied per LP — e.g. a winner from
-  * Hypotheses.topN over a candidate pool.
+  *  1. SAMPLE: draw a `fraction`-of-the-KB sample (default 0.10, the
+  *     reference's --sampling_size) with the named sampler.
+  *  2. FIT on the SAMPLED graph: trim the LP to the surviving individuals
+  *     (LpJson.restrictToSample, :137-147 incl. the empty-pos half-fallback)
+  *     and pick the best hypothesis from the candidate `pool` by F1 against
+  *     the trimmed LP encoded on the sampled KB. The reference fits an
+  *     external learner (EvoLearner/CELOE) here; the learner itself is out
+  *     of engine scope (SURVEY §2.9), so argmax-over-pool is the fit
+  *     stand-in (ties → earliest pool entry). A singleton pool degenerates
+  *     to scoring a fixed hypothesis.
+  *  3. SCORE on the ORIGINAL graph: the reference reloads the original KB,
+  *     re-reads the FULL untrimmed pos/neg, encodes, and evaluates the
+  *     fitted hypothesis there with F1 AND Accuracy
+  *     ("Measuring F1-score and Accuracy in the original graph",
+  *     evaluation_table_generator.py:170-185). Scoring on the sampled graph
+  *     would systematically inflate F1 — removed positives can never be
+  *     false negatives there.
+  *  4. AGGREGATE mean/σ_pop per (sampler, lp) over `iterations` (default
+  *     10, the reference's --iterations; stats per :189-207).
+  *
+  * Full-graph scores are memoized per (lp, winning hypothesis) — they do
+  * not depend on the iteration, only on which hypothesis won.
   */
 object EvalTable {
 
-  def run(kb: Kb, lps: Seq[(String, Lp, ClassExpr)],
+  def run(kb: Kb, lps: Seq[(String, Lp, Seq[(String, ClassExpr)])],
           samplerNames: Seq[String], fraction: Double = 0.10,
           iterations: Int = 10, seed: Long = 42L,
           keyed: Option[DataFrame] = None): DataFrame = {
     val spark = kb.spark
     val n = math.max(1, (kb.nodes.count() * fraction).toInt)
+    // full-graph encodings and scores are iteration-independent
+    val fullElp = lps.map { case (lpName, lp, _) =>
+      lpName -> LearningProblem.encode(kb, lp, keyed, seed)
+    }.toMap
+    val fullScore = scala.collection.mutable.Map.empty[(String, String), (Double, Double)]
     val rows = for {
       name <- samplerNames
-      (lpName, lp, ce) <- lps
+      (lpName, lp, pool) <- lps
     } yield {
       val scores = (0 until iterations).map { i =>
         val sampler = Samplers.byName(name, kb,
           lp = lp.pos ++ lp.neg, seed = seed + i, keyed = keyed)
         val sampled = sampler.sample(n).cache()
+        // fit stand-in: best-F1 pool candidate on (sampled KB, trimmed LP)
         val trimmed = LpJson.restrictToSample(lp, sampled, seed + i)
-        val score =
-          if (trimmed.pos.isEmpty) 0.0
-          else {
-            val elp = LearningProblem.encode(kb = sampled, lp = trimmed, seed = seed + i)
-            LearningProblem.evaluateConcept(sampled, ce, F1, elp)._2
-          }
+        val elpS = LearningProblem.encode(kb = sampled, lp = trimmed, seed = seed + i)
+        val (winName, winCe) = pool.zipWithIndex.map { case ((cn, ce), idx) =>
+          val q = LearningProblem.evaluateConcept(sampled, ce, F1, elpS)._2
+          (q, idx, cn, ce)
+        }.minBy { case (q, idx, _, _) => (-q, idx) } match {
+          case (_, _, cn, ce) => (cn, ce)
+        }
         sampled.unpersist()
-        score
+        // reference :170-185 — score the winner on the ORIGINAL graph with
+        // the FULL untrimmed LP, F1 and Accuracy
+        fullScore.getOrElseUpdate((lpName, winName), {
+          val s2 = LearningProblem
+            .evaluateConceptAll(kb, winCe, Seq(F1, Accuracy), fullElp(lpName))
+          (s2(0)._2, s2(1)._2)
+        })
       }
-      val mean = scores.sum / iterations
-      val sd = math.sqrt(scores.map(s => (s - mean) * (s - mean)).sum / iterations)
-      Row(name, lpName, round5(mean), round5(sd), iterations)
+      def stats(xs: Seq[Double]): (Double, Double) = {
+        val m = xs.sum / iterations
+        (m, math.sqrt(xs.map(s => (s - m) * (s - m)).sum / iterations))
+      }
+      val (mF1, sdF1) = stats(scores.map(_._1))
+      val (mAcc, sdAcc) = stats(scores.map(_._2))
+      Row(name, lpName, round5(mF1), round5(sdF1), round5(mAcc), round5(sdAcc), iterations)
     }
     val schema = StructType(Seq(
       StructField("sampler", StringType, nullable = false),
       StructField("lp", StringType, nullable = false),
       StructField("mean_f1", DoubleType, nullable = false),
       StructField("sd_f1", DoubleType, nullable = false),
+      StructField("mean_acc", DoubleType, nullable = false),
+      StructField("sd_acc", DoubleType, nullable = false),
       StructField("iterations", IntegerType, nullable = false)))
     spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)

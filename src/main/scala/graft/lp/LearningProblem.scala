@@ -48,24 +48,38 @@ object LearningProblem {
     * pos/neg are LP-scale, so they broadcast into the two semi/anti joins. */
   def confusion(retrieved: DataFrame, elp: EncodedLp): (Long, Long, Long, Long) = {
     val r = retrieved.select(col("id")).distinct().cache()
-    try {
-      val tp = elp.kbPos.join(r, Seq("id"), "left_semi").count()
-      val fn = elp.kbPos.join(r, Seq("id"), "left_anti").count()
-      val fp = elp.kbNeg.join(r, Seq("id"), "left_semi").count()
-      val tn = elp.kbNeg.join(r, Seq("id"), "left_anti").count()
-      (tp, fn, fp, tn)
-    } finally r.unpersist()
+    try confusionOf(r, elp) finally r.unpersist()
+  }
+
+  /** confusion over an already-distinct, already-cached retrieval */
+  private def confusionOf(r: DataFrame, elp: EncodedLp): (Long, Long, Long, Long) = {
+    val tp = elp.kbPos.join(r, Seq("id"), "left_semi").count()
+    val fn = elp.kbPos.join(r, Seq("id"), "left_anti").count()
+    val fp = elp.kbNeg.join(r, Seq("id"), "left_semi").count()
+    val tn = elp.kbNeg.join(r, Seq("id"), "left_anti").count()
+    (tp, fn, fp, tn)
   }
 
   /** evaluate_concept (reference knowledge_base.py:708-727): retrieval via
     * Eval + metric score. Returns (applicable, score). */
   def evaluateConcept(kb: Kb, ce: graft.expr.ClassExpr, metric: Metric,
-                      elp: EncodedLp): (Boolean, Double) = {
-    val retrieved = graft.expr.Eval(kb, ce)
-    if (retrieved.isEmpty) (false, 0.0) // score_elp empty-retrieval guard (abstracts.py:53-54)
-    else {
-      val (tp, fn, fp, tn) = confusion(retrieved, elp)
-      metric.score2(tp, fn, fp, tn)
-    }
+                      elp: EncodedLp): (Boolean, Double) =
+    evaluateConceptAll(kb, ce, Seq(metric), elp).head
+
+  /** evaluate_concept under SEVERAL metrics from ONE retrieval: the CE plan
+    * runs once (cached before the emptiness probe — previously the probe
+    * action and the confusion pass each recomputed it) and one confusion
+    * pass feeds every metric. */
+  def evaluateConceptAll(kb: Kb, ce: graft.expr.ClassExpr, metrics: Seq[Metric],
+                         elp: EncodedLp): Seq[(Boolean, Double)] = {
+    val retrieved = graft.expr.Eval(kb, ce).select(col("id")).distinct().cache()
+    try {
+      // score_elp empty-retrieval guard (abstracts.py:53-54)
+      if (retrieved.isEmpty) metrics.map(_ => (false, 0.0))
+      else {
+        val (tp, fn, fp, tn) = confusionOf(retrieved, elp)
+        metrics.map(_.score2(tp, fn, fp, tn))
+      }
+    } finally retrieved.unpersist()
   }
 }

@@ -125,13 +125,13 @@ object TrainingDataQueries {
        |  WHERE i1 <= len($rel.embedding))""".stripMargin
 
   private val bucketSql =
-    """SELECT vec_id,
-      |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-      |FROM (
-      |  SELECT vec_id, CAST(j AS INT) AS j,
-      |    SUM(CASE WHEN (i + 17 * j) % 2 = 0 THEN x ELSE -x END) AS s
-      |  FROM ev CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id, j) proj
-      |GROUP BY vec_id""".stripMargin
+    s"""SELECT vec_id,
+       |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |FROM (
+       |  SELECT vec_id, CAST(j AS INT) AS j,
+       |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN x ELSE -x END) AS s
+       |  FROM ev CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id, j) proj
+       |GROUP BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "td_dedup_exact" -> s"WITH $corpusCte\nSELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text",
@@ -312,7 +312,7 @@ object TrainingDataQueries {
       s"""WITH $embCte, ${evCte("ec")},
          |proj AS (
          |  SELECT vec_id, CAST(j AS INT) AS j,
-         |    SUM(CASE WHEN (i + 17 * j) % 2 = 0 THEN q ELSE -q END) AS s
+         |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN q ELSE -q END) AS s
          |  FROM (SELECT vec_id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS q FROM ev) evq
          |  CROSS JOIN generate_series(0, ${Ann.EmbBands * Ann.EmbBandBits - 1}) t(j)
          |  GROUP BY vec_id, j),

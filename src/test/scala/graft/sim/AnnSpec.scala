@@ -72,6 +72,35 @@ class AnnSpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("distinct vectors SPREAD across band keys and buckets (no plane collapse)") {
+    // regression for the (i + 17·j) % 2 sign formula whose planes all
+    // collapsed to ± one pattern (every band key 0x5555/0xAAAA/0xFFFF,
+    // bucket join quadratic): 200 distinct vectors must land in many
+    // distinct keys per band, and none of the degenerate keys may dominate.
+    // NOTE: the `vectors` fixture is a 1-parameter sin family — a CIRCLE in
+    // R^16, which any 16 hyperplanes cut into ≤32 arcs (≤32 keys/band even
+    // with perfect planes) — so scatter with an i·d cross-term instead
+    import spark.implicits._
+    val v = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 31 + d * 7 + i * d * 1.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val keys = Ann.lshBandKeys(v).cache()
+    (0 until Ann.EmbBands).foreach { b =>
+      val ks = keys.filter(col("band") === b).select("key").distinct().count()
+      assert(ks >= 40, s"band $b has only $ks distinct keys over 200 vectors")
+    }
+    val degenerate = keys.filter(col("key").isin(0x5555L, 0xAAAAL, 0xFFFFL, 0L)).count()
+    assert(degenerate < 20, s"$degenerate of 800 keys are degenerate patterns")
+    // bands must differ from each other for the same vector (independent planes)
+    val perVecDistinct = keys.groupBy("vec_id")
+      .agg(countDistinct(col("key")).as("nk"))
+      .agg(avg(col("nk"))).head().getDouble(0)
+    assert(perVecDistinct > 3.0, s"avg distinct keys per vector $perVecDistinct — bands correlated")
+    keys.unpersist()
+    val buckets = Ann.lshBucket(v).select("bucket").distinct().count()
+    assert(buckets >= 20, s"lshBucket uses only $buckets of 256 buckets over 200 vectors")
+  }
+
   test("band keys identical at different shuffle partitioning (integer sums)") {
     val v = vectors(30)
     val k4 = Ann.lshBandKeys(v.repartition(4)).collect()
