@@ -115,6 +115,81 @@ final case class Kb(
       .select(col("node"), col("prop"), col("lexical").cast(castTo).as("value"))
   }
 
+  /** Hierarchy navigation (reference knowledge_base.py:729-966) — thin
+    * wrappers over the driver-scale [[Tbox]] maps. */
+  def getLeafConcepts(c: String): Seq[String] = tbox.leafClasses(Some(c))
+  def getLeastGeneralNamedConcepts: Seq[String] = tbox.leafClasses()
+  def getMostGeneralClasses: Seq[String] = tbox.rootClasses
+  def getDirectSubConcepts(c: String): Seq[String] = tbox.directSubClassesOf(c)
+  def getDirectParents(c: String): Seq[String] = tbox.directParentsOf(c)
+  def getAllSubConcepts(c: String): Set[String] = tbox.allSubClassesOf(c)
+
+  /** most_general_object_properties (reference knowledge_base.py:626-641):
+    * the object-property-hierarchy roots whose declared domain (range when
+    * `inverse` — the role will be used inverted) covers every individual of
+    * `domain`. Each containment test is one anti-join emptiness probe;
+    * the property list is driver-scale, `domain`'s retrieval is cached
+    * across probes. An undeclared domain/range acts as ⊤. */
+  def mostGeneralObjectProperties(domain: graft.expr.ClassExpr,
+                                  inverse: Boolean = false): Seq[String] = {
+    if (domain == graft.expr.Top) return tbox.mostGeneralObjectProps.map(_.prop)
+    val domInds = graft.expr.Eval(this, domain).cache()
+    try tbox.mostGeneralObjectProps.filter { p =>
+      val cls = if (inverse) p.range else p.domain
+      cls.isEmpty ||
+        domInds.join(graft.expr.Eval(this, graft.expr.Named(cls)), Seq("id"), "left_anti").isEmpty
+    }.map(_.prop)
+    finally domInds.unpersist()
+  }
+
+  /** data_properties_for_domain (reference knowledge_base.py:643-655):
+    * the given data properties whose declared domain covers `domain`. */
+  def dataPropertiesForDomain(domain: graft.expr.ClassExpr,
+                              props: Seq[String]): Seq[String] = {
+    if (domain == graft.expr.Top) return props
+    val metaOf = tbox.dataProps.map(p => p.prop -> p).toMap
+    val domInds = graft.expr.Eval(this, domain).cache()
+    try props.filter { pn =>
+      val cls = metaOf.get(pn).map(_.domain).getOrElse("")
+      cls.isEmpty ||
+        domInds.join(graft.expr.Eval(this, graft.expr.Named(cls)), Seq("id"), "left_anti").isEmpty
+    }
+    finally domInds.unpersist()
+  }
+
+  /** most_general_*_data_properties (reference knowledge_base.py:820-862) */
+  def mostGeneralDataProperties(domain: graft.expr.ClassExpr): Seq[String] =
+    dataPropertiesForDomain(domain, dataPropertiesInSignature)
+  def mostGeneralBooleanDataProperties(domain: graft.expr.ClassExpr): Seq[String] =
+    dataPropertiesForDomain(domain, booleanDataProperties)
+  def mostGeneralNumericDataProperties(domain: graft.expr.ClassExpr): Seq[String] =
+    dataPropertiesForDomain(domain, numericDataProperties)
+  def mostGeneralTimeDataProperties(domain: graft.expr.ClassExpr): Seq[String] =
+    dataPropertiesForDomain(domain, timeDataProperties)
+
+  /** most_general_existential/universal_restrictions (+ inverse forms,
+    * reference knowledge_base.py:864-940): one restriction per qualifying
+    * most-general role, filler defaulting to ⊤. */
+  def mostGeneralExistentialRestrictions(
+      domain: graft.expr.ClassExpr,
+      filler: graft.expr.ClassExpr = graft.expr.Top): Seq[graft.expr.ClassExpr] =
+    mostGeneralObjectProperties(domain).map(graft.expr.Exists(_, filler))
+  def mostGeneralUniversalRestrictions(
+      domain: graft.expr.ClassExpr,
+      filler: graft.expr.ClassExpr = graft.expr.Top): Seq[graft.expr.ClassExpr] =
+    mostGeneralObjectProperties(domain).map(graft.expr.ForAll(_, filler))
+  def mostGeneralExistentialRestrictionsInverse(
+      domain: graft.expr.ClassExpr,
+      filler: graft.expr.ClassExpr = graft.expr.Top): Seq[graft.expr.ClassExpr] =
+    mostGeneralObjectProperties(domain, inverse = true).map(graft.expr.ExistsInverse(_, filler))
+  def mostGeneralUniversalRestrictionsInverse(
+      domain: graft.expr.ClassExpr,
+      filler: graft.expr.ClassExpr = graft.expr.Top): Seq[graft.expr.ClassExpr] =
+    mostGeneralObjectProperties(domain, inverse = true).map(graft.expr.ForAllInverse(_, filler))
+
+  /** concept_len (reference knowledge_base.py:512-524) */
+  def conceptLen(ce: graft.expr.ClassExpr): Int = graft.expr.ClassExpr.length(ce)
+
   /** ignore_and_copy (reference knowledge_base.py:450-510): a view of the KB
     * with the given classes / properties removed everywhere. */
   def ignoring(ignoredClasses: Set[String] = Set.empty,

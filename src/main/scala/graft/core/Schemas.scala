@@ -94,6 +94,44 @@ case class Tbox(
   def subClassesOf(c: String): Set[String] = closure(c, children)
   def superClassesOf(c: String): Set[String] = closure(c, parents)
 
+  /** Hierarchy navigation (reference knowledge_base.py:729-966, backed by
+    * owlapy's ClassHierarchy). All driver-scale. */
+
+  /** direct sub-classes of c (sub_classes(direct=True), :754,965) */
+  def directSubClassesOf(c: String): Seq[String] =
+    children.getOrElse(c, Nil).distinct.sorted
+
+  /** direct parent classes of c (super_classes(direct=True), :942) */
+  def directParentsOf(c: String): Seq[String] =
+    parents.getOrElse(c, Nil).distinct.sorted
+
+  /** all PROPER sub-classes of c (sub_classes(direct=False), :966) */
+  def allSubClassesOf(c: String): Set[String] = subClassesOf(c) - c
+
+  /** all PROPER super-classes of c */
+  def allSuperClassesOf(c: String): Set[String] = superClassesOf(c) - c
+
+  /** leaf classes: x ⊑ of (improper) with no sub-class — { x | x
+    * subClassOf of AND ¬∃y: y subClassOf x } (:729-740); no `of` → all
+    * leaves of the hierarchy (:740,750) */
+  def leafClasses(of: Option[String] = None): Seq[String] = {
+    val candidates = of.map(subClassesOf).getOrElse(classes.toSet)
+    candidates.filter(c => children.getOrElse(c, Nil).isEmpty).toSeq.sorted
+  }
+
+  /** most general named classes: the hierarchy roots — direct children of
+    * ⊤, i.e. classes with no named parent (:750) */
+  def rootClasses: Seq[String] =
+    classes.filter(c => parents.getOrElse(c, Nil).isEmpty).distinct.sorted
+
+  /** most general roles of the object-property hierarchy (owlapy
+    * most_general_roles, used by knowledge_base.py:626-641): object
+    * properties with no super-property */
+  lazy val mostGeneralObjectProps: Seq[PropMeta] = {
+    val hasSuper = subProp.map(_._1).toSet
+    objectProps.filterNot(p => hasSuper(p.prop))
+  }
+
   private def closure(start: String, step: Map[String, Seq[String]]): Set[String] = {
     var seen = Set(start)
     var frontier = List(start)

@@ -1,7 +1,7 @@
 package graft.expr
 
 import graft.core.Kb
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Instance retrieval: ClassExpr → DataFrame[id] over a [[Kb]].
@@ -92,21 +92,52 @@ object Eval {
         // the KB (a broadcast IN-list filter over nodes)
         nodes.filter(col("id").isInCollection(xs))
 
+      case ExistsInverse(r, f) =>
+        // ∃r⁻.C = {y | ∃x: (x, r, y) ∧ x ∈ C} — the Exists join with the
+        // roles of src/dst swapped
+        val filler = apply(kb, f).withColumnRenamed("id", "src")
+        asId(kb.edges.filter(col("pred") === r).join(filler, Seq("src"), "left_semi"), "dst")
+          .distinct()
+
+      case ForAllInverse(r, f) =>
+        val notF = nodes.except(apply(kb, f)).withColumnRenamed("id", "src")
+        val violators = asId(
+          kb.edges.filter(col("pred") === r).join(notF, Seq("src"), "left_semi"), "dst")
+        nodes.except(violators)
+
       case DataCompare(p, op, v) =>
-        val x = col("lexical").cast("double")
-        val pred = op match {
-          case "<" => x < v
-          case "<=" => x <= v
-          case ">" => x > v
-          case ">=" => x >= v
-          case "=" => x === v
-          case other => throw new IllegalArgumentException(s"op $other")
-        }
-        asId(kb.attrs.filter(col("prop") === p && pred), "node").distinct()
+        asId(kb.attrs.filter(col("prop") === p &&
+          cmp(col("lexical").cast("double"), op, lit(v))), "node").distinct()
 
       case DataHasValue(p, l) =>
         asId(kb.attrs.filter(col("prop") === p && col("lexical") === l), "node").distinct()
+
+      case DataForAll(p, op, v) =>
+        // OWA: member iff no p-assertion violates the range; individuals
+        // with no p-assertion pass vacuously (same shape as object ∀)
+        val violators = asId(kb.attrs.filter(col("prop") === p &&
+          !cmp(col("lexical").cast("double"), op, lit(v))), "node")
+        nodes.except(violators)
+
+      case DataBoolHasValue(p, b) =>
+        asId(kb.typedDataValues(graft.core.DatatypeGroups.Boolean, "boolean")
+          .filter(col("prop") === p && col("value") === b), "node").distinct()
+
+      case DataTimeCompare(p, op, t) =>
+        asId(kb.typedDataValues(graft.core.DatatypeGroups.Time, "timestamp")
+          .filter(col("prop") === p && cmp(col("value"), op, lit(t).cast("timestamp"))),
+          "node").distinct()
     }
+  }
+
+  /** comparison predicate for data restrictions; `op` ∈ {<, <=, >, >=, =} */
+  private def cmp(x: Column, op: String, v: Column): Column = op match {
+    case "<" => x < v
+    case "<=" => x <= v
+    case ">" => x > v
+    case ">=" => x >= v
+    case "=" => x === v
+    case other => throw new IllegalArgumentException(s"op $other")
   }
 
   /** count of r-edges whose object is in the filler, per subject. */

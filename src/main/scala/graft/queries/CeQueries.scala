@@ -39,6 +39,18 @@ object CeQueries {
     "ce_maxcard" -> eval(And(Seq(Named("Order"), MaxCard(2, "contains", Top)))),
     "ce_exactcard" -> eval(ExactCard(1, "suppliedBy", Named("Supplier"))),
     "ce_data" -> eval(And(Seq(Named("Customer"), DataCompare("acctbal", ">", 5000.0)))),
+    // data-∀ with the OWA vacuous pass: every node without a psize
+    // assertion is a member, plus parts whose every psize ≤ 25
+    "ce_data_forall" -> eval(DataForAll("psize", "<=", 25.0)),
+    // boolean / time typed compares over the F11 typed-cast columns
+    "ce_data_bool" -> eval(And(Seq(Named("Order"), DataBoolHasValue("urgent", value = true)))),
+    "ce_data_time" -> eval(DataTimeCompare("orderdate", "<", "1993-01-01")),
+    // inverse-role restrictions: ∃inNation⁻.Customer = nations with ≥1
+    // customer; ∀placedBy⁻ = customers all of whose orders stay under the
+    // bound (vacuous pass for customers with no orders)
+    "ce_exists_inverse" -> eval(ExistsInverse("inNation", Named("Customer"))),
+    "ce_forall_inverse" -> eval(And(Seq(Named("Customer"),
+      ForAllInverse("placedBy", DataCompare("totalprice", "<", 200000.0))))),
     "lp_encode_diff" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val keys = TpchKg.table(s, d, "customer")
@@ -120,6 +132,18 @@ object CeQueries {
         (nm, LearningProblem.evaluateConcept(kb, ce, F1, elp)._2)
       }
       Hypotheses.topN(s.createDataFrame(scored).toDF("concept", "quality"), 3)
+    }),
+    // get_top_n keyed on LENGTH, with the engine computing concept_len
+    // from the ClassExpr (reference knowledge_base.py:512-524)
+    "lp_best_hyp_length" -> ((s, d) => {
+      val cands: Seq[ClassExpr] = Seq(
+        Named("Customer"),
+        Not(Named("Customer")),
+        MinCard(5, "contains", Named("Part")),
+        Exists("inNation", HasValue("inRegion", "r:0")),
+        And(Seq(Named("Customer"), DataCompare("acctbal", ">", 5000.0))))
+      val rows = cands.map(ce => (ClassExpr.render(ce), ClassExpr.length(ce)))
+      Hypotheses.topN(s.createDataFrame(rows).toDF("concept", "len"), 3, key = "length")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -166,6 +190,29 @@ object CeQueries {
       """SELECT DISTINCT node AS id FROM types WHERE cls = 'Customer'
         |INTERSECT
         |SELECT DISTINCT node FROM attrs WHERE prop = 'acctbal' AND CAST(lexical AS DOUBLE) > 5000.0""".stripMargin),
+    "ce_data_forall" -> TpchKgSql.withKg(
+      """SELECT id FROM nodes
+        |EXCEPT
+        |SELECT node FROM attrs WHERE prop = 'psize' AND NOT (CAST(lexical AS DOUBLE) <= 25.0)""".stripMargin),
+    "ce_data_bool" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Order'
+        |INTERSECT
+        |SELECT DISTINCT node FROM attrs WHERE prop = 'urgent' AND CAST(lexical AS BOOLEAN) = TRUE""".stripMargin),
+    "ce_data_time" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM attrs
+        |WHERE prop = 'orderdate' AND CAST(lexical AS TIMESTAMP) < TIMESTAMP '1993-01-01'""".stripMargin),
+    "ce_exists_inverse" -> TpchKgSql.withKg(
+      """SELECT DISTINCT dst AS id FROM edges WHERE pred = 'inNation'
+        |AND src IN (SELECT node FROM types WHERE cls = 'Customer')""".stripMargin),
+    "ce_forall_inverse" -> TpchKgSql.withKg(
+      """SELECT DISTINCT node AS id FROM types WHERE cls = 'Customer'
+        |INTERSECT
+        |(SELECT id FROM nodes
+        | EXCEPT
+        | SELECT e.dst FROM edges e WHERE e.pred = 'placedBy' AND e.src IN (
+        |   SELECT id FROM nodes
+        |   EXCEPT
+        |   SELECT DISTINCT node FROM attrs WHERE prop = 'totalprice' AND CAST(lexical AS DOUBLE) < 200000.0))""".stripMargin),
     "lp_encode_diff" -> TpchKgSql.withKg(
       """SELECT id FROM nodes
         |EXCEPT
@@ -306,7 +353,16 @@ object CeQueries {
            |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality
            |  FROM scored) q
            |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
-    })
+    },
+    // hand-counted owlapy lengths: Customer=1, ¬Customer=2,
+    // ≥5 contains.Part=4, ∃inNation.∃inRegion.{r:0}=5,
+    // (Customer ⊓ ∃acctbal.(> 5000.0))=5; top-3 by length desc
+    "lp_best_hyp_length" ->
+      """SELECT * FROM (VALUES
+        |  ('(Customer ⊓ ∃acctbal.(> 5000.0))', CAST(5 AS INT)),
+        |  ('∃inNation.∃inRegion.{r:0}', CAST(5 AS INT)),
+        |  ('≥5 contains.Part', CAST(4 AS INT))
+        |) t(concept, len)""".stripMargin)
 
   // helper lives in TpchKgSql; see withKg(body, inCte)
 }

@@ -69,7 +69,19 @@ object SamplerQueries {
       ("RandomEdgeSamplerLPFirst", new RandomEdgeSampler(kb, Seed, lpSeeds = lp), true),
       ("RandomWalkerJumpsSamplerLPCentralized",
         new WalkSampler(kb, Seed, jumpProb = Some(0.1), lpSeeds = lp, lpc = true), false),
-      ("ForestFireSamplerLPCentralized", new ForestFireSampler(kb, Seed, lpSeeds = lp), false))
+      ("ForestFireSamplerLPCentralized", new ForestFireSampler(kb, Seed, lpSeeds = lp), false),
+      // the prioritized (PageRank-weighted pick) walkers — prIterations=10
+      // keeps the gate cheap; the pick distribution, not convergence, is
+      // what these rows exercise
+      ("RandomWalkerWithPrioritizationSampler",
+        new WalkSampler(kb, Seed, prioritized = true, prIterations = 10), false),
+      ("RandomWalkerJumpsWithPrioritizationSampler",
+        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true, prIterations = 10), false),
+      ("RandomWalkerWithPrioritizationSamplerLPFirst",
+        new WalkSampler(kb, Seed, prioritized = true, lpSeeds = lp, prIterations = 10), false),
+      ("RandomWalkerJumpsWithPrioritizationSamplerLPCentralized",
+        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true,
+          lpSeeds = lp, lpc = true, prIterations = 10), false))
     val lpDf = s.createDataset(lp)(org.apache.spark.sql.Encoders.STRING).toDF("id")
     val rows = configs.map { case (name, sampler, plusOneAllowed) =>
       val sampled = sampler.sample(n)
@@ -134,7 +146,11 @@ object SamplerQueries {
         |  ('RandomNodeSamplerLPCentralized', TRUE, TRUE, TRUE),
         |  ('RandomEdgeSamplerLPFirst', TRUE, TRUE, TRUE),
         |  ('RandomWalkerJumpsSamplerLPCentralized', TRUE, TRUE, TRUE),
-        |  ('ForestFireSamplerLPCentralized', TRUE, TRUE, TRUE)
+        |  ('ForestFireSamplerLPCentralized', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerWithPrioritizationSampler', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerJumpsWithPrioritizationSampler', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerWithPrioritizationSamplerLPFirst', TRUE, TRUE, TRUE),
+        |  ('RandomWalkerJumpsWithPrioritizationSamplerLPCentralized', TRUE, TRUE, TRUE)
         |) t(sampler, count_ok, lp_ok, edges_ok)""".stripMargin,
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")

@@ -37,7 +37,8 @@ object TpchKg {
     PropMeta("totalprice", "data", "Order", "xsd:double"),
     PropMeta("orderdate", "data", "Order", "xsd:date"),
     PropMeta("orderstatus", "data", "Order", "xsd:string"),
-    PropMeta("orderpriority", "data", "Order", "xsd:string"))
+    PropMeta("orderpriority", "data", "Order", "xsd:string"),
+    PropMeta("urgent", "data", "Order", "xsd:boolean"))
 
   val tbox: Tbox = Tbox(classes, subClass, props = props)
 
@@ -112,6 +113,8 @@ object TpchKg {
           date_format(col("o_orderdate"), "yyyy-MM-dd"), "xsd:date"))
         .unionAll(attr(orders, "o", "o_orderkey", "orderstatus", col("o_orderstatus"), "xsd:string"))
         .unionAll(attr(orders, "o", "o_orderkey", "orderpriority", col("o_orderpriority"), "xsd:string"))
+        .unionAll(attr(orders, "o", "o_orderkey", "urgent",
+          when(col("o_orderpriority") === "1-URGENT", "true").otherwise("false"), "xsd:boolean"))
         .unionAll(attr(nation, "n", "n_nationkey", "name", col("n_name"), "xsd:string"))
         .unionAll(attr(region, "r", "r_regionkey", "name", col("r_name"), "xsd:string"))
 

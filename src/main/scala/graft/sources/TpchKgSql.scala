@@ -53,6 +53,7 @@ object TpchKgSql {
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'orderdate', strftime(o_orderdate, '%Y-%m-%d'), 'xsd:date' FROM orders
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'orderstatus', o_orderstatus, 'xsd:string' FROM orders
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'orderpriority', o_orderpriority, 'xsd:string' FROM orders
+      |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'urgent', CASE WHEN o_orderpriority = '1-URGENT' THEN 'true' ELSE 'false' END, 'xsd:boolean' FROM orders
       |UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'name', n_name, 'xsd:string' FROM nation
       |UNION ALL SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'name', r_name, 'xsd:string' FROM region""".stripMargin
 
