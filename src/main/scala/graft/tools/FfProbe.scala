@@ -10,12 +10,16 @@ object FfProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_WSCG", "true")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val kb = graft.sources.TpchKg.load(spark, dir)
     val t0 = System.nanoTime()
-    val n = new graft.sample.ForestFireSampler(kb, 42L).sample(500).nodes.count()
-    println(f"FF n=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    val sampler = new graft.sample.ForestFireSampler(kb, 42L)
+    val drawn = sampler.draw(500)
+    val t1 = System.nanoTime()
+    val n = graft.sample.Samplers.finalizeSample(kb, drawn, 1.0, 42L).nodes.count()
+    val t2 = System.nanoTime()
+    println(f"FF n=$n draw=${(t1 - t0) / 1e9}%.1f finalize=${(t2 - t1) / 1e9}%.1f")
     spark.stop()
   }
 }
