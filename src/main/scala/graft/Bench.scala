@@ -64,6 +64,25 @@ object Bench {
       .agg(sum(col("h"))).collect()(0).getLong(0)
   }
 
+  /** Shuffle-bound scaling job: docs × reps rows with near-unique keys
+    * through a wide hash-exchange into a 2²⁰-bucket aggregate. Per-row
+    * compute is two xxhash64 calls — serialization + exchange + hash-agg
+    * dominate, which is the path a CPU-bound kernel probe cannot vouch
+    * for. The nested modular sums are exact integer arithmetic, so the
+    * checksum is identical at any parallelism (north-rule invariant). */
+  private def shuffleJob(spark: SparkSession, sfDir: String, reps: Int): Long = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = spark
+      .range(0, reps, 1, math.min(reps, 128)).withColumnRenamed("id", "rep")
+      .join(broadcast(docs))
+      .select(pmod(xxhash64(col("doc_id"), col("rep")), lit(1048576L)).as("k"),
+        pmod(xxhash64(col("text"), col("rep")), lit(1000000007L)).as("v"))
+    rows.groupBy("k").agg(sum(col("v")).as("s"))
+      .agg(sum(pmod(col("k") * pmod(col("s"), lit(1000000007L)), lit(1000000007L))))
+      .collect()(0).getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -114,12 +133,16 @@ object Bench {
       }
 
     // ---- scaling evidence: same job, same input, two parallelism levels.
+    // TWO probes: "hash" (CPU-bound codegen kernel) and "shuffle" (full row
+    // volume through a wide exchange) — a kernel can scale on cores while
+    // the exchange path does not, so both are measured and reported.
     // One small warmup (JIT + parquet footer cache) then best-of-3 timed
     // runs per level — the measurement, not the plan, is what varies. ----
-    def measure(cores: Int): (Long, Double) = {
+    def measure(job: (SparkSession, String, Int) => Long,
+                cores: Int, r: Int): (Long, Double) = {
       spark = session(cores)
-      scalingJob(spark, sfDir, math.max(1, reps / 8)) // warmup
-      val runs = (1 to 3).map { _ => time(scalingJob(spark, sfDir, reps)) }
+      job(spark, sfDir, math.max(1, r / 8)) // warmup
+      val runs = (1 to 3).map { _ => time(job(spark, sfDir, r)) }
       require(runs.map(_._1).distinct.size == 1, "probe output varies across runs")
       (runs.head._1, runs.map(_._2).min)
     }
@@ -140,26 +163,44 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     rawScale(high) // JIT warmup
-    val (workLow, tLow) = measure(low)
-    val rawLow = math.min(rawScale(low), rawScale(low))
-    val (workHigh, tHigh) = measure(high)
-    val rawHigh = math.min(rawScale(high), rawScale(high))
-    require(workLow == workHigh, "scaling job output differs across parallelism")
-    // work metric: hash rows produced (docs × reps × NumHashes) — the
-    // checksum itself proved output equality above
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val rows = baseDocs * reps * graft.dedup.Dedup.NumHashes
+    // per-row work is ~10× lighter in the shuffle probe — more reps keep
+    // its low-core runtime well past fixed job overheads
+    val shuffleReps = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_REPS",
+      (reps * 4).toString).toInt
+    // (probe name, job, reps, work metric = rows produced/shuffled)
+    val probes: Seq[(String, (SparkSession, String, Int) => Long, Int, Long)] = Seq(
+      // work metric: hash rows produced (docs × reps × NumHashes) — the
+      // checksum proves output equality across levels
+      ("hash", scalingJob, reps, baseDocs * reps * graft.dedup.Dedup.NumHashes),
+      // work metric: rows through the exchange (docs × reps)
+      ("shuffle", shuffleJob, shuffleReps, baseDocs.toLong * shuffleReps))
+    val probeResults = probes.map { case (name, job, r, rows) =>
+      val (workLow, tLow) = measure(job, low, r)
+      val rawLow = math.min(rawScale(low), rawScale(low))
+      val (workHigh, tHigh) = measure(job, high, r)
+      val rawHigh = math.min(rawScale(high), rawScale(high))
+      require(workLow == workHigh, s"$name scaling job output differs across parallelism")
+      val thLow = rows / tLow
+      val thHigh = rows / tHigh
+      val efficiency = (thHigh / thLow) / (high.toDouble / low)
+      val ceiling = (rawLow / rawHigh) / (high.toDouble / low)
+      val efficiencyVsMachine = math.min(1.0, efficiency / math.min(1.0, ceiling))
+      val js = f"""{"probe":"$name","rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f}"""
+      (name, efficiency, ceiling, efficiencyVsMachine, tLow, tHigh, rows, js)
+    }
+    // legacy top-level scaling fields mirror the hash probe; both probes
+    // ride in scaling.probes
+    val (_, efficiency, ceiling, efficiencyVsMachine, tLow, tHigh, rows, _) = probeResults.head
     val thLow = rows / tLow
     val thHigh = rows / tHigh
-    val efficiency = (thHigh / thLow) / (high.toDouble / low)
-    val ceiling = (rawLow / rawHigh) / (high.toDouble / low)
-    val efficiencyVsMachine = math.min(1.0, efficiency / math.min(1.0, ceiling))
+    val probesJson = probeResults.map(_._8).mkString("[", ",", "]")
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val tput = if (pipelineSec > 0) triples / pipelineSec else 0.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f,"probes":$probesJson}}"""
     // the sole stdout JSON line (run is forked with StdoutOutput — no sbt
     // prefix) AND a file copy, so the driver can read either
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
