@@ -66,6 +66,42 @@ object LearningProblem {
                       elp: EncodedLp): (Boolean, Double) =
     evaluateConceptAll(kb, ce, Seq(metric), elp).head
 
+  /** evaluate_concept over SEVERAL class expressions in ONE Spark job — the
+    * engine-side path a search loop calls per expansion (each candidate of a
+    * refinement batch scored together, not one driver-blocking job each).
+    * The candidate retrievals are tagged `(cid, id)` and unioned, distinct'd
+    * per candidate, and joined against the LP-scale pos/neg sides (both
+    * broadcast); fn/tn derive from |pos|/|neg| on the driver. Returns per
+    * candidate (applicable, score, retrievedCount) in input order, with the
+    * empty-retrieval guard of abstracts.py:53-54 (absent cid ⇒ (false, 0)).
+    */
+  def evaluateConceptsBatch(kb: Kb, ces: Seq[graft.expr.ClassExpr], metric: Metric,
+                            elp: EncodedLp): Seq[(Boolean, Double, Long)] = {
+    if (ces.isEmpty) return Nil
+    val nPos = elp.kbPos.count()
+    val nNeg = elp.kbNeg.count()
+    val tagged = ces.zipWithIndex.map { case (ce, i) =>
+      graft.expr.Eval(kb, ce).select(lit(i).as("cid"), col("id"))
+    }.reduce(_.union(_)).distinct()
+    val counts = tagged
+      .join(broadcast(elp.kbPos.select(col("id"), lit(1L).as("p"))), Seq("id"), "left")
+      .join(broadcast(elp.kbNeg.select(col("id"), lit(1L).as("n"))), Seq("id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(col("p"), lit(0L))).as("tp"),
+        sum(coalesce(col("n"), lit(0L))).as("fp"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ces.indices.map { i =>
+      counts.get(i) match {
+        case None => (false, 0.0, 0L)
+        case Some((cnt, tp, fp)) =>
+          val (ok, sc) = metric.score2(tp, nPos - tp, fp, nNeg - fp)
+          (ok, sc, cnt)
+      }
+    }
+  }
+
   /** evaluate_concept under SEVERAL metrics from ONE retrieval: the CE plan
     * runs once (cached before the emptiness probe — previously the probe
     * action and the confusion pass each recomputed it) and one confusion

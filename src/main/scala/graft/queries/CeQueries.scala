@@ -18,6 +18,19 @@ object CeQueries {
   private val agentClosure = TpchKg.tbox.subClassesOf("Agent").toSeq.sorted
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** region-membership LP shared by lp_best_hypotheses / lp_search_tree:
+    * pos = every agent in a region-r:0 nation, neg = the suppliers of
+    * region r:1 */
+  private def regionLp(kb: graft.core.Kb): (Seq[String], Seq[String]) = {
+    def regionAgents(r: String) = kb.edges.filter(col("pred") === "inNation")
+      .join(kb.edges.filter(col("pred") === "inRegion" && col("dst") === r)
+        .select(col("src").as("nat")), col("dst") === col("nat"), "left_semi")
+      .select(col("src")).distinct()
+    (regionAgents("r:0").collect().map(_.getString(0)).toSeq.sorted,
+      regionAgents("r:1").filter(col("src").startsWith("s:"))
+        .collect().map(_.getString(0)).toSeq.sorted)
+  }
+
   /** candidate pool for the lp_eval_table experiment: winner selection must
     * be non-trivial (the trivial pool head loses) and every retrieval is
     * expressible in the DuckDB oracle */
@@ -113,13 +126,7 @@ object CeQueries {
     // return get_top_n(3, 'quality') (reference search.py:620-638)
     "lp_best_hypotheses" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
-      def regionAgents(r: String) = kb.edges.filter(col("pred") === "inNation")
-        .join(kb.edges.filter(col("pred") === "inRegion" && col("dst") === r)
-          .select(col("src").as("nat")), col("dst") === col("nat"), "left_semi")
-        .select(col("src")).distinct()
-      val pos = regionAgents("r:0").collect().map(_.getString(0)).toSeq.sorted
-      val neg = regionAgents("r:1").filter(col("src").startsWith("s:"))
-        .collect().map(_.getString(0)).toSeq.sorted
+      val (pos, neg) = regionLp(kb)
       val elp = LearningProblem.encode(kb, Lp(pos, neg))
       val cands: Seq[(String, ClassExpr)] = Seq(
         "Customer" -> Named("Customer"),
@@ -132,6 +139,31 @@ object CeQueries {
         (nm, LearningProblem.evaluateConcept(kb, ce, F1, elp)._2)
       }
       Hypotheses.topN(s.createDataFrame(scored).toDF("concept", "quality"), 3)
+    }),
+    // T2 SearchTreePriorityQueue (reference search.py:511-665) end-to-end:
+    // root ⊤, a batch of named-class refinements (one Spark job scores all
+    // six — Region/Part/Order are weak, quality 0, and never enter the
+    // tree), expand the most promising with three restriction candidates
+    // (∃inNation.∃inRegion.{r:0} is the goal, F1 = 1; the r:1 twin is
+    // weak), then get_top_n(5, 'quality'). Every registration decision and
+    // score is reproduced by the oracle from the base tables.
+    "lp_search_tree" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val (pos, neg) = regionLp(kb)
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val tree = new SearchTreePriorityQueue(kb, elp, F1)
+      val root = tree.addRoot(Top)
+      tree.addNodes(Seq(Named("Agent"), Named("Customer"), Named("Supplier"),
+        Named("Order"), Named("Part"), Named("Region")), root)
+      val mp = tree.getMostPromising()
+      val l2 = tree.addNodes(Seq(
+        Exists("inNation", HasValue("inRegion", "r:0")),
+        Exists("inNation", HasValue("inRegion", "r:1")),
+        And(Seq(Named("Customer"), Exists("inNation", HasValue("inRegion", "r:0"))))), mp)
+      require(l2.head.contains(true), "goal concept not flagged")
+      val top = tree.getTopN(5, "quality")
+      s.createDataFrame(top.map(n => (n.render, n.quality, n.len, n.individualsCount)))
+        .toDF("concept", "quality", "len", "individuals")
     }),
     // get_top_n keyed on LENGTH, with the engine computing concept_len
     // from the ClassExpr (reference knowledge_base.py:512-524)
@@ -353,6 +385,52 @@ object CeQueries {
            |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality
            |  FROM scored) q
            |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
+    },
+    // T2 mirror: score all ten candidates the tree saw; `WHERE quality > 0`
+    // reproduces the weak-node registration rule (search.py:593-594 — a
+    // quality-0 candidate never enters `nodes`, so it can't reach
+    // get_top_n); top-5 by quality desc, render asc — the tree's
+    // deterministic tiebreak
+    "lp_search_tree" -> {
+      val r0 = "SELECT src AS id FROM edges WHERE pred = 'inNation' AND dst IN " +
+        "(SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:0')"
+      val r1 = "SELECT src AS id FROM edges WHERE pred = 'inNation' AND dst IN " +
+        "(SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:1')"
+      def cls(c: String) = s"SELECT node AS id FROM types WHERE cls = '$c'"
+      def cand(name: String, len: Int, ret: String) =
+        s"""SELECT '$name' AS concept, CAST($len AS INT) AS len,
+           |  CAST((SELECT COUNT(DISTINCT x.id) FROM ($ret) x) AS BIGINT) AS individuals,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fp""".stripMargin
+      val rows = Seq(
+        cand("⊤", 1, "SELECT id FROM nodes"),
+        cand("Agent", 1, s"SELECT node AS id FROM types WHERE cls IN ${inList(agentClosure)}"),
+        cand("Customer", 1, cls("Customer")),
+        cand("Supplier", 1, cls("Supplier")),
+        cand("Order", 1, cls("Order")),
+        cand("Part", 1, cls("Part")),
+        cand("Region", 1, cls("Region")),
+        cand("∃inNation.∃inRegion.{r:0}", 5, r0),
+        cand("∃inNation.∃inRegion.{r:1}", 5, r1),
+        cand("(Customer ⊓ ∃inNation.∃inRegion.{r:0})", 7,
+          s"SELECT id FROM ($r0) a WHERE id IN (${cls("Customer")})"))
+        .mkString("\nUNION ALL\n")
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT DISTINCT e.src AS id FROM edges e WHERE e.pred = 'inNation'
+           |  AND e.dst IN (SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:0')),
+           |neg AS (SELECT DISTINCT e.src AS id FROM edges e WHERE e.pred = 'inNation'
+           |  AND e.src LIKE 's:%'
+           |  AND e.dst IN (SELECT src FROM edges WHERE pred = 'inRegion' AND dst = 'r:1')),
+           |scored AS (
+           |$rows)
+           |SELECT concept, quality, len, individuals FROM (
+           |  SELECT concept, CASE WHEN tp = 0 THEN 0.0
+           |    ELSE ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+           |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality,
+           |    len, individuals FROM scored) q
+           |WHERE quality > 0
+           |ORDER BY quality DESC, concept LIMIT 5""".stripMargin, inCte = true)
     },
     // hand-counted owlapy lengths: Customer=1, ¬Customer=2,
     // ≥5 contains.Part=4, ∃inNation.∃inRegion.{r:0}=5,

@@ -55,6 +55,26 @@ object ExplainAudit {
     // banded embedding LSH near-dup
     show("emb_near_dup")(graft.sim.Ann.nearDupPairs(
       spark.read.parquet(s"$dir/embeddings.parquet"), 0.999))
+    // search-tree batched candidate scoring: the tagged retrieval union
+    // aggregates by cid; the LP-scale pos/neg sides must come in as
+    // BroadcastHashJoin, never SMJ over the retrieval stream
+    show("search_tree_batch_eval") {
+      import org.apache.spark.sql.functions._
+      val elp = graft.lp.LearningProblem.encode(kb,
+        graft.lp.Lp(pos = Seq("c:1", "c:2"), neg = Seq("s:1")))
+      val ces: Seq[graft.expr.ClassExpr] = Seq(
+        graft.expr.Named("Customer"),
+        graft.expr.Exists("inNation", graft.expr.HasValue("inRegion", "r:0")))
+      ces.zipWithIndex.map { case (ce, i) =>
+        graft.expr.Eval(kb, ce).select(lit(i).as("cid"), col("id"))
+      }.reduce(_.union(_)).distinct()
+        .join(broadcast(elp.kbPos.select(col("id"), lit(1L).as("p"))), Seq("id"), "left")
+        .join(broadcast(elp.kbNeg.select(col("id"), lit(1L).as("n"))), Seq("id"), "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("p"), lit(0L))).as("tp"),
+          sum(coalesce(col("n"), lit(0L))).as("fp"))
+    }
     spark.stop()
   }
 }

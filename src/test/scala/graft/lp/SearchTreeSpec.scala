@@ -1,0 +1,122 @@
+package graft.lp
+
+import graft.SparkSpec
+import graft.expr._
+import graft.fixtures.FamilyKb
+
+/** T2 SearchTreePriorityQueue parity (reference search.py:511-665) on the
+  * family fixture. LP: pos = males, neg = females — so `male` is the goal
+  * concept (F1 = 1), `female` is weak (tp = 0 ⇒ quality 0), `person` is
+  * in between (recall 1, precision ½).
+  */
+class SearchTreeSpec extends SparkSpec {
+
+  private def setup() = {
+    val kb = FamilyKb.kb(spark)
+    val elp = LearningProblem.encode(kb, Lp(FamilyKb.males, FamilyKb.females))
+    (kb, elp)
+  }
+
+  test("add_root scores the root and registers it") {
+    val (kb, elp) = setup()
+    val tree = new SearchTreePriorityQueue(kb, elp)
+    val root = tree.addRoot(Top)
+    assert(root.isRoot)
+    // ⊤ retrieves all 16 individuals; tp=6, fp=6, fn=0 ⇒ F1 = 2/3
+    assert(root.individualsCount === FamilyKb.all.size)
+    assert(root.quality === 0.66667)
+    assert(tree.nodes.size === 1)
+    intercept[IllegalArgumentException](tree.addRoot(Top)) // :554 assert not nodes
+  }
+
+  test("add_node batch: goal / weak / neither, weak never enters the tree") {
+    val (kb, elp) = setup()
+    val tree = new SearchTreePriorityQueue(kb, elp)
+    val root = tree.addRoot(Top)
+    val res = tree.addNodes(
+      Seq(Named("male"), Named("female"), Named("person")), root)
+    assert(res === Seq(Some(true), Some(false), None))
+    assert(tree.nodes.contains(Named("male")))
+    assert(!tree.nodes.contains(Named("female"))) // weak: :593-594 returns before put
+    assert(tree.nodes.contains(Named("person")))
+    assert(root.children.map(_.concept).toSet === Set(Named("male"), Named("person")))
+    assert(tree.nodes(Named("male")).parent.contains(root))
+  }
+
+  test("batched scores match single evaluate_concept") {
+    val (kb, elp) = setup()
+    val ces: Seq[ClassExpr] = Seq(
+      Top, Named("male"), Named("person"),
+      Exists("hasChild", Named("female")), Named("female"))
+    val batch = LearningProblem.evaluateConceptsBatch(kb, ces, F1, elp)
+    val singles = ces.map(LearningProblem.evaluateConcept(kb, _, F1, elp))
+    assert(batch.map(t => (t._1, t._2)) === singles)
+  }
+
+  test("get_most_promising pops the top heuristic and re-puts it") {
+    val (kb, elp) = setup()
+    val tree = new SearchTreePriorityQueue(kb, elp)
+    val root = tree.addRoot(Top)
+    tree.addNodes(Seq(Named("male"), Named("person")), root)
+    // male: F1 = 1.0 — top of the heap, and still there on a repeat call
+    assert(tree.getMostPromising().concept === Named("male"))
+    assert(tree.getMostPromising().concept === Named("male"))
+  }
+
+  test("heuristic ties pop in canonical-render order") {
+    val (kb, elp) = setup()
+    // constant heuristic: every node ties; reference falls back to the
+    // total order on the concept (search.py:446-470)
+    val tree = new SearchTreePriorityQueue(kb, elp, F1, _ => 0.5)
+    val root = tree.addRoot(Top)
+    tree.addNodes(Seq(Named("person"), Named("male")), root)
+    assert(tree.getMostPromising().render === "male") // 'm' < 'p' < '⊤'
+  }
+
+  test("re-parenting: improved heuristic moves the node, stale does not") {
+    val (kb, elp) = setup()
+    var bonus = 0.0
+    val tree = new SearchTreePriorityQueue(kb, elp, F1, n => n.quality + bonus)
+    val root = tree.addRoot(Top)
+    tree.addNodes(Seq(Named("male"), Named("person")), root)
+    val person = tree.nodes(Named("person"))
+    val male = tree.nodes(Named("male"))
+    // same heuristic ⇒ no re-parent (search.py:585 strict >)
+    assert(tree.addNode(Named("male"), person) === None)
+    assert(male.parent.contains(root))
+    // improved heuristic ⇒ re-parent under the new parent (:586-590)
+    bonus = 0.25
+    assert(tree.addNode(Named("male"), person) === None)
+    assert(male.parent.contains(person))
+    assert(person.children.contains(male))
+    assert(!root.children.contains(male))
+    assert(male.heuristic === male.quality + 0.25)
+  }
+
+  test("get_top_n by each key, bad key raises") {
+    val (kb, elp) = setup()
+    val tree = new SearchTreePriorityQueue(kb, elp)
+    val root = tree.addRoot(Top)
+    tree.addNodes(Seq(Named("male"), Named("person"),
+      Exists("hasChild", Named("male"))), root)
+    assert(tree.getTopN(2).map(_.render) === Seq("male", "person"))
+    assert(tree.getTopN(1, "heuristic").head.render === "male")
+    // lengths: ∃hasChild.male = 3, the named classes = 1, ⊤ = 1
+    assert(tree.getTopN(1, "length").head.render === "∃hasChild.male")
+    intercept[NoSuchElementException](tree.getTopN(1, "bogus"))
+  }
+
+  test("clean empties the tree; toDf mirrors the registry") {
+    val (kb, elp) = setup()
+    val tree = new SearchTreePriorityQueue(kb, elp)
+    val root = tree.addRoot(Top)
+    tree.addNodes(Seq(Named("male")), root)
+    val df = tree.toDf(spark)
+    assert(df.columns.toSeq ===
+      Seq("concept", "quality", "heuristic", "len", "individuals"))
+    assert(df.count() === 2)
+    tree.clean()
+    assert(tree.nodes.isEmpty)
+    intercept[NoSuchElementException](tree.getMostPromising())
+  }
+}
