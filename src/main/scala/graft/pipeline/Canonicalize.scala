@@ -33,15 +33,17 @@ object Canonicalize {
   }
 
   /** Rewrite linked triples onto canonical ids. The canonical map is
-    * entity-catalog-sized; broadcast. */
-  def apply(linked: DataFrame, aliases: DataFrame): DataFrame = {
+    * entity-catalog-sized; broadcast. `keep` passes extra columns through
+    * (streaming callers keep their event-time column). */
+  def apply(linked: DataFrame, aliases: DataFrame,
+            keep: Seq[String] = Nil): DataFrame = {
     val canon = canonicalMap(aliases)
     linked
       .join(broadcast(canon.withColumnRenamed("entity_id", "subj_id")
         .withColumnRenamed("canonical", "subj")), Seq("subj_id"))
       .join(broadcast(canon.withColumnRenamed("entity_id", "obj_id")
         .withColumnRenamed("canonical", "obj")), Seq("obj_id"))
-      .select(col("subj"), col("pred"), col("obj"))
+      .select(keep.map(col) :+ col("subj") :+ col("pred") :+ col("obj"): _*)
   }
 }
 

@@ -28,11 +28,22 @@ object Extract {
 
   final case class PageIn(url: String, html: Array[Byte])
   final case class Extracted(url: String, text: String)
+  final case class PageTsIn(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte])
+  final case class ExtractedTs(url: String, warc_ts: java.sql.Timestamp, text: String)
 
   /** pages(url, …, html, …) → (url, text). */
   def apply(pages: DataFrame): Dataset[Extracted] = {
     val in = pages.select("url", "html").as[PageIn](Encoders.product[PageIn])
     in.mapPartitions(_.map(p => Extracted(p.url, extractText(p.html))))(
       Encoders.product[Extracted])
+  }
+
+  /** Event-time-carrying variant (streaming ingest keeps `warc_ts` for the
+    * downstream watermark). Same [[extractText]] kernel — batch and stream
+    * extraction are byte-identical by construction. */
+  def withTs(pages: DataFrame): Dataset[ExtractedTs] = {
+    val in = pages.select("url", "warc_ts", "html").as[PageTsIn](Encoders.product[PageTsIn])
+    in.mapPartitions(_.map(p => ExtractedTs(p.url, p.warc_ts, extractText(p.html))))(
+      Encoders.product[ExtractedTs])
   }
 }

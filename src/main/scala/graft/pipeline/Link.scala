@@ -26,14 +26,17 @@ object Link {
 
   /** mentions(url, subjSurface, pred, objSurface) → linked triples with
     * pre-canonical entity ids. Unlinkable mentions (surface not in the
-    * dictionary) are dropped — precision over recall at the link stage. */
-  def apply(mentions: DataFrame, aliases: DataFrame): DataFrame = {
+    * dictionary) are dropped — precision over recall at the link stage.
+    * `keep` passes extra input columns through (e.g. the event-time column
+    * a streaming caller watermarks on). */
+  def apply(mentions: DataFrame, aliases: DataFrame,
+            keep: Seq[String] = Nil): DataFrame = {
     val resolved = resolveAliases(aliases)
     mentions
       .join(broadcast(resolved.withColumnRenamed("surface", "subjSurface")
         .withColumnRenamed("entity_id", "subj_id")), Seq("subjSurface"))
       .join(broadcast(resolved.withColumnRenamed("surface", "objSurface")
         .withColumnRenamed("entity_id", "obj_id")), Seq("objSurface"))
-      .select(col("url"), col("subj_id"), col("pred"), col("obj_id"))
+      .select(col("url") +: keep.map(col) :+ col("subj_id") :+ col("pred") :+ col("obj_id"): _*)
   }
 }

@@ -31,4 +31,21 @@ object Mentions {
       }
     }(Encoders.product[MentionPair])
   }
+
+  final case class MentionPairTs(url: String, warc_ts: java.sql.Timestamp,
+                                 subjSurface: String, pred: String, objSurface: String)
+
+  /** Event-time-carrying variant over the SAME compiled rules (streaming
+    * ingest; the ts rides along for the downstream watermark). */
+  def withTs(extracted: Dataset[Extract.ExtractedTs]): Dataset[MentionPairTs] = {
+    extracted.mapPartitions { rows =>
+      val compiled: Seq[(Regex, String)] = rules.map { case (p, pred) => (p.r, pred) }
+      rows.flatMap { e =>
+        compiled.flatMap { case (re, pred) =>
+          re.findAllMatchIn(e.text).map(m =>
+            MentionPairTs(e.url, e.warc_ts, m.group(1), pred, m.group(2)))
+        }
+      }
+    }(Encoders.product[MentionPairTs])
+  }
 }

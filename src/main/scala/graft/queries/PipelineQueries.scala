@@ -32,7 +32,19 @@ object PipelineQueries {
       Lineage.read(s, ck(d)).groupBy("stage")
         .agg(sum(col("rows")).as("total_rows"))
     }),
-    "fe_media_meta" -> ((s, d) => Media(KgPipeline.run(s, d, ck(d), "pages")).toDF()))
+    "fe_media_meta" -> ((s, d) => Media(KgPipeline.run(s, d, ck(d), "pages")).toDF()),
+    // the SAME canonical-triple set via the Structured Streaming pipeline:
+    // pages parquet replayed as a bounded stream, drained exactly-once with
+    // Trigger.AvailableNow into a parquet sink. The 7-day lateness bound
+    // exceeds the synthetic corpus's event-time span at every sf ≤ 1, so
+    // the watermarked dedup equals the batch global distinct and the batch
+    // fe_triples oracle applies verbatim.
+    "fe_stream_triples" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_kg_").toString
+      Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
+      StreamingKg.runAvailableNow(s, s"$base/pages", s"$base/out", s"$base/ck",
+        delay = "7 days")
+    }))
 
   private val docsCte =
     s"""docs AS (SELECT doc_id, text, lang, ${Pages.Sql.url} AS url,
@@ -76,6 +88,7 @@ object PipelineQueries {
         |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
         |FROM als""".stripMargin),
     "fe_triples" -> withDocs(triplesSql),
+    "fe_stream_triples" -> withDocs(triplesSql),
     "fe_lineage_counts" -> withDocs(
       s"""SELECT 'pages' AS stage, CAST(COUNT(*) AS BIGINT) AS total_rows FROM docs
          |UNION ALL SELECT 'extracted', CAST(COUNT(*) AS BIGINT) FROM docs
