@@ -165,6 +165,27 @@ object CeQueries {
       s.createDataFrame(top.map(n => (n.render, n.quality, n.len, n.individualsCount)))
         .toDF("concept", "quality", "len", "individuals")
     }),
+    // best-first refinement learner end-to-end (engine extension — see
+    // lp/Refine.scala): LP pos = suppliers / neg = customers. The
+    // deterministic trace: iter 1 expands ⊤ (registers Agent and
+    // ∃inNation.⊤; Order/Part/Place and the other restrictions are weak),
+    // iter 2 expands Agent (best unexpanded by heuristic-then-render) and
+    // its direct subclass Supplier is the goal. The oracle recomputes every
+    // registered node's F1 from the base tables and applies the same
+    // (quality desc, render) top-3.
+    "lp_refine_fit" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val pos = kb.types.filter(col("cls") === "Supplier")
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val neg = kb.types.filter(col("cls") === "Customer")
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val fit = Learner.fit(kb, elp)
+      require(fit.goalFound && fit.iterations == 2,
+        s"unexpected search trace: goal=${fit.goalFound} iters=${fit.iterations}")
+      s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
+        .toDF("concept", "quality", "len")
+    }),
     // get_top_n keyed on LENGTH, with the engine computing concept_len
     // from the ClassExpr (reference knowledge_base.py:512-524)
     "lp_best_hyp_length" -> ((s, d) => {
@@ -431,6 +452,39 @@ object CeQueries {
            |    len, individuals FROM scored) q
            |WHERE quality > 0
            |ORDER BY quality DESC, concept LIMIT 5""".stripMargin, inCte = true)
+    },
+    // learner mirror: the five concepts the deterministic search registers
+    // (see the query comment), F1-scored from base tables, top-3 by
+    // (quality desc, render) — ties at 2P/(2P+C) break on the '(' < 'A'
+    // < '∃' < '⊤' render order, same as the engine's
+    "lp_refine_fit" -> {
+      def cand(name: String, len: Int, ret: String) =
+        s"""SELECT '$name' AS concept, CAST($len AS INT) AS len,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fp""".stripMargin
+      val inNat = "SELECT DISTINCT src AS id FROM edges WHERE pred = 'inNation'"
+      val agents = s"SELECT node AS id FROM types WHERE cls IN ${inList(agentClosure)}"
+      val rows = Seq(
+        cand("⊤", 1, "SELECT id FROM nodes"),
+        cand("Agent", 1, agents),
+        cand("∃inNation.⊤", 3, inNat),
+        cand("Supplier", 1, "SELECT node AS id FROM types WHERE cls = 'Supplier'"),
+        cand("(Agent ⊓ ∃inNation.⊤)", 5,
+          s"SELECT id FROM ($agents) a WHERE id IN ($inNat)"))
+        .mkString("\nUNION ALL\n")
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT node AS id FROM types WHERE cls = 'Supplier'),
+           |neg AS (SELECT node AS id FROM types WHERE cls = 'Customer'),
+           |scored AS (
+           |$rows)
+           |SELECT concept, quality, len FROM (
+           |  SELECT concept, CASE WHEN tp = 0 THEN 0.0
+           |    ELSE ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+           |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality,
+           |    len FROM scored) q
+           |WHERE quality > 0
+           |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
     },
     // hand-counted owlapy lengths: Customer=1, ¬Customer=2,
     // ≥5 contains.Part=4, ∃inNation.∃inRegion.{r:0}=5,

@@ -1,0 +1,63 @@
+package graft.lp
+
+import graft.SparkSpec
+import graft.expr._
+import graft.fixtures.FamilyKb
+
+/** Refinement operator ρ + best-first Learner.fit on the family fixture. */
+class LearnerSpec extends SparkSpec {
+
+  private val rho = new Refine(FamilyKb.tbox)
+
+  test("rho(⊤) = hierarchy roots + most-general existential restrictions") {
+    assert(rho(Top) === Seq(
+      Named("person"), Exists("hasChild", Top), Exists("married", Top)))
+  }
+
+  test("rho(named) descends the hierarchy and conjoins atomics") {
+    val refs = rho(Named("person"))
+    assert(refs.contains(Named("female")) && refs.contains(Named("male")))
+    assert(refs.contains(And(Seq(Named("person"), Exists("hasChild", Top)))))
+  }
+
+  test("conjunctions canonicalize: permutations collapse, nesting flattens") {
+    val a = And(Seq(Named("male"), Exists("hasChild", Top)))
+    val b = And(Seq(Exists("hasChild", Top), Named("male")))
+    assert(rho(a) === rho(b))
+    // refining a conjunct keeps the ⊓ flat (no nested And)
+    assert(rho(a).collect { case And(cs) => cs }.forall(
+      _.forall { case And(_) => false; case _ => true }))
+  }
+
+  test("rho respects the length cap") {
+    val tight = new Refine(FamilyKb.tbox, maxLen = 1)
+    assert(tight(Top) === Seq(Named("person"))) // ∃r.⊤ has length 3
+  }
+
+  test("fit finds the goal concept through hierarchy descent") {
+    val kb = FamilyKb.kb(spark)
+    val elp = LearningProblem.encode(kb, Lp(FamilyKb.males, FamilyKb.females))
+    val fit = Learner.fit(kb, elp)
+    // iter 1 expands ⊤ (best is `person`, F1 = 2/3); iter 2 expands person
+    // → direct subclass `male` is the goal
+    assert(fit.goalFound)
+    assert(fit.iterations === 2)
+    assert(fit.best.head.render === "male")
+    assert(fit.best.head.quality === 1.0)
+    // determinism: a second run returns the identical hypothesis list
+    val again = Learner.fit(kb, elp)
+    assert(again.best.map(_.render) === fit.best.map(_.render))
+    assert(again.explored === fit.explored)
+  }
+
+  test("fit stops at maxIterations when no goal is reachable") {
+    val kb = FamilyKb.kb(spark)
+    // pos mixes genders → no concept in the dialect reaches F1 = 1
+    val elp = LearningProblem.encode(kb,
+      Lp(Seq("m1", "f1", "m2"), Seq("f3", "m5")))
+    val fit = Learner.fit(kb, elp, maxIterations = 3)
+    assert(!fit.goalFound)
+    assert(fit.iterations === 3)
+    assert(fit.best.nonEmpty && fit.best.head.quality < 1.0)
+  }
+}
