@@ -35,10 +35,28 @@ import org.apache.spark.sql.types._
   */
 object EvalTable {
 
+  /** Pluggable fit stage: given (sampled KB, LP encoded on it), return the
+    * (name, hypothesis) the "learner" chose. [[learnerFit]] is the native
+    * analogue of the reference's `model.fit(lp)`
+    * (evaluation_table_generator.py:148-156); the default is
+    * argmax-over-pool. */
+  type FitFn = (Kb, EncodedLp) => (String, ClassExpr)
+
+  /** Fit via the engine's best-first refinement learner on the sampled
+    * graph — the step the reference delegates to EvoLearner/CELOE. */
+  def learnerFit(metric: Metric = F1, maxIterations: Int = 20,
+                 maxLen: Int = 7): FitFn = (sampled, elpS) => {
+    val r = Learner.fit(sampled, elpS, metric,
+      maxIterations = maxIterations, maxLen = maxLen, topN = 1)
+    val best = r.best.head
+    (best.render, best.concept)
+  }
+
   def run(kb: Kb, lps: Seq[(String, Lp, Seq[(String, ClassExpr)])],
           samplerNames: Seq[String], fraction: Double = 0.10,
           iterations: Int = 10, seed: Long = 42L,
-          keyed: Option[DataFrame] = None): DataFrame = {
+          keyed: Option[DataFrame] = None,
+          fit: Option[FitFn] = None): DataFrame = {
     val spark = kb.spark
     val n = math.max(1, (kb.nodes.count() * fraction).toInt)
     // full-graph encodings and scores are iteration-independent
@@ -54,14 +72,18 @@ object EvalTable {
         val sampler = Samplers.byName(name, kb,
           lp = lp.pos ++ lp.neg, seed = seed + i, keyed = keyed)
         val sampled = sampler.sample(n).cache()
-        // fit stand-in: best-F1 pool candidate on (sampled KB, trimmed LP)
+        // fit on the sampled graph with the trimmed LP
         val trimmed = LpJson.restrictToSample(lp, sampled, seed + i)
         val elpS = LearningProblem.encode(kb = sampled, lp = trimmed, seed = seed + i)
-        val (winName, winCe) = pool.zipWithIndex.map { case ((cn, ce), idx) =>
-          val q = LearningProblem.evaluateConcept(sampled, ce, F1, elpS)._2
-          (q, idx, cn, ce)
-        }.minBy { case (q, idx, _, _) => (-q, idx) } match {
-          case (_, _, cn, ce) => (cn, ce)
+        val (winName, winCe) = fit match {
+          case Some(f) => f(sampled, elpS)
+          case None => // stand-in: best-F1 pool candidate (ties → lowest idx)
+            pool.zipWithIndex.map { case ((cn, ce), idx) =>
+              val q = LearningProblem.evaluateConcept(sampled, ce, F1, elpS)._2
+              (q, idx, cn, ce)
+            }.minBy { case (q, idx, _, _) => (-q, idx) } match {
+              case (_, _, cn, ce) => (cn, ce)
+            }
         }
         sampled.unpersist()
         // reference :170-185 — score the winner on the ORIGINAL graph with

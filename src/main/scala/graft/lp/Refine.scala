@@ -41,7 +41,19 @@ final class Refine(tbox: Tbox, maxLen: Int = 7) {
   private def conj(c: ClassExpr): Seq[ClassExpr] =
     atomics.filterNot(_ == c).map(a => mkAnd(Seq(c, a)))
 
-  def apply(ce: ClassExpr): Seq[ClassExpr] = {
+  /** canonical form: conjunctions flattened/deduped/render-sorted, applied
+    * recursively through restriction fillers */
+  private def norm(c: ClassExpr): ClassExpr = c match {
+    case And(cs)      => mkAnd(cs.map(norm))
+    case Or(cs)       => Or(cs.map(norm))
+    case Not(x)       => Not(norm(x))
+    case Exists(r, f) => Exists(r, norm(f))
+    case ForAll(r, f) => ForAll(r, norm(f))
+    case other        => other
+  }
+
+  def apply(ce0: ClassExpr): Seq[ClassExpr] = {
+    val ce = norm(ce0)
     val refs: Seq[ClassExpr] = ce match {
       case Top          => atomics
       case Named(c)     => tbox.directSubClassesOf(c).map(Named(_): ClassExpr) ++ conj(ce)
@@ -52,8 +64,12 @@ final class Refine(tbox: Tbox, maxLen: Int = 7) {
       case other        => conj(other)
     }
     // canonical output order: syntactic permutations of the input (e.g. a
-    // reordered conjunction) refine to the same sequence
+    // reordered conjunction) refine to the same sequence. A conjunction's
+    // conj(·) can reproduce the input itself (C ⊓ a with a already a
+    // conjunct dedups back to C) — a concept is not its own refinement.
+    val self = ClassExpr.render(ce)
     refs.filter(c => ClassExpr.length(c) <= maxLen)
+      .filterNot(c => ClassExpr.render(c) == self)
       .distinctBy(ClassExpr.render).sortBy(ClassExpr.render)
   }
 }

@@ -165,6 +165,38 @@ object CeQueries {
       s.createDataFrame(top.map(n => (n.render, n.quality, n.len, n.individualsCount)))
         .toDF("concept", "quality", "len", "individuals")
     }),
+    // the evaluation-table experiment with the NATIVE learner as the fit
+    // stage (the role the reference hands to EvoLearner/CELOE,
+    // evaluation_table_generator.py:148-156): sample 10% × 2 iterations,
+    // Learner.fit on the sampled graph with the trimmed LP, score the
+    // winner on the ORIGINAL graph with the full LP. LP pos = agents /
+    // neg = orders: agents are frequent enough that every sample at every
+    // sf keeps both sides non-empty (a suppliers-pos variant broke at
+    // sf0.001 — 10 suppliers, none sampled), and the learner provably
+    // reaches the goal `Agent` on the first expansion of ⊤ (its sampled
+    // retrieval IS the trimmed pos, no sampled order is an agent). The
+    // recorded winner trace is asserted to catch any search deviation.
+    "lp_eval_table_learner" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val pos = kb.types.filter(col("cls").isin("Customer", "Supplier"))
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val neg = kb.types.filter(col("cls") === "Order")
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val winners = scala.collection.mutable.Buffer.empty[String]
+      val f = EvalTable.learnerFit()
+      val recording: EvalTable.FitFn = (k, e) => {
+        val w = f(k, e); winners += w._1; w
+      }
+      val out = EvalTable.run(kb,
+        Seq(("agents", Lp(pos, neg), Nil)),
+        Seq("RandomNodeSampler"),
+        fraction = 0.10, iterations = 2,
+        keyed = Some(TpchKg.nodesWithKey(s, d)),
+        fit = Some(recording))
+      require(winners.toSeq == Seq("Agent", "Agent"),
+        s"unexpected learner winners: $winners")
+      out
+    }),
     // best-first refinement learner end-to-end (engine extension — see
     // lp/Refine.scala): LP pos = suppliers / neg = customers. The
     // deterministic trace: iter 1 expands ⊤ (registers Agent and
@@ -452,6 +484,28 @@ object CeQueries {
            |    len, individuals FROM scored) q
            |WHERE quality > 0
            |ORDER BY quality DESC, concept LIMIT 5""".stripMargin, inCte = true)
+    },
+    // two-graph learner experiment: the winner is `Agent` each iteration
+    // (asserted engine-side), so mean/σ reduce to Agent's original-graph
+    // F1/Accuracy — derived from the base tables, not hardcoded
+    "lp_eval_table_learner" -> {
+      val f1Case = "CASE WHEN tp = 0 THEN 0.0 ELSE " +
+        "ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))" +
+        " / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END"
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT node AS id FROM types WHERE cls IN ('Customer', 'Supplier')),
+           |neg AS (SELECT node AS id FROM types WHERE cls = 'Order'),
+           |ret AS (SELECT node AS id FROM types WHERE cls IN ${inList(agentClosure)}),
+           |c AS (SELECT
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM ret)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM ret)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM ret)) AS BIGINT) AS fp,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id NOT IN (SELECT id FROM ret)) AS BIGINT) AS tn)
+           |SELECT 'RandomNodeSampler' AS sampler, 'agents' AS lp,
+           |  $f1Case AS mean_f1, CAST(0.0 AS DOUBLE) AS sd_f1,
+           |  ROUND(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 5) AS mean_acc,
+           |  CAST(0.0 AS DOUBLE) AS sd_acc, CAST(2 AS INT) AS iterations
+           |FROM c""".stripMargin, inCte = true)
     },
     // learner mirror: the five concepts the deterministic search registers
     // (see the query comment), F1-scored from base tables, top-3 by

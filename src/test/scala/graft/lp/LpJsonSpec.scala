@@ -42,6 +42,23 @@ class LpJsonSpec extends SparkSpec {
     assert(table.collect().toSeq === rows.toSeq)
   }
 
+  test("EvalTable with the native learner as the fit stage") {
+    val kb = FamilyKb.kb(spark)
+    val winners = scala.collection.mutable.Buffer.empty[String]
+    val f = EvalTable.learnerFit()
+    val recording: EvalTable.FitFn = (k, e) => { val w = f(k, e); winners += w._1; w }
+    val lps = Seq(("males", Lp(FamilyKb.males, FamilyKb.females), Nil))
+    val rows = EvalTable.run(kb, lps, Seq("RandomNodeSampler"),
+      fraction = 0.5, iterations = 2, seed = 11L,
+      fit = Some(recording)).collect()
+    // the learner reaches `male` on every sampled graph (its sampled
+    // retrieval is exactly the trimmed pos), and the winner scores
+    // perfectly on the ORIGINAL graph
+    assert(winners.toSeq === Seq("male", "male"))
+    assert(rows.head.getDouble(2) === 1.0)
+    assert(rows.head.getDouble(4) === 1.0)
+  }
+
   test("EvalTable scores on the ORIGINAL graph, not the sampled one") {
     // evaluation_table_generator.py:170-185 reloads the original KB and the
     // FULL untrimmed LP before scoring. On the sampled graph removed
