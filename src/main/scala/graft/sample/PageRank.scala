@@ -26,16 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** `adaptive = false` disables AQE for the duration of the loop (the
+    * caller's setting is restored): the sweeps are co-partitioned — the
+    * iterating adjacency is cached hash-partitioned on `src` and each
+    * sweep's output keeps hash(id) partitioning, so the rank join and the
+    * base join run exchange-free and only the mass aggregation shuffles
+    * (one exchange per sweep instead of three). AQE's post-shuffle
+    * coalescing re-writes partitioning between stages, which silently
+    * breaks that reuse AND re-plans every one of the ~2·iterations stages
+    * for no information gain (the shape is identical each sweep). On a
+    * heavily skewed web graph where one node's in-degree dominates the
+    * mass agg, pass `adaptive = true` to trade the extra exchanges for
+    * AQE skew-splitting. */
   def compute(kb: Kb, d: Double = 0.15, iterations: Int = 100,
-              checkpointEvery: Int = 10): DataFrame = {
+              checkpointEvery: Int = 10, adaptive: Boolean = false): DataFrame = {
+    val spark = kb.spark
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
+    try computeInner(kb, d, iterations, checkpointEvery)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def computeInner(kb: Kb, d: Double, iterations: Int,
+                           checkpointEvery: Int): DataFrame = {
     val n = kb.nodes.count().toDouble
     val outdeg = kb.edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val adj = kb.edges.select("src", "dst").join(outdeg, Seq("src")).cache()
     val dstNodes = adj.select(col("dst").as("id")).distinct().cache()
 
     // edges from source-only nodes (pr = d/n from sweep 2 on) vs edges from
-    // in-linked nodes (pr evolves)
-    val adjIter = adj.join(dstNodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi").cache()
+    // in-linked nodes (pr evolves). The iterating slice is cached
+    // hash-partitioned on src so every sweep's rank join co-partitions.
+    val adjIter = adj.join(dstNodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .repartition(col("src")).cache()
     val adjConst = adj.join(dstNodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
 
     def massOf(a: DataFrame, ranks: DataFrame): DataFrame = a
