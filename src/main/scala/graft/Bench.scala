@@ -165,9 +165,12 @@ object Bench {
     rawScale(high) // JIT warmup
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     // per-row work is ~10× lighter in the shuffle probe — more reps keep
-    // its low-core runtime well past fixed job overheads
+    // its low-core runtime well past fixed job overheads AND the high-core
+    // run long enough (≥5 s) that co-tenancy noise can't swing the ratio
+    // (at ×4 the high-core run was ~1.7 s and the measured efficiency
+    // ranged 0.76-0.87 across runs on identical code)
     val shuffleReps = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_REPS",
-      (reps * 4).toString).toInt
+      (reps * 12).toString).toInt
     // (probe name, job, reps, work metric = rows produced/shuffled)
     val probes: Seq[(String, (SparkSession, String, Int) => Long, Int, Long)] = Seq(
       // work metric: hash rows produced (docs × reps × NumHashes) — the

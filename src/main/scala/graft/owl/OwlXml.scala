@@ -83,6 +83,70 @@ object OwlXml {
     * as generic child elements of NamedIndividual (label = property,
     * rdf:resource → edge, text + rdf:datatype → literal) or as this
     * writer's g:op/g:dp forms. */
+  /** save_owl_class_expressions (reference utils/static_funcs.py:106-135):
+    * expression #i becomes the named class `<NS>#i` carrying an
+    * owl:equivalentClass axiom to the (possibly anonymous) rendered
+    * expression; only 'rdfxml' is implemented and `.owl` is appended to
+    * the path — both reference behaviors preserved. The object dialect
+    * plus data hasValue render per the OWL 2 RDF mapping; numeric data
+    * ranges raise (owlapy renders those via facet restrictions the
+    * engine's lexical model does not carry — same NotImplemented spirit
+    * as the reference's format guard). */
+  def writeClassExpressions(expressions: Seq[graft.expr.ClassExpr], path: String,
+                            rdfFormat: String = "rdfxml"): Unit = {
+    import graft.expr._
+    if (rdfFormat != "rdfxml")
+      throw new NotImplementedError(s"Format $rdfFormat not implemented.")
+    val ns = "https://dice-research.org/predictions"
+    val Owl = "http://www.w3.org/2002/07/owl#"
+    def onProp(r: String) = <owl:onProperty rdf:resource={G + r}/>
+    def onPropInv(r: String) =
+      <owl:onProperty><owl:ObjectProperty><owl:inverseOf rdf:resource={G + r}/></owl:ObjectProperty></owl:onProperty>
+    def card(n: Int) = scala.xml.Text(n.toString)
+    def ceElem(ce: ClassExpr): Elem = ce match {
+      case Top => <owl:Class rdf:about={Owl + "Thing"}/>
+      case Bottom => <owl:Class rdf:about={Owl + "Nothing"}/>
+      case Named(c) => <owl:Class rdf:about={G + c}/>
+      case And(cs) =>
+        <owl:Class><owl:intersectionOf rdf:parseType="Collection">{cs.map(ceElem)}</owl:intersectionOf></owl:Class>
+      case Or(cs) =>
+        <owl:Class><owl:unionOf rdf:parseType="Collection">{cs.map(ceElem)}</owl:unionOf></owl:Class>
+      case Not(c) => <owl:Class><owl:complementOf>{ceElem(c)}</owl:complementOf></owl:Class>
+      case Exists(r, f) =>
+        <owl:Restriction>{onProp(r)}<owl:someValuesFrom>{ceElem(f)}</owl:someValuesFrom></owl:Restriction>
+      case ForAll(r, f) =>
+        <owl:Restriction>{onProp(r)}<owl:allValuesFrom>{ceElem(f)}</owl:allValuesFrom></owl:Restriction>
+      case ExistsInverse(r, f) =>
+        <owl:Restriction>{onPropInv(r)}<owl:someValuesFrom>{ceElem(f)}</owl:someValuesFrom></owl:Restriction>
+      case ForAllInverse(r, f) =>
+        <owl:Restriction>{onPropInv(r)}<owl:allValuesFrom>{ceElem(f)}</owl:allValuesFrom></owl:Restriction>
+      case HasValue(r, x) =>
+        <owl:Restriction>{onProp(r)}<owl:hasValue rdf:resource={G + x}/></owl:Restriction>
+      case MinCard(n, r, f) =>
+        <owl:Restriction>{onProp(r)}<owl:minQualifiedCardinality rdf:datatype={Xsd + "nonNegativeInteger"}>{card(n)}</owl:minQualifiedCardinality><owl:onClass>{ceElem(f)}</owl:onClass></owl:Restriction>
+      case MaxCard(n, r, f) =>
+        <owl:Restriction>{onProp(r)}<owl:maxQualifiedCardinality rdf:datatype={Xsd + "nonNegativeInteger"}>{card(n)}</owl:maxQualifiedCardinality><owl:onClass>{ceElem(f)}</owl:onClass></owl:Restriction>
+      case ExactCard(n, r, f) =>
+        <owl:Restriction>{onProp(r)}<owl:qualifiedCardinality rdf:datatype={Xsd + "nonNegativeInteger"}>{card(n)}</owl:qualifiedCardinality><owl:onClass>{ceElem(f)}</owl:onClass></owl:Restriction>
+      case OneOf(xs) =>
+        <owl:Class><owl:oneOf rdf:parseType="Collection">{xs.map(x => <rdf:Description rdf:about={G + x}/>)}</owl:oneOf></owl:Class>
+      case DataHasValue(p, lex) =>
+        <owl:Restriction>{onProp(p)}<owl:hasValue>{scala.xml.Text(lex)}</owl:hasValue></owl:Restriction>
+      case other =>
+        throw new NotImplementedError(s"no RDF/XML rendering for $other")
+    }
+    val xml: Elem =
+      <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+               xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+               xmlns:owl="http://www.w3.org/2002/07/owl#"
+               xmlns={G}>
+        <owl:Ontology rdf:about={ns}/>
+        {expressions.zipWithIndex.map { case (ce, i) =>
+          <owl:Class rdf:about={s"$ns#$i"}><owl:equivalentClass>{ceElem(ce)}</owl:equivalentClass></owl:Class>}}
+      </rdf:RDF>
+    XML.save(path + ".owl", xml, "UTF-8", xmlDecl = true)
+  }
+
   def read(spark: SparkSession, path: String): Kb = {
     val xml = XML.loadFile(path)
     def about(n: scala.xml.Node) =

@@ -116,6 +116,33 @@ class OwlXmlSpec extends SparkSpec {
     assert(joined.count() === expect)
   }
 
+  test("save_owl_class_expressions: indexed equivalentClass axioms, .owl appended") {
+    import graft.expr._
+    val dir = java.nio.file.Files.createTempDirectory("predictions_").toString
+    val base = s"$dir/Predictions"
+    OwlXml.writeClassExpressions(Seq(
+      Named("male"),
+      And(Seq(Named("person"), Exists("hasChild", Named("female")))),
+      graft.expr.MinCard(2, "hasChild", Top)), base)
+    val xml = scala.xml.XML.loadFile(base + ".owl") // reference appends .owl
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    def about(c: scala.xml.Node) = (c \ s"@{$rdfNs}about").text
+    val classes = (xml \ "Class").filter(c =>
+      about(c).startsWith("https://dice-research.org/predictions#"))
+    assert(classes.map(about).toSeq ===
+      (0 to 2).map(i => s"https://dice-research.org/predictions#$i"))
+    assert(classes.forall(c => (c \ "equivalentClass").nonEmpty))
+    assert((xml \\ "intersectionOf").nonEmpty)
+    assert((xml \\ "someValuesFrom").nonEmpty)
+    assert((xml \\ "minQualifiedCardinality").map(_.text) === Seq("2"))
+    intercept[NotImplementedError] {
+      OwlXml.writeClassExpressions(Seq(Named("x")), base, rdfFormat = "turtle")
+    }
+    intercept[NotImplementedError] { // facet data ranges not rendered
+      OwlXml.writeClassExpressions(Seq(DataCompare("age", ">", 18.0)), base)
+    }
+  }
+
   test("sampler registry resolves all 20 reference names") {
     val kb = FamilyKb.kb(spark)
     graft.sample.Samplers.allNames.foreach { n =>
