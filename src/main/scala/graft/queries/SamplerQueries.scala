@@ -59,6 +59,7 @@ object SamplerQueries {
     val kb = TpchKg.load(s, d).cache()
     val lp = lpOf(s, d)
     val n = 25
+    val pr10 = PageRank.compute(kb, iterations = 10).localCheckpoint(true)
     val configs: Seq[(String, GraphSampler, Boolean)] = Seq( // (name, sampler, reAllowed+1)
       ("RandomNodeSampler", new RandomNodeSampler(kb, Seed), false),
       ("RandomEdgeSampler", new RandomEdgeSampler(kb, Seed), true),
@@ -71,17 +72,20 @@ object SamplerQueries {
         new WalkSampler(kb, Seed, jumpProb = Some(0.1), lpSeeds = lp, lpc = true), false),
       ("ForestFireSamplerLPCentralized", new ForestFireSampler(kb, Seed, lpSeeds = lp), false),
       // the prioritized (PageRank-weighted pick) walkers — prIterations=10
-      // keeps the gate cheap; the pick distribution, not convergence, is
-      // what these rows exercise
+      // keeps the gate cheap (the pick distribution, not convergence, is
+      // what these rows exercise) and the identical 10-sweep rank table is
+      // computed ONCE and shared by all four configs
       ("RandomWalkerWithPrioritizationSampler",
-        new WalkSampler(kb, Seed, prioritized = true, prIterations = 10), false),
+        new WalkSampler(kb, Seed, prioritized = true, prRanks = Some(pr10)), false),
       ("RandomWalkerJumpsWithPrioritizationSampler",
-        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true, prIterations = 10), false),
+        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true,
+          prRanks = Some(pr10)), false),
       ("RandomWalkerWithPrioritizationSamplerLPFirst",
-        new WalkSampler(kb, Seed, prioritized = true, lpSeeds = lp, prIterations = 10), false),
+        new WalkSampler(kb, Seed, prioritized = true, lpSeeds = lp,
+          prRanks = Some(pr10)), false),
       ("RandomWalkerJumpsWithPrioritizationSamplerLPCentralized",
         new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true,
-          lpSeeds = lp, lpc = true, prIterations = 10), false))
+          lpSeeds = lp, lpc = true, prRanks = Some(pr10)), false))
     val lpDf = s.createDataset(lp)(org.apache.spark.sql.Encoders.STRING).toDF("id")
     val rows = configs.map { case (name, sampler, plusOneAllowed) =>
       val sampled = sampler.sample(n)

@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
 final class WalkSampler(
     kb: Kb, seed: Long = 42L, jumpProb: Option[Double] = None,
     prioritized: Boolean = false, lpSeeds: Seq[String] = Nil, lpc: Boolean = false,
-    walkers: Int = 16, maxSteps: Int = 2000, prIterations: Int = 100)
+    walkers: Int = 16, maxSteps: Int = 2000, prIterations: Int = 100,
+    prRanks: Option[org.apache.spark.sql.DataFrame] = None)
   extends GraphSampler {
 
   import WalkSampler.StepOut
@@ -70,9 +71,11 @@ final class WalkSampler(
         (0 to 3).map(t => (0 to t).map(counts.getOrElse(_, 0L)).sum).toArray
       } else Array(nTotal, nTotal, nTotal, nTotal)
 
+    // prRanks lets a caller running SEVERAL prioritized samplers over the
+    // same graph compute the (identical) rank table once and share it
     val ranks =
       if (prioritized)
-        PageRank.compute(kb, iterations = prIterations)
+        prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
           .select(col("id").as("dst"), col("pr").as("w"))
       else null
 
