@@ -32,6 +32,51 @@ object Canonicalize {
     entComp.join(canon, Seq("component")).select(col("id").as("entity_id"), col("canonical"))
   }
 
+  /** MinHash-LSH-blocked canonicalization (north_star: "canonicalizes
+    * entities with MinHash-LSH blocking + connected-components") for FUZZY
+    * alias catalogs — name variants that share no exact normalization key
+    * ("Acme Corporation Ltd" / "Acme Corp Ltd"). Blocking = the dedup
+    * engine's banded MinHash over surface 3-gram shingles (candidate pairs
+    * only where a band collides — never all-pairs, so the pair stage is
+    * linear-ish in the catalog, the 100-TB shape); matching = exact
+    * shingle Jaccard ≥ `threshold` (the verify stage minhashLsh already
+    * runs); same-entity edges then collapse through the same alternating
+    * large-star/small-star CC as the exact-key path. Canonical id = min
+    * entity id per component; surfaces whose best entities tie stay apart
+    * unless a band links them — blocking recall is the threshold's job.
+    * Exact-key and fuzzy blocking compose: pass `alsoExactKey = true` to
+    * union the [[canonicalMap]] key edges (catalogs usually want both). */
+  def fuzzyCanonicalMap(aliases: DataFrame, threshold: Double,
+                        alsoExactKey: Boolean = false): DataFrame = {
+    val resolved = graft.pipeline.Link.resolveAliases(aliases)
+    val surfaceCorpus = resolved.select(col("surface").as("doc_id"), col("surface").as("text"))
+    val pairs = graft.dedup.Dedup.minhashLsh(surfaceCorpus, threshold)
+    val entOf = resolved.select(col("surface"), col("entity_id"))
+    val fuzzyEdges = pairs
+      .join(broadcast(entOf.withColumnRenamed("surface", "a")
+        .withColumnRenamed("entity_id", "src")), Seq("a"))
+      .join(broadcast(entOf.withColumnRenamed("surface", "b")
+        .withColumnRenamed("entity_id", "dst")), Seq("b"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val keyEdges =
+      if (alsoExactKey) aliases.select(col("entity_id").as("src"),
+        concat(lit("K:"), normKey).as("dst")).distinct()
+      else aliases.sparkSession.emptyDataFrame
+        .select(lit("").as("src"), lit("").as("dst")).limit(0)
+    val comp = ConnectedComponents.run(fuzzyEdges.unionAll(keyEdges))
+    val entComp = comp.filter(!col("id").startsWith("K:"))
+    val canon = entComp.groupBy("component").agg(min(col("id")).as("canonical"))
+    val mapped = entComp.join(canon, Seq("component"))
+      .select(col("id").as("entity_id"), col("canonical"))
+    // CC only emits ids incident to an edge; unlinked entities are their
+    // own canonical
+    val singletons = entOf.select(col("entity_id")).distinct()
+      .join(mapped.select(col("entity_id")), Seq("entity_id"), "left_anti")
+      .select(col("entity_id"), col("entity_id").as("canonical"))
+    mapped.unionAll(singletons)
+  }
+
   /** Rewrite linked triples onto canonical ids. The canonical map is
     * entity-catalog-sized; broadcast. `keep` passes extra columns through
     * (streaming callers keep their event-time column). */
