@@ -26,6 +26,17 @@ object PipelineQueries {
     "fe_mentions" -> ((s, d) => KgPipeline.run(s, d, ck(d), "mentions")),
     "fe_linked" -> ((s, d) => KgPipeline.run(s, d, ck(d), "linked")),
     "fe_canonical_map" -> ((s, d) => Canonicalize.canonicalMap(Pages.aliases(s))),
+    // the MinHash-LSH-blocked canonicalization path end-to-end (bands →
+    // Jaccard verify → CC) composed with the exact key: the synthetic
+    // catalog's closest surface pair is "Entity k" / "Entity k0" at
+    // shingle-Jaccard 6/7 ≈ 0.857 (the true alias pair "Ent k"/"Entity k"
+    // sits at ≈ 0.13), so at threshold 0.9 no pair survives the verify and
+    // the result must equal the exact-key canonical map — the
+    // fe_canonical_map oracle applies verbatim; any spurious fuzzy link or
+    // lost entity breaks the hash
+    "fe_canonical_fuzzy" -> ((s, d) =>
+      Canonicalize.fuzzyCanonicalMap(Pages.aliases(s), threshold = 0.9,
+        alsoExactKey = true)),
     "fe_triples" -> ((s, d) => KgPipeline.run(s, d, ck(d), "triples")),
     "fe_lineage_counts" -> ((s, d) => {
       KgPipeline.run(s, d, ck(d), "triples") // ensure all stages ran
@@ -84,6 +95,12 @@ object PipelineQueries {
     "fe_mentions" -> withDocs(mentionsSql),
     "fe_linked" -> withDocs(linkedSql),
     "fe_canonical_map" -> withDocs(
+      """SELECT DISTINCT entity_id,
+        |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
+        |FROM als""".stripMargin),
+    // fuzzy path degenerates to the exact-key map on this catalog (see the
+    // query comment) — identical oracle
+    "fe_canonical_fuzzy" -> withDocs(
       """SELECT DISTINCT entity_id,
         |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
         |FROM als""".stripMargin),
