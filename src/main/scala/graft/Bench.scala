@@ -121,16 +121,37 @@ object Bench {
       "td_sessionize" -> (s => graft.streaming.Sessions.sessionize(
         s.read.parquet(s"$sfDir/events.parquet"), 30).count()))
 
+    // Headline protocol mirrors the probes': ONE warmup pass (JIT, parquet
+    // footer cache, shuffle service spin-up), then `headlineRuns` timed
+    // passes INTERLEAVED round-robin — temporal co-tenancy drift on this
+    // shared box hits every query the same way instead of whichever ran
+    // last. Reported: best-of-runs per query (the machine's capability,
+    // what a regression has to move) plus the min..max spread per query, so
+    // a swing on unchanged code is attributable to noise from the JSON
+    // alone. (Round 3's td_dedup_minhash "regression" +49% on untouched
+    // code motivated this — single-shot timings carried no error bars.)
     var triples = 0L
     var pipelineSec = 0.0
     val skipHeadline = sys.env.get("SPARK_GRAFT_SKIP_HEADLINE").contains("1")
-    val queryTimes =
-      if (skipHeadline) Seq.empty[(String, Double)]
-      else headline.map { case (name, job) =>
+    val headlineRuns = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RUNS", "3").toInt
+    val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    if (!skipHeadline) {
+      headline.foreach { case (_, job) => job(spark) } // warmup pass
+      for (_ <- 1 to headlineRuns; (name, job) <- headline) {
         val (res, sec) = time(job(spark))
-        if (name == "fe_pipeline") { triples = res; pipelineSec = sec }
-        name -> sec
+        if (name == "fe_pipeline" && (pipelineSec == 0.0 || sec < pipelineSec)) {
+          triples = res; pipelineSec = sec
+        }
+        runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ sec
       }
+    }
+    val queryTimes: Seq[(String, Double)] =
+      if (skipHeadline) Nil
+      else headline.map { case (name, _) => name -> runTimes(name).min }
+    val querySpread: Seq[(String, (Double, Double))] =
+      if (skipHeadline) Nil
+      else headline.map { case (name, _) =>
+        name -> (runTimes(name).min, runTimes(name).max) }
 
     // ---- scaling evidence: same job, same input, two parallelism levels.
     // TWO probes: "hash" (CPU-bound codegen kernel) and "shuffle" (full row
@@ -200,10 +221,13 @@ object Bench {
     val probesJson = probeResults.map(_._8).mkString("[", ",", "]")
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val spreadJson = querySpread
+      .map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
+      .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val tput = if (pipelineSec > 0) triples / pipelineSec else 0.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f,"probes":$probesJson}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_spread":$spreadJson,"headline_protocol":"warmup + best-of-$headlineRuns%d interleaved","sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f,"probes":$probesJson}}"""
     // the sole stdout JSON line (run is forked with StdoutOutput — no sbt
     // prefix) AND a file copy, so the driver can read either
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")

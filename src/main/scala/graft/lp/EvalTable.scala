@@ -52,11 +52,19 @@ object EvalTable {
     (best.render, best.concept)
   }
 
+  /** `requirePosSurvives = true` makes the run FAIL if any iteration's
+    * sample drops every positive (which would engage the empty-pos
+    * half-fallback of LpJson.restrictToSample). The fallback is correct
+    * reference behavior, but an external SQL mirror of this experiment
+    * models the trimmed LP as plain pos∩sample / neg∩sample — a silently
+    * engaged fallback would diverge from it, so oracle-gated callers
+    * assert it never fires. */
   def run(kb: Kb, lps: Seq[(String, Lp, Seq[(String, ClassExpr)])],
           samplerNames: Seq[String], fraction: Double = 0.10,
           iterations: Int = 10, seed: Long = 42L,
           keyed: Option[DataFrame] = None,
-          fit: Option[FitFn] = None): DataFrame = {
+          fit: Option[FitFn] = None,
+          requirePosSurvives: Boolean = false): DataFrame = {
     val spark = kb.spark
     val n = math.max(1, (kb.nodes.count() * fraction).toInt)
     // full-graph encodings and scores are iteration-independent
@@ -74,6 +82,12 @@ object EvalTable {
         val sampled = sampler.sample(n).cache()
         // fit on the sampled graph with the trimmed LP
         val trimmed = LpJson.restrictToSample(lp, sampled, seed + i)
+        if (requirePosSurvives) {
+          val posSet = lp.pos.toSet
+          require(trimmed.pos.exists(posSet),
+            s"sample iteration $i of '$lpName' dropped every positive " +
+              "(empty-pos fallback engaged) — not representable by the SQL oracle")
+        }
         val elpS = LearningProblem.encode(kb = sampled, lp = trimmed, seed = seed + i)
         val (winName, winCe) = fit match {
           case Some(f) => f(sampled, elpS)

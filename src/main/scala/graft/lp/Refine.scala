@@ -3,6 +3,36 @@ package graft.lp
 import graft.core.Tbox
 import graft.expr._
 
+/** Opt-in dialect extensions for [[Refine]] — the CELOE-style operator
+  * switches (the full ontolearn's ModifiedCELOERefinement exposes the same
+  * knobs as use_negation / use_card_restrictions / use_data_properties /
+  * use_inverse; the defaults keep ρ on the object ⊓/∃/∀ core so existing
+  * search traces are unchanged).
+  *
+  *  - `negation`: ¬L atoms for every hierarchy LEAF (the most general
+  *    negations — ¬L ⊒ ¬C for C ⊒ L); ρ(¬A) walks to ¬parent(A) (downward:
+  *    B ⊒ A ⇒ ¬B ⊑ ¬A).
+  *  - `cardinality`: ≥2 r.⊤ atoms per most-general role; ρ tightens n by 1
+  *    up to `maxCardN` and refines the filler.
+  *  - `inverse`: ∃r⁻.⊤ atoms (knowledge_base.py:902-922 inverse
+  *    existential generators); fillers refine.
+  *  - `boolProps`: ∃p.{true} / ∃p.{false} atoms per boolean data property
+  *    (feed from Kb.mostGeneralBooleanDataProperties).
+  *  - `dataSplits`: per numeric property, an ASCENDING threshold ladder;
+  *    atoms are the most general restrictions ∃p.(>= first) and
+  *    ∃p.(<= last), and ρ tightens one rung at a time (the value-splitter
+  *    pattern of CELOE's data-property refinement). Splits are caller
+  *    supplied — precomputed rungs are the 100-TB path (see
+  *    [[Refine.splitsFor]] for the exact driver-bounded helper).
+  */
+final case class RefineConfig(
+    negation: Boolean = false,
+    cardinality: Boolean = false,
+    maxCardN: Int = 5,
+    inverse: Boolean = false,
+    boolProps: Seq[String] = Nil,
+    dataSplits: Map[String, Seq[Double]] = Map.empty)
+
 /** Deterministic top-down refinement operator ρ over the engine's Tbox,
   * modeled on the published downward refinement operators for description
   * logics (Lehmann & Hitzler, "Concept learning in description logics
@@ -14,9 +44,13 @@ import graft.expr._
   * and fully deterministic (every enumeration sorted).
   *
   *   ρ(⊤)      = hierarchy roots ∪ { ∃r.⊤ | r most-general object role }
+  *               ∪ the [[RefineConfig]] atom groups
   *   ρ(A)      = direct subclasses of A ∪ conj(A)
+  *   ρ(¬A)     = { ¬B | B direct parent of A } ∪ conj(¬A)
   *   ρ(∃r.C)   = { ∃r.C' | C' ∈ ρ(C) } ∪ conj(∃r.C)
   *   ρ(∀r.C)   = { ∀r.C' | C' ∈ ρ(C) } ∪ conj(∀r.C)
+  *   ρ(≥n r.C) = ≥n+1 r.C ∪ { ≥n r.C' | C' ∈ ρ(C) } ∪ conj(·)
+  *   ρ(∃p.(>= v)) = next rung up; ρ(∃p.(<= v)) = next rung down
   *   ρ(C1⊓…⊓Cn) = refine one conjunct ∪ conj(·)
   *   conj(C)   = { C ⊓ a | a atomic, a ≠ C }     (canonicalized ⊓)
   *
@@ -24,13 +58,26 @@ import graft.expr._
   * syntactic permutations collapse to one tree node; every output is
   * length-capped at `maxLen` (concept_len, knowledge_base.py:512-524).
   */
-final class Refine(tbox: Tbox, maxLen: Int = 7) {
+final class Refine(tbox: Tbox, maxLen: Int = 7,
+                   config: RefineConfig = RefineConfig()) {
 
   /** atomic refinements of ⊤: most-general named classes + most-general
-    * existential restrictions (knowledge_base.py:750,864-880 shapes). */
-  val atomics: Seq[ClassExpr] =
+    * existential restrictions (knowledge_base.py:750,864-880 shapes) +
+    * the config's opt-in atom groups, each enumerated in sorted order. */
+  val atomics: Seq[ClassExpr] = {
+    val roles = tbox.mostGeneralObjectProps.map(_.prop).sorted
     tbox.rootClasses.map(Named(_): ClassExpr) ++
-      tbox.mostGeneralObjectProps.map(_.prop).sorted.map(p => Exists(p, Top): ClassExpr)
+      roles.map(p => Exists(p, Top): ClassExpr) ++
+      (if (config.negation) tbox.leafClasses().map(c => Not(Named(c)): ClassExpr) else Nil) ++
+      (if (config.cardinality) roles.map(p => MinCard(2, p, Top): ClassExpr) else Nil) ++
+      (if (config.inverse) roles.map(p => ExistsInverse(p, Top): ClassExpr) else Nil) ++
+      config.boolProps.sorted.flatMap(p =>
+        Seq(DataBoolHasValue(p, value = true), DataBoolHasValue(p, value = false))) ++
+      config.dataSplits.toSeq.sortBy(_._1).flatMap { case (p, vs) =>
+        if (vs.isEmpty) Nil
+        else Seq(DataCompare(p, ">=", vs.min), DataCompare(p, "<=", vs.max))
+      }
+  }
 
   private def mkAnd(cs: Seq[ClassExpr]): ClassExpr = {
     val flat = cs.flatMap { case And(xs) => xs; case x => Seq(x) }
@@ -44,21 +91,43 @@ final class Refine(tbox: Tbox, maxLen: Int = 7) {
   /** canonical form: conjunctions flattened/deduped/render-sorted, applied
     * recursively through restriction fillers */
   private def norm(c: ClassExpr): ClassExpr = c match {
-    case And(cs)      => mkAnd(cs.map(norm))
-    case Or(cs)       => Or(cs.map(norm))
-    case Not(x)       => Not(norm(x))
-    case Exists(r, f) => Exists(r, norm(f))
-    case ForAll(r, f) => ForAll(r, norm(f))
-    case other        => other
+    case And(cs)             => mkAnd(cs.map(norm))
+    case Or(cs)              => Or(cs.map(norm))
+    case Not(x)              => Not(norm(x))
+    case Exists(r, f)        => Exists(r, norm(f))
+    case ForAll(r, f)        => ForAll(r, norm(f))
+    case MinCard(n, r, f)    => MinCard(n, r, norm(f))
+    case MaxCard(n, r, f)    => MaxCard(n, r, norm(f))
+    case ExactCard(n, r, f)  => ExactCard(n, r, norm(f))
+    case ExistsInverse(r, f) => ExistsInverse(r, norm(f))
+    case ForAllInverse(r, f) => ForAllInverse(r, norm(f))
+    case other               => other
   }
+
+  /** next rung strictly above / below `v` in the property's split ladder */
+  private def rungUp(p: String, v: Double): Option[Double] =
+    config.dataSplits.getOrElse(p, Nil).filter(_ > v).minOption
+  private def rungDown(p: String, v: Double): Option[Double] =
+    config.dataSplits.getOrElse(p, Nil).filter(_ < v).maxOption
 
   def apply(ce0: ClassExpr): Seq[ClassExpr] = {
     val ce = norm(ce0)
     val refs: Seq[ClassExpr] = ce match {
       case Top          => atomics
       case Named(c)     => tbox.directSubClassesOf(c).map(Named(_): ClassExpr) ++ conj(ce)
+      // downward: B ⊒ A ⇒ ¬B ⊑ ¬A, so ¬A walks to the negated parents
+      case Not(Named(c)) => tbox.directParentsOf(c).map(p => Not(Named(p)): ClassExpr) ++ conj(ce)
       case Exists(r, f) => this(f).map(Exists(r, _)) ++ conj(ce)
       case ForAll(r, f) => this(f).map(ForAll(r, _)) ++ conj(ce)
+      case MinCard(n, r, f) =>
+        (if (n < config.maxCardN) Seq(MinCard(n + 1, r, f)) else Nil) ++
+          this(f).map(MinCard(n, r, _)) ++ conj(ce)
+      case ExistsInverse(r, f) => this(f).map(ExistsInverse(r, _)) ++ conj(ce)
+      case ForAllInverse(r, f) => this(f).map(ForAllInverse(r, _)) ++ conj(ce)
+      case DataCompare(p, ">=", v) =>
+        rungUp(p, v).map(DataCompare(p, ">=", _)).toSeq ++ conj(ce)
+      case DataCompare(p, "<=", v) =>
+        rungDown(p, v).map(DataCompare(p, "<=", _)).toSeq ++ conj(ce)
       case And(cs) =>
         cs.indices.flatMap(i => this(cs(i)).map(r => mkAnd(cs.updated(i, r)))) ++ conj(ce)
       case other        => conj(other)
@@ -71,6 +140,31 @@ final class Refine(tbox: Tbox, maxLen: Int = 7) {
     refs.filter(c => ClassExpr.length(c) <= maxLen)
       .filterNot(c => ClassExpr.render(c) == self)
       .distinctBy(ClassExpr.render).sortBy(ClassExpr.render)
+  }
+}
+
+object Refine {
+  /** Exact rank-based k-quantile split ladder for a numeric data property:
+    * the elements of the ASCENDING sorted distinct-value sequence at
+    * indices floor(i·m/k), i = 1..k−1. Rank-based (no interpolation), so
+    * any SQL engine reproduces the exact rung values. Each rung is a
+    * TakeOrdered-limit + max — never a full value collect; cost is one
+    * distinct + k jobs, driver-bounded. At 100-TB scale precompute the
+    * ladder offline (or from approx quantiles, accepting drift) and hand
+    * it to [[RefineConfig.dataSplits]] — ρ only ever reads the ladder. */
+  def splitsFor(kb: graft.core.Kb, prop: String, k: Int): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    val dv = kb.attrs.filter(col("prop") === prop)
+      .select(col("lexical").cast("double").as("v"))
+      .filter(col("v").isNotNull).distinct().cache()
+    try {
+      val m = dv.count()
+      (1 until k).map(i => (i * m / k).toInt).distinct
+        .filter(idx => idx >= 0 && idx < m).map { idx =>
+          dv.orderBy(col("v")).limit(idx + 1)
+            .agg(max(col("v"))).collect()(0).getDouble(0)
+        }
+    } finally dv.unpersist()
   }
 }
 
@@ -93,17 +187,19 @@ object Learner {
 
   def fit(kb: graft.core.Kb, elp: EncodedLp, metric: Metric = F1,
           heuristic: LblNode => Double = _.quality,
-          maxIterations: Int = 20, maxLen: Int = 7, topN: Int = 3): FitResult = {
-    val rho = new Refine(kb.tbox, maxLen)
+          maxIterations: Int = 20, maxLen: Int = 7, topN: Int = 3,
+          config: RefineConfig = RefineConfig()): FitResult = {
+    val rho = new Refine(kb.tbox, maxLen, config)
     val tree = new SearchTreePriorityQueue(kb, elp, metric, heuristic)
     val root = tree.addRoot(graft.expr.Top)
     var goal = root.quality == 1
     val expanded = scala.collection.mutable.Set.empty[ClassExpr]
+    var exhausted = false
     var it = 0
-    while (!goal && it < maxIterations) {
+    while (!goal && !exhausted && it < maxIterations) {
       tree.nodes.values.filterNot(n => expanded(n.concept)).toSeq
         .sortBy(n => (-n.heuristic, n.render)).headOption match {
-        case None => it = maxIterations // frontier exhausted
+        case None => exhausted = true // frontier exhausted: true count stands
         case Some(n) =>
           it += 1
           expanded += n.concept

@@ -121,16 +121,21 @@ final class SearchTreePriorityQueue(
     ces.map { ce =>
       nodes.get(ce) match {
         case Some(existing) if !existing.parent.contains(parent) =>
-          // seen via another parent: better heuristic ⇒ re-parent + re-push
+          // seen via another parent: better heuristic ⇒ re-parent + re-push.
+          // The candidate parent is swapped IN before re-scoring — a
+          // parent-dependent (gain-style) heuristic must evaluate against
+          // the prospective parent, not the old one — and restored when the
+          // score doesn't improve.
           val old = existing.heuristic
+          val prevParent = existing.parent
+          existing.parent = Some(parent)
           val renewed = heuristic(existing)
           if (renewed > old) {
             existing.heuristic = renewed
-            existing.parent.foreach(_.removeChild(existing))
-            existing.parent = Some(parent)
+            prevParent.foreach(_.removeChild(existing))
             parent.addChild(existing)
             push(existing)
-          }
+          } else existing.parent = prevParent
           None
         case Some(_) => None // duplicate under the same parent: no-op
         case None =>

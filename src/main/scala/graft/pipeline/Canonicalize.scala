@@ -32,6 +32,48 @@ object Canonicalize {
     entComp.join(canon, Seq("component")).select(col("id").as("entity_id"), col("canonical"))
   }
 
+  /** Broadcast-vs-shuffle gate (north_rule: skew handled explicitly).
+    * Dictionary-scale catalogs broadcast; above `broadcastMaxRows` the hint
+    * would ship a web-scale catalog (10⁸+ entities) to the driver and every
+    * executor, so the join falls back to a SALTED shuffle-hash join — see
+    * [[saltedMapJoin]]. */
+  val DefaultBroadcastMaxRows: Long = 20L * 1000 * 1000
+  /** Salt fan-out for the big-catalog path. */
+  val DefaultSaltBuckets: Int = 8
+
+  /** Inner-join `df` to a unique-keyed map (`entity_id` → `canonical`,
+    * renamed to `key`/`out`), catalog-size-gated:
+    *
+    *  - ≤ `broadcastMaxRows`: BroadcastHashJoin (the map is the build side).
+    *  - above: SALTED ShuffledHashJoin. The map side is replicated
+    *    ×`saltBuckets` and the fact side computes a deterministic per-row
+    *    salt, so a head entity's rows (north_rule's skew case: a handful of
+    *    canonical ids dominating the triple stream) spread over
+    *    `saltBuckets` shuffle partitions instead of hot-spotting one. The
+    *    map key is unique per row, so replication is safe (each fact row
+    *    still matches exactly once) and costs |map|·saltBuckets — linear.
+    *    SHUFFLE_HASH keeps Spark from sort-merging the fact stream.
+    */
+  def saltedMapJoin(df: DataFrame, map: DataFrame, key: String, out: String,
+                    broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+                    saltBuckets: Int = DefaultSaltBuckets,
+                    mapRows: Option[Long] = None): DataFrame = {
+    val m = map.select(col("entity_id").as(key), col("canonical").as(out))
+    val rows = mapRows.getOrElse(map.count())
+    if (rows <= broadcastMaxRows) df.join(broadcast(m), Seq(key))
+    else {
+      // deterministic row salt from the non-key columns (identical rows
+      // collide, which only affects balance, never results)
+      val others = df.columns.filterNot(_ == key).map(col)
+      val salted = df.withColumn("__salt",
+        pmod(xxhash64(struct(others.toIndexedSeq: _*)), lit(saltBuckets)).cast("int"))
+      val replicated = m.withColumn("__salt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+      salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+        .drop("__salt")
+    }
+  }
+
   /** MinHash-LSH-blocked canonicalization (north_star: "canonicalizes
     * entities with MinHash-LSH blocking + connected-components") for FUZZY
     * alias catalogs — name variants that share no exact normalization key
@@ -47,15 +89,23 @@ object Canonicalize {
     * Exact-key and fuzzy blocking compose: pass `alsoExactKey = true` to
     * union the [[canonicalMap]] key edges (catalogs usually want both). */
   def fuzzyCanonicalMap(aliases: DataFrame, threshold: Double,
-                        alsoExactKey: Boolean = false): DataFrame = {
-    val resolved = graft.pipeline.Link.resolveAliases(aliases)
+                        alsoExactKey: Boolean = false,
+                        broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
+    val resolved = graft.pipeline.Link.resolveAliases(aliases).localCheckpoint(true)
     val surfaceCorpus = resolved.select(col("surface").as("doc_id"), col("surface").as("text"))
     val pairs = graft.dedup.Dedup.minhashLsh(surfaceCorpus, threshold)
     val entOf = resolved.select(col("surface"), col("entity_id"))
+    // surface → entity attachment, size-gated like the canonical-map joins:
+    // broadcast while the alias table is dictionary-scale, shuffle-hash
+    // when it is web-scale (the candidate-pair side is bucketed-linear, so
+    // a pair shuffle on the surface key stays proportional to the blocking
+    // output, never all-pairs)
+    val big = resolved.count() > broadcastMaxRows
+    def gate(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else broadcast(df)
     val fuzzyEdges = pairs
-      .join(broadcast(entOf.withColumnRenamed("surface", "a")
+      .join(gate(entOf.withColumnRenamed("surface", "a")
         .withColumnRenamed("entity_id", "src")), Seq("a"))
-      .join(broadcast(entOf.withColumnRenamed("surface", "b")
+      .join(gate(entOf.withColumnRenamed("surface", "b")
         .withColumnRenamed("entity_id", "dst")), Seq("b"))
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
@@ -77,17 +127,24 @@ object Canonicalize {
     mapped.unionAll(singletons)
   }
 
-  /** Rewrite linked triples onto canonical ids. The canonical map is
-    * entity-catalog-sized; broadcast. `keep` passes extra columns through
-    * (streaming callers keep their event-time column). */
+  /** Rewrite linked triples onto canonical ids. `keep` passes extra columns
+    * through (streaming callers keep their event-time column).
+    *
+    * The canonical map is materialized once (localCheckpoint — both joins
+    * reuse it instead of re-running connected components) and counted; the
+    * joins then go through the size-gated [[saltedMapJoin]]: broadcast for
+    * dictionary-scale catalogs, salted shuffle-hash for web-scale ones
+    * (an unconditional broadcast hint would force a driver-killing build
+    * at 10⁸+ entities regardless of AQE/statistics). */
   def apply(linked: DataFrame, aliases: DataFrame,
-            keep: Seq[String] = Nil): DataFrame = {
-    val canon = canonicalMap(aliases)
-    linked
-      .join(broadcast(canon.withColumnRenamed("entity_id", "subj_id")
-        .withColumnRenamed("canonical", "subj")), Seq("subj_id"))
-      .join(broadcast(canon.withColumnRenamed("entity_id", "obj_id")
-        .withColumnRenamed("canonical", "obj")), Seq("obj_id"))
+            keep: Seq[String] = Nil,
+            broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+            saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
+    val canon = canonicalMap(aliases).localCheckpoint(true)
+    val rows = Some(canon.count())
+    val subj = saltedMapJoin(linked, canon, "subj_id", "subj",
+      broadcastMaxRows, saltBuckets, rows)
+    saltedMapJoin(subj, canon, "obj_id", "obj", broadcastMaxRows, saltBuckets, rows)
       .select(keep.map(col) :+ col("subj") :+ col("pred") :+ col("obj"): _*)
   }
 }

@@ -120,7 +120,8 @@ object CeQueries {
         Seq(("cust_n1n2", Lp(pos, neg), evalTablePool)),
         Seq("RandomNodeSampler"),
         fraction = 0.10, iterations = 2,
-        keyed = Some(TpchKg.nodesWithKey(s, d)))
+        keyed = Some(TpchKg.nodesWithKey(s, d)),
+        requirePosSurvives = true)
     }),
     // T1 best-hypotheses: score a candidate pool with F1 against an LP,
     // return get_top_n(3, 'quality') (reference search.py:620-638)
@@ -192,7 +193,8 @@ object CeQueries {
         Seq("RandomNodeSampler"),
         fraction = 0.10, iterations = 2,
         keyed = Some(TpchKg.nodesWithKey(s, d)),
-        fit = Some(recording))
+        fit = Some(recording),
+        requirePosSurvives = true)
       require(winners.toSeq == Seq("Agent", "Agent"),
         s"unexpected learner winners: $winners")
       out
@@ -215,6 +217,37 @@ object CeQueries {
       val fit = Learner.fit(kb, elp)
       require(fit.goalFound && fit.iterations == 2,
         s"unexpected search trace: goal=${fit.goalFound} iters=${fit.iterations}")
+      s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
+        .toDF("concept", "quality", "len")
+    }),
+    // the refinement learner with the FULL dialect switched on
+    // (RefineConfig: negation, cardinality, inverse roles, boolean data
+    // properties from the F13 typed enumerator, and an explicit numeric
+    // split ladder): LP pos = urgent orders / neg = the other orders. The
+    // deterministic trace: ⊤ scores 2P/(P+1) < 1, iteration 1 expands it,
+    // and the atom batch contains ∃urgent.{true} — the goal (its retrieval
+    // IS the positive set). The search registers ⊤ plus every non-weak
+    // atom; the oracle recomputes all 30 candidates' F1 from the base
+    // tables, filters quality > 0 (the weak-rejection rule), and applies
+    // the same (quality desc, render) top-3 — so every new dialect form's
+    // score, the weak-node behavior, and the tie-break order are all
+    // driver-verified.
+    "lp_refine_fit_data" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val urgent = kb.attrs.filter(col("prop") === "urgent")
+      val pos = urgent.filter(col("lexical") === "true")
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val neg = urgent.filter(col("lexical") === "false")
+        .select("node").collect().map(_.getString(0)).toSeq.sorted
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val cfg = RefineConfig(negation = true, cardinality = true, inverse = true,
+        boolProps = kb.booleanDataProperties,
+        dataSplits = Map("totalprice" -> Seq(100000.0)))
+      val fit = Learner.fit(kb, elp, config = cfg)
+      require(fit.goalFound && fit.iterations == 1 &&
+        fit.best.head.render == "∃urgent.{true}",
+        s"unexpected search trace: goal=${fit.goalFound} iters=${fit.iterations} " +
+          s"best=${fit.best.headOption.map(_.render)}")
       s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
         .toDF("concept", "quality", "len")
     }),
@@ -530,6 +563,60 @@ object CeQueries {
       TpchKgSql.withKg(
         s"""pos AS (SELECT node AS id FROM types WHERE cls = 'Supplier'),
            |neg AS (SELECT node AS id FROM types WHERE cls = 'Customer'),
+           |scored AS (
+           |$rows)
+           |SELECT concept, quality, len FROM (
+           |  SELECT concept, CASE WHEN tp = 0 THEN 0.0
+           |    ELSE ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+           |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality,
+           |    len FROM scored) q
+           |WHERE quality > 0
+           |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
+    },
+    // full-dialect learner mirror: ⊤ plus ALL 29 atoms of the extended
+    // ρ(⊤) (4 roots, 5 ∃r.⊤, 6 ¬leaf, 5 ≥2 r.⊤, 5 ∃r⁻.⊤, 2 boolean
+    // hasValue, 2 numeric-split compares), each F1-scored from the base
+    // tables; WHERE quality > 0 reproduces weak-node rejection and the
+    // top-3 applies the engine's (quality desc, render) tiebreak
+    "lp_refine_fit_data" -> {
+      def cand(name: String, len: Int, ret: String) =
+        s"""SELECT '$name' AS concept, CAST($len AS INT) AS len,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fp""".stripMargin
+      val placeClosure = TpchKg.tbox.subClassesOf("Place").toSeq.sorted
+      def cls(c: String) = s"SELECT node AS id FROM types WHERE cls = '$c'"
+      def clsIn(cs: Seq[String]) = s"SELECT node AS id FROM types WHERE cls IN ${inList(cs)}"
+      def notCls(c: String) = s"SELECT id FROM nodes EXCEPT SELECT node FROM types WHERE cls = '$c'"
+      def existsTop(r: String) = s"SELECT DISTINCT src AS id FROM edges WHERE pred = '$r'"
+      def minCard2(r: String) =
+        s"SELECT src AS id FROM edges WHERE pred = '$r' GROUP BY src HAVING COUNT(*) >= 2"
+      def invTop(r: String) = s"SELECT DISTINCT dst AS id FROM edges WHERE pred = '$r'"
+      def boolHas(v: String) =
+        s"SELECT DISTINCT node AS id FROM attrs WHERE prop = 'urgent' AND lexical = '$v'"
+      def priceCmp(op: String) =
+        s"SELECT DISTINCT node AS id FROM attrs WHERE prop = 'totalprice' AND CAST(lexical AS DOUBLE) $op 100000.0"
+      val roles = Seq("contains", "inNation", "inRegion", "placedBy", "suppliedBy")
+      val leaves = Seq("Customer", "Nation", "Order", "Part", "Region", "Supplier")
+      val rows = (Seq(
+        cand("⊤", 1, "SELECT id FROM nodes"),
+        cand("Agent", 1, clsIn(agentClosure)),
+        cand("Order", 1, cls("Order")),
+        cand("Part", 1, cls("Part")),
+        cand("Place", 1, clsIn(placeClosure))) ++
+        roles.map(r => cand(s"∃$r.⊤", 3, existsTop(r))) ++
+        leaves.map(c => cand(s"¬$c", 2, notCls(c))) ++
+        roles.map(r => cand(s"≥2 $r.⊤", 4, minCard2(r))) ++
+        roles.map(r => cand(s"∃$r⁻.⊤", 4, invTop(r))) ++
+        Seq(
+          cand("∃urgent.{true}", 3, boolHas("true")),
+          cand("∃urgent.{false}", 3, boolHas("false")),
+          cand("∃totalprice.(>= 100000.0)", 3, priceCmp(">=")),
+          cand("∃totalprice.(<= 100000.0)", 3, priceCmp("<="))))
+        .mkString("\nUNION ALL\n")
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT node AS id FROM attrs WHERE prop = 'urgent' AND lexical = 'true'),
+           |neg AS (SELECT node AS id FROM attrs WHERE prop = 'urgent' AND lexical = 'false'),
            |scored AS (
            |$rows)
            |SELECT concept, quality, len FROM (

@@ -53,42 +53,25 @@ object SamplerQueries {
         (min(col("pr")) > 0.0).as("positive"))
     }))
 
-  /** Run a representative sampler set; emit the reference-test invariants
-    * as booleans (constant oracle). */
+  /** Run ALL 20 registry samplers (Samplers.allNames — the reference's full
+    * exported surface); emit the reference-test invariants as booleans
+    * (constant oracle). The prioritized walkers share ONE 10-sweep rank
+    * table (prIterations' convergence is not what these rows exercise; the
+    * weighted pick distribution is), and the RandomEdge engine may land on
+    * n+1 nodes (an edge adds two endpoints — the reference's own tests
+    * allow the same slack). */
   private def invariants(s: SparkSession, d: String): DataFrame = {
     val kb = TpchKg.load(s, d).cache()
     val lp = lpOf(s, d)
     val n = 25
     val pr10 = PageRank.compute(kb, iterations = 10).localCheckpoint(true)
-    val configs: Seq[(String, GraphSampler, Boolean)] = Seq( // (name, sampler, reAllowed+1)
-      ("RandomNodeSampler", new RandomNodeSampler(kb, Seed), false),
-      ("RandomEdgeSampler", new RandomEdgeSampler(kb, Seed), true),
-      ("RandomWalkSampler", new WalkSampler(kb, Seed), false),
-      ("RandomWalkerJumpsSampler", new WalkSampler(kb, Seed, jumpProb = Some(0.1)), false),
-      ("ForestFireSampler", new ForestFireSampler(kb, Seed), false),
-      ("RandomNodeSamplerLPCentralized", new RandomNodeSampler(kb, Seed, lpSeeds = lp, lpc = true), false),
-      ("RandomEdgeSamplerLPFirst", new RandomEdgeSampler(kb, Seed, lpSeeds = lp), true),
-      ("RandomWalkerJumpsSamplerLPCentralized",
-        new WalkSampler(kb, Seed, jumpProb = Some(0.1), lpSeeds = lp, lpc = true), false),
-      ("ForestFireSamplerLPCentralized", new ForestFireSampler(kb, Seed, lpSeeds = lp), false),
-      // the prioritized (PageRank-weighted pick) walkers — prIterations=10
-      // keeps the gate cheap (the pick distribution, not convergence, is
-      // what these rows exercise) and the identical 10-sweep rank table is
-      // computed ONCE and shared by all four configs
-      ("RandomWalkerWithPrioritizationSampler",
-        new WalkSampler(kb, Seed, prioritized = true, prRanks = Some(pr10)), false),
-      ("RandomWalkerJumpsWithPrioritizationSampler",
-        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true,
-          prRanks = Some(pr10)), false),
-      ("RandomWalkerWithPrioritizationSamplerLPFirst",
-        new WalkSampler(kb, Seed, prioritized = true, lpSeeds = lp,
-          prRanks = Some(pr10)), false),
-      ("RandomWalkerJumpsWithPrioritizationSamplerLPCentralized",
-        new WalkSampler(kb, Seed, jumpProb = Some(0.1), prioritized = true,
-          lpSeeds = lp, lpc = true, prRanks = Some(pr10)), false))
     val lpDf = s.createDataset(lp)(org.apache.spark.sql.Encoders.STRING).toDF("id")
-    val rows = configs.map { case (name, sampler, plusOneAllowed) =>
-      val sampled = sampler.sample(n)
+    val rows = Samplers.allNames.map { name =>
+      val plusOneAllowed = name.startsWith("RandomEdge")
+      val sampled = Samplers
+        .byName(name, kb, lp = if (name.contains("LP")) lp else Nil,
+          seed = Seed, prRanks = Some(pr10))
+        .sample(n)
       val cnt = sampled.nodes.count()
       val countOk = cnt == n || (plusOneAllowed && cnt == n + 1)
       val lpRetained =
@@ -141,21 +124,11 @@ object SamplerQueries {
          |  WHERE node IN (SELECT id FROM sample) GROUP BY node) c""".stripMargin,
       inCte = true),
     "smp_invariants" ->
-      """SELECT * FROM (VALUES
-        |  ('RandomNodeSampler', TRUE, TRUE, TRUE),
-        |  ('RandomEdgeSampler', TRUE, TRUE, TRUE),
-        |  ('RandomWalkSampler', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerJumpsSampler', TRUE, TRUE, TRUE),
-        |  ('ForestFireSampler', TRUE, TRUE, TRUE),
-        |  ('RandomNodeSamplerLPCentralized', TRUE, TRUE, TRUE),
-        |  ('RandomEdgeSamplerLPFirst', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerJumpsSamplerLPCentralized', TRUE, TRUE, TRUE),
-        |  ('ForestFireSamplerLPCentralized', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerWithPrioritizationSampler', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerJumpsWithPrioritizationSampler', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerWithPrioritizationSamplerLPFirst', TRUE, TRUE, TRUE),
-        |  ('RandomWalkerJumpsWithPrioritizationSamplerLPCentralized', TRUE, TRUE, TRUE)
-        |) t(sampler, count_ok, lp_ok, edges_ok)""".stripMargin,
+      ("""SELECT * FROM (VALUES
+        |""".stripMargin +
+        graft.sample.Samplers.allNames
+          .map(n => s"  ('$n', TRUE, TRUE, TRUE)").mkString(",\n") +
+        "\n) t(sampler, count_ok, lp_ok, edges_ok)"),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
 }

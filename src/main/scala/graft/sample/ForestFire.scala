@@ -109,10 +109,24 @@ final class ForestFireSampler(
         val g = Determinism.detGeometric(p, seed + 17 * round, col("src"))
         val w = Window.partitionBy(col("src"))
           .orderBy(Determinism.detHash(seed + 19 * round, col("src"), col("dst")), col("dst"))
-        val next = neighbors
+        // burned-set filter: IN-list while small (single bucket-pruned scan,
+        // no broadcast build/cleanup jobs — what keeps small draws
+        // job-latency-bound), but an IN-list embeds an O(|burned|) literal
+        // set in EVERY round's plan — O(rounds·n) cumulative driver /
+        // plan-serialization work. Above the threshold (large draws, e.g.
+        // a 10%-of-KB EvalTable sample) switch to a broadcast anti-join:
+        // one broadcast of the burned ids per round, plan size O(1).
+        val candidates = neighbors
           .filter(col("bkt").isInCollection(frontierBuckets) &&
-            col("src").isInCollection(frontier.map(_._1)) &&
-            !col("dst").isInCollection(burned.toSeq))
+            col("src").isInCollection(frontier.map(_._1)))
+        val unburnt =
+          if (burned.size <= ForestFireSampler.BurnedInListMax)
+            candidates.filter(!col("dst").isInCollection(burned.toSeq))
+          else
+            candidates.join(
+              broadcast(spark.createDataset(burned.toSeq)(strEnc).toDF("dst")),
+              Seq("dst"), "left_anti")
+        val next = unburnt
           // pre-partition the (tiny) candidate set on the window key with 8
           // partitions: the window reuses this distribution instead of a
           // 32-partition default exchange — 24 fewer sub-ms tasks per round
@@ -156,4 +170,10 @@ final class ForestFireSampler(
     Samplers.checkInput(kb.nodes.count(), n, dpp)
     Samplers.finalizeSample(kb, draw(n), dpp, seed)
   }
+}
+
+object ForestFireSampler {
+  /** Max burned-set size embedded as a per-round IN-list before switching
+    * to a broadcast anti-join (see the burn loop). */
+  val BurnedInListMax: Int = 4096
 }

@@ -40,11 +40,21 @@ object PageRank {
     * AQE skew-splitting. */
   def compute(kb: Kb, d: Double = 0.15, iterations: Int = 100,
               checkpointEvery: Int = 10, adaptive: Boolean = false): DataFrame = {
-    val spark = kb.spark
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", adaptive.toString)
-    try computeInner(kb, d, iterations, checkpointEvery)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    import org.apache.spark.sql.graftshim.GraftSessions
+    // The AQE choice is scoped to a CLONED session (shared SparkContext and
+    // cache, isolated SQLConf) instead of toggling the caller's session
+    // conf: queries running concurrently on the caller's session (e.g.
+    // ForestFire's warmup Future) keep their own AQE setting, and two
+    // concurrent compute() calls cannot restore each other's stale values.
+    val caller = kb.spark
+    val scoped = GraftSessions.cloneWithConf(caller,
+      "spark.sql.adaptive.enabled" -> adaptive.toString)
+    val kbScoped = kb.copy(
+      nodes = GraftSessions.bind(kb.nodes, scoped),
+      edges = GraftSessions.bind(kb.edges, scoped))
+    // the result is a localCheckpointed RDD-backed plan; rebind it to the
+    // caller's session so downstream planning sees the caller's conf
+    GraftSessions.bind(computeInner(kbScoped, d, iterations, checkpointEvery), caller)
   }
 
   private def computeInner(kb: Kb, d: Double, iterations: Int,

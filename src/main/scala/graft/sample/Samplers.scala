@@ -106,14 +106,16 @@ object Samplers {
     * name. LP-first / LP-centralized variants are policy configurations of
     * the four engines (SURVEY §2.5 R8-R20). */
   def byName(name: String, kb: Kb, lp: Seq[String] = Nil, seed: Long = 42L,
-             keyed: Option[DataFrame] = None): GraphSampler = name match {
+             keyed: Option[DataFrame] = None,
+             prRanks: Option[DataFrame] = None): GraphSampler = name match {
     case "RandomNodeSampler" => new RandomNodeSampler(kb, seed, keyed)
     case "RandomEdgeSampler" => new RandomEdgeSampler(kb, seed, keyed)
     case "RandomWalkSampler" => new WalkSampler(kb, seed)
     case "RandomWalkerJumpsSampler" => new WalkSampler(kb, seed, jumpProb = Some(0.1))
-    case "RandomWalkerWithPrioritizationSampler" => new WalkSampler(kb, seed, prioritized = true)
+    case "RandomWalkerWithPrioritizationSampler" =>
+      new WalkSampler(kb, seed, prioritized = true, prRanks = prRanks)
     case "RandomWalkerJumpsWithPrioritizationSampler" =>
-      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true)
+      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true, prRanks = prRanks)
     case "ForestFireSampler" => new ForestFireSampler(kb, seed)
     // LP-first (lpf_samplers.py): seed/prefer LP nodes
     case "RandomNodeSamplerLPFirst" => new RandomNodeSampler(kb, seed, keyed, lpSeeds = lp)
@@ -121,9 +123,10 @@ object Samplers {
     case "RandomWalkSamplerLPFirst" => new WalkSampler(kb, seed, lpSeeds = lp)
     case "RandomWalkerJumpsSamplerLPFirst" => new WalkSampler(kb, seed, jumpProb = Some(0.1), lpSeeds = lp)
     case "RandomWalkerWithPrioritizationSamplerLPFirst" =>
-      new WalkSampler(kb, seed, prioritized = true, lpSeeds = lp)
+      new WalkSampler(kb, seed, prioritized = true, lpSeeds = lp, prRanks = prRanks)
     case "RandomWalkerJumpsWithPrioritizationSamplerLPFirst" =>
-      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true, lpSeeds = lp)
+      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true, lpSeeds = lp,
+        prRanks = prRanks)
     // LP-centralized (lpc_samplers.py): restrict exploration to LP tiers
     case "RandomNodeSamplerLPCentralized" => new RandomNodeSampler(kb, seed, keyed, lpSeeds = lp, lpc = true)
     case "RandomEdgeSamplerLPCentralized" => new RandomEdgeSampler(kb, seed, keyed, lpSeeds = lp, lpc = true)
@@ -131,9 +134,10 @@ object Samplers {
     case "RandomWalkerJumpsSamplerLPCentralized" =>
       new WalkSampler(kb, seed, jumpProb = Some(0.1), lpSeeds = lp, lpc = true)
     case "RandomWalkerWithPrioritizationSamplerLPCentralized" =>
-      new WalkSampler(kb, seed, prioritized = true, lpSeeds = lp, lpc = true)
+      new WalkSampler(kb, seed, prioritized = true, lpSeeds = lp, lpc = true, prRanks = prRanks)
     case "RandomWalkerJumpsWithPrioritizationSamplerLPCentralized" =>
-      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true, lpSeeds = lp, lpc = true)
+      new WalkSampler(kb, seed, jumpProb = Some(0.1), prioritized = true, lpSeeds = lp,
+        lpc = true, prRanks = prRanks)
     case "ForestFireSamplerLPCentralized" => new ForestFireSampler(kb, seed, lpSeeds = lp)
     case other => throw new IllegalArgumentException(s"unknown sampler $other")
   }

@@ -72,11 +72,15 @@ final class WalkSampler(
       } else Array(nTotal, nTotal, nTotal, nTotal)
 
     // prRanks lets a caller running SEVERAL prioritized samplers over the
-    // same graph compute the (identical) rank table once and share it
+    // same graph compute the (identical) rank table once and share it.
+    // Cached once per draw(): every step probes it with a BROADCAST of the
+    // (tiny) candidate set — the rank table itself never rides a per-step
+    // exchange (it used to SMJ-shuffle in full on every walker step, up to
+    // maxSteps re-shuffles of an O(|V|) table).
     val ranks =
       if (prioritized)
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
-          .select(col("id").as("dst"), col("pr").as("w"))
+          .select(col("id").as("dst"), col("pr").as("w")).cache()
       else null
 
     // walkers: all LP nodes when given; else the first min(walkers, n)
@@ -132,10 +136,15 @@ final class WalkSampler(
           val w = Window.partitionBy(col("walker")).orderBy(pickHash, col("pred"), col("dst"))
           cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
         } else {
-          // weighted choice ∝ pagerank of the neighbor (reference _base.py:96-106)
+          // weighted choice ∝ pagerank of the neighbor (reference _base.py:96-106).
+          // Join direction matters at scale: `cand` (bounded by the frontier's
+          // out-neighborhood — the same set the reference materializes
+          // in memory per step, _base.py:96) is BROADCAST into the cached
+          // rank table, so the O(|V|) ranks side is scanned, never shuffled,
+          // per step — one BHJ probe instead of a full SMJ re-shuffle.
           val ww = Window.partitionBy(col("walker"))
           val wo = ww.orderBy(pickHash, col("pred"), col("dst"))
-          cand.join(ranks, Seq("dst"))
+          ranks.join(broadcast(cand), Seq("dst"))
             .withColumn("cum", sum(col("w")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
             .withColumn("tot", sum(col("w")).over(ww))
             .withColumn("u", Determinism.detRand(seed + 7 * step, col("walker")))
@@ -180,6 +189,7 @@ final class WalkSampler(
 
     nodesIdx.unpersist()
     tiers.unpersist()
+    if (ranks != null) ranks.unpersist()
     // arrival-order trim to exactly n (insertion order of the LinkedHashMap
     // already is (step, walker) order; keep first n)
     val sampled = firstVisit.keysIterator.take(n).toSeq
