@@ -6,11 +6,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * columns with typed metadata extracted via typed mapPartitions (the
   * Scala analog of a batched mapInPandas decode).
   *
-  * The actual codec work is a clearly-marked STUB (no image/audio libs in
-  * this container): `decodeStub` derives deterministic fake dimensions from
-  * the byte payload. The Spark-side plumbing — binary schema, partition-
-  * preserving batch iteration, metadata struct output — is real and tested;
-  * swapping `decodeStub` for a JNI/ImageIO decoder changes no plan shape.
+  * Codec split: payloads the JDK ships an ImageIO reader for (PNG, JPEG,
+  * GIF, BMP — sniffed by magic bytes) are REALLY decoded ([[decode]] reads
+  * dimensions/format from the header via the reader, no full raster
+  * materialization — the right executor-side cost for a metadata pass);
+  * everything else (exotic codecs, audio, video, and the synthetic HTML
+  * corpus the oracle covers) falls through to the clearly-marked
+  * deterministic stub. The Spark-side plumbing — binary schema, partition-
+  * preserving batch iteration, metadata struct output — is identical on
+  * both paths; swapping the stub for a JNI decoder changes no plan shape.
   */
 object Media {
 
@@ -21,6 +25,26 @@ object Media {
   def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
     val n = bytes.length
     (64 + n % 101, 64 + n % 67, if (n % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Real decode via javax.imageio for any format the JDK recognizes:
+    * dimensions come from the image HEADER (reader.getWidth/getHeight —
+    * ImageIO readers parse it lazily, the raster is never decoded), format
+    * from the matched reader. Unrecognized payloads → [[decodeStub]]. */
+  def decode(bytes: Array[Byte]): (Int, Int, String) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(bytes)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
   }
 
   final case class Frame(url: String, frame_idx: Int, byte_offset: Long)
@@ -40,7 +64,7 @@ object Media {
   def apply(pages: DataFrame): Dataset[MediaMeta] = {
     val in = pages.select("url", "html").as[MediaIn](Encoders.product[MediaIn])
     in.mapPartitions(_.map { m =>
-      val (w, h, f) = decodeStub(m.html)
+      val (w, h, f) = decode(m.html)
       MediaMeta(m.url, m.html.length.toLong, w, h, f)
     })(Encoders.product[MediaMeta])
   }

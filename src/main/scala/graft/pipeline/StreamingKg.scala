@@ -44,12 +44,21 @@ object StreamingKg {
 
   /** Drain a bounded pages backlog exactly once (Trigger.AvailableNow) into
     * a parquet sink; returns the sink read back. `dir` must hold a pages
-    * table written as parquet (the file source replays it as a stream). */
+    * table written as parquet (the file source replays it as a stream).
+    *
+    * `aliasesOverride` is the canonical-map REFRESH hook (the
+    * slowly-changing-dimension pattern the stage doc above describes): stop
+    * the query, call again with the updated dictionary and the SAME
+    * checkpoint — the file source resumes from the checkpointed offset, so
+    * only unprocessed pages link/canonicalize under the new dictionary and
+    * nothing already emitted re-emits (StreamingKgSpec's refresh case
+    * proves both). */
   def runAvailableNow(spark: SparkSession, pagesDir: String, outDir: String,
-                      checkpointDir: String, delay: String = "10 minutes"): DataFrame = {
+                      checkpointDir: String, delay: String = "10 minutes",
+                      aliasesOverride: Option[DataFrame] = None): DataFrame = {
     val schema = spark.read.parquet(pagesDir).schema
     val stream = spark.readStream.schema(schema).parquet(pagesDir)
-    val q = triples(stream, Pages.aliases(spark), delay)
+    val q = triples(stream, aliasesOverride.getOrElse(Pages.aliases(spark)), delay)
       .writeStream
       .format("parquet")
       .option("path", outDir)

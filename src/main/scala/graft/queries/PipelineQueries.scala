@@ -44,6 +44,25 @@ object PipelineQueries {
         .agg(sum(col("rows")).as("total_rows"))
     }),
     "fe_media_meta" -> ((s, d) => Media(KgPipeline.run(s, d, ck(d), "pages")).toDF()),
+    // REAL image decode through the same typed-mapPartitions stage:
+    // deterministic PNG/JPEG fixtures (ImageIO-encoded driver-side with
+    // known dimensions) ride the binary column and come back with
+    // header-decoded width/height/format — the oracle pins the exact
+    // dimensions, so a silently-engaged stub (whose fake dims derive from
+    // byte length) hash-mismatches. n_bytes is excluded: encoder output
+    // size is JDK-internal, not portable arithmetic.
+    "fe_media_decode" -> ((s, d) => {
+      val imgs = (0 until 4).map { i =>
+        val (w, h) = (16 + i, 9 + 2 * i)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, if (i % 2 == 0) "png" else "jpg", baos)
+        (s"img://$i", baos.toByteArray)
+      }
+      Media(s.createDataFrame(imgs).toDF("url", "html")).toDF()
+        .select("url", "width", "height", "format")
+    }),
     // the SAME canonical-triple set via the Structured Streaming pipeline:
     // pages parquet replayed as a bounded stream, drained exactly-once with
     // Trigger.AvailableNow into a parquet sink. The 7-day lateness bound
@@ -112,6 +131,13 @@ object PipelineQueries {
          |UNION ALL SELECT 'mentions', CAST(COUNT(*) AS BIGINT) FROM ($mentionsSql) m
          |UNION ALL SELECT 'linked', CAST(COUNT(*) AS BIGINT) FROM ($linkedSql) l
          |UNION ALL SELECT 'triples', CAST(COUNT(*) AS BIGINT) FROM ($triplesSql) t""".stripMargin),
+    "fe_media_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('img://0', CAST(16 AS INT), CAST(9 AS INT), 'png'),
+        |  ('img://1', CAST(17 AS INT), CAST(11 AS INT), 'jpeg'),
+        |  ('img://2', CAST(18 AS INT), CAST(13 AS INT), 'png'),
+        |  ('img://3', CAST(19 AS INT), CAST(15 AS INT), 'jpeg')
+        |) t(url, width, height, format)""".stripMargin,
     "fe_media_meta" -> withDocs(
       s"""SELECT url, CAST(octet_length(encode($htmlSql)) AS BIGINT) AS n_bytes,
          |  CAST(64 + octet_length(encode($htmlSql)) % 101 AS INT) AS width,

@@ -55,6 +55,51 @@ object ExplainAudit {
     // banded embedding LSH near-dup
     show("emb_near_dup")(graft.sim.Ann.nearDupPairs(
       spark.read.parquet(s"$dir/embeddings.parquet"), 0.999))
+    // prioritized walk step (r3 verdict #2): the O(|V|) rank table must be
+    // PROBED via a broadcast of the per-step candidate set — any
+    // `Exchange hashpartitioning(dst…)` here means the rank table
+    // re-shuffles on every walker step
+    locally {
+      import org.apache.spark.sql.functions._
+      val f = spark.createDataset(Seq((0L, "c:1"), (1L, "s:2")))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING)).toDF("walker", "cur")
+      val cand = broadcast(f).join(kb.edges, f("cur") === kb.edges("src"))
+        .select(col("walker"), col("src"), col("pred"), col("dst"))
+      val ranks = graft.sample.PageRank.compute(kb, iterations = 2)
+        .select(col("id").as("dst"), col("pr").as("w"))
+      val step = ranks.join(broadcast(cand), Seq("dst"))
+      println("\n========== walk_prioritized_step (asserted) ==========")
+      step.explain("formatted")
+      val plan = step.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        "prioritized pick must broadcast the candidate set into the rank table")
+      require(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(dst")),
+        "rank table must not re-shuffle per walker step")
+      println("walk_prioritized_step: OK (BHJ probe, no rank-table exchange)")
+    }
+    // canonical-map join gate (r3 verdict #1): above the catalog threshold
+    // the join must be a salted shuffle-hash, never a forced broadcast
+    locally {
+      import org.apache.spark.sql.functions._
+      val linked = spark.createDataset(Seq(
+        ("u1", "entA_12", "bornIn", "city_1"), ("u2", "entB_12", "bornIn", "city_2")))(
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING))
+        .toDF("url", "subj_id", "pred", "obj_id")
+      val gated = graft.pipeline.Canonicalize(linked,
+        graft.pipeline.Pages.aliases(spark), broadcastMaxRows = 1)
+      println("\n========== canonicalize_salted_fallback (asserted) ==========")
+      gated.explain("formatted")
+      val plan = gated.queryExecution.executedPlan.toString
+      require(plan.contains("ShuffledHashJoin"),
+        "big-catalog canonical join must shuffle-hash")
+      require(!plan.contains("BroadcastHashJoin"),
+        "big-catalog canonical join must not broadcast the catalog")
+      println("canonicalize_salted_fallback: OK (salted shuffle-hash)")
+    }
     // search-tree batched candidate scoring: the tagged retrieval union
     // aggregates by cid; the LP-scale pos/neg sides must come in as
     // BroadcastHashJoin, never SMJ over the retrieval stream

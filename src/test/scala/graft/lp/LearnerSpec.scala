@@ -60,4 +60,43 @@ class LearnerSpec extends SparkSpec {
     assert(fit.iterations === 3)
     assert(fit.best.nonEmpty && fit.best.head.quality < 1.0)
   }
+
+  test("frontier exhaustion reports the TRUE expansion count, not the budget") {
+    val kb = FamilyKb.kb(spark)
+    // pos is an ungendered person: male/female are weak (never registered),
+    // so with maxLen = 1 the tree exhausts after expanding ⊤ and person
+    val elp = LearningProblem.encode(kb, Lp(Seq("x1"), Seq("m1")))
+    val fit = Learner.fit(kb, elp, maxIterations = 20, maxLen = 1)
+    assert(!fit.goalFound)
+    assert(fit.iterations === 2)
+    assert(fit.iterations < 20)
+  }
+
+  test("fit reaches a data-restriction goal by walking the split ladder") {
+    val kb = FamilyKb.kb(spark)
+    // pos = everyone aged ≥ 34, neg = the two teenagers. ∃age.(>= 14.0)
+    // and person both score F1 = 0.8; the ladder's next rung
+    // ∃age.(>= 34.0) retrieves exactly pos.
+    val elp = LearningProblem.encode(kb,
+      Lp(Seq("m1", "f1", "m2", "f2"), Seq("m3", "f3")))
+    val cfg = RefineConfig(dataSplits = Map("age" -> Seq(14.0, 34.0)))
+    val fit = Learner.fit(kb, elp, config = cfg)
+    // iter 1: ⊤ → atoms; iter 2 expands `person` ('p' < '∃' tiebreak at
+    // 0.8), registering (person ⊓ ∃age.(>= 14.0)); iter 3 expands that
+    // conjunction ('(' sorts first) and its ∃age rung-up conjunct
+    // refinement is the goal
+    assert(fit.goalFound)
+    assert(fit.iterations === 3)
+    assert(fit.best.head.render === "(person ⊓ ∃age.(>= 34.0))")
+    assert(fit.best.head.quality === 1.0)
+  }
+
+  test("splitsFor: exact rank-based rungs, reproducible in plain SQL") {
+    val kb = FamilyKb.kb(spark)
+    // distinct ages ascending: 14, 15, 34, 35, 60, 61 (m = 6);
+    // k = 3 → indices floor(6/3) = 2 and floor(12/3) = 4 → values 34, 60
+    assert(Refine.splitsFor(kb, "age", 3) === Seq(34.0, 60.0))
+    // k = 2 → index 3 → the upper median distinct value
+    assert(Refine.splitsFor(kb, "age", 2) === Seq(35.0))
+  }
 }

@@ -56,4 +56,87 @@ class RefineFuzzSpec extends AnyFunSuite {
       assert(rho(And(cs)) === rho(And(rnd.shuffle(cs))))
     }
   }
+
+  // ---- extended dialect (RefineConfig) ----
+
+  private val fullCfg = RefineConfig(negation = true, cardinality = true,
+    maxCardN = 4, inverse = true, boolProps = Seq("flag"),
+    dataSplits = Map("age" -> Seq(20.0, 40.0, 60.0)))
+
+  private def randomCeExt(depth: Int): ClassExpr =
+    if (depth == 0) {
+      if (rnd.nextInt(4) == 0) Top else Named(classes(rnd.nextInt(classes.size)))
+    } else rnd.nextInt(9) match {
+      case 0 => Named(classes(rnd.nextInt(classes.size)))
+      case 1 => Exists(roles(rnd.nextInt(roles.size)), randomCeExt(depth - 1))
+      case 2 => ForAll(roles(rnd.nextInt(roles.size)), randomCeExt(depth - 1))
+      case 3 => Not(Named(classes(rnd.nextInt(classes.size))))
+      case 4 => MinCard(1 + rnd.nextInt(4), roles(rnd.nextInt(roles.size)), randomCeExt(depth - 1))
+      case 5 => ExistsInverse(roles(rnd.nextInt(roles.size)), randomCeExt(depth - 1))
+      case 6 => DataCompare("age", if (rnd.nextBoolean()) ">=" else "<=",
+        Seq(20.0, 40.0, 60.0)(rnd.nextInt(3)))
+      case 7 => DataBoolHasValue("flag", rnd.nextBoolean())
+      case _ => And((0 until 2 + rnd.nextInt(2)).map(_ => randomCeExt(depth - 1)))
+    }
+
+  test("extended atomics: each configured atom group, most-general forms only") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, fullCfg)
+    val renders = rho(Top).map(ClassExpr.render)
+    assert(renders.contains("¬male") && renders.contains("¬female"))
+    assert(!renders.contains("¬person")) // negation seeds at LEAVES (most general ¬)
+    assert(renders.contains("≥2 hasChild.⊤") && renders.contains("≥2 married.⊤"))
+    assert(renders.contains("∃hasChild⁻.⊤") && renders.contains("∃married⁻.⊤"))
+    assert(renders.contains("∃flag.{true}") && renders.contains("∃flag.{false}"))
+    assert(renders.contains("∃age.(>= 20.0)") && renders.contains("∃age.(<= 60.0)"))
+    assert(!renders.contains("∃age.(>= 40.0)")) // inner rungs come from ρ, not ⊤
+  }
+
+  test("negation walks downward: ¬leaf → ¬parent, ¬root is a ¬-fixpoint") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, RefineConfig(negation = true))
+    assert(rho(Not(Named("male"))).contains(Not(Named("person"))))
+    assert(!rho(Not(Named("person"))).exists {
+      case Not(_) => true; case _ => false
+    })
+  }
+
+  test("cardinality tightens one step and respects maxCardN") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, fullCfg)
+    assert(rho(MinCard(2, "hasChild", Top)).contains(MinCard(3, "hasChild", Top)))
+    assert(!rho(MinCard(4, "hasChild", Top)).exists {
+      case MinCard(n, _, _) => n > 4; case _ => false
+    })
+    // the filler still refines under the count
+    assert(rho(MinCard(2, "hasChild", Top)).contains(MinCard(2, "hasChild", Named("person"))))
+  }
+
+  test("numeric split ladder steps exactly one rung per refinement") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, fullCfg)
+    assert(rho(DataCompare("age", ">=", 20.0)).contains(DataCompare("age", ">=", 40.0)))
+    assert(!rho(DataCompare("age", ">=", 20.0)).contains(DataCompare("age", ">=", 60.0)))
+    assert(rho(DataCompare("age", "<=", 60.0)).contains(DataCompare("age", "<=", 40.0)))
+    assert(!rho(DataCompare("age", ">=", 60.0)).exists {
+      case DataCompare(_, ">=", _) => true; case _ => false
+    })
+  }
+
+  test("500 random extended trees keep the structural guarantees") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 11, fullCfg)
+    for (_ <- 1 to 500) {
+      val ce = randomCeExt(2 + rnd.nextInt(2))
+      val refs = rho(ce)
+      val renders = refs.map(ClassExpr.render)
+      assert(refs.forall(ClassExpr.length(_) <= 11), s"length cap broken for $ce")
+      assert(renders == renders.sorted && renders.distinct == renders,
+        s"output not sorted-distinct for $ce")
+      assert(!renders.contains(ClassExpr.render(ce)), s"self-refinement for $ce")
+    }
+  }
+
+  test("extended dialect: permuted conjunctions still refine identically") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 11, fullCfg)
+    for (_ <- 1 to 200) {
+      val cs = (0 until 2 + rnd.nextInt(3)).map(_ => randomCeExt(2))
+      assert(rho(And(cs)) === rho(And(rnd.shuffle(cs))))
+    }
+  }
 }

@@ -23,6 +23,47 @@ class StreamingKgSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("canonical-map refresh: restart with a new dictionary, no re-emits") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("stream_kg_refresh_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+    // backlog part 1: doc_ids [0, 50) — includes doc 12 ("Entity 12" →
+    // entB_12, canonical entA_12 under the shipped dictionary)
+    Pages.fromDocuments(docs.filter(col("doc_id") < 50))
+      .write.mode("append").parquet(s"$base/pages")
+    val run1 = rows(StreamingKg.runAvailableNow(
+      spark, s"$base/pages", s"$base/out", s"$base/ck", delay = "7 days"))
+    assert(run1.contains(("entA_12", "bornIn", "city_12")))
+    assert(!run1.exists(_._1 == "ent0_12"))
+
+    // dictionary refresh: a new better-scored candidate id for "Ent 12"
+    // joins the entity-12 alias block; "ent0_12" < "entA_12" so the block's
+    // canonical id CHANGES for everything linked after the restart
+    val v2 = Pages.aliases(spark)
+      .unionAll(spark.createDataFrame(Seq(("Ent 12", "ent0_12", 0.95)))
+        .toDF("surface", "entity_id", "score"))
+
+    // backlog part 2: doc_ids [100, 160) — includes doc 109 (109 % 97 = 12,
+    // "Entity 12" surface); restart against the SAME checkpoint
+    Pages.fromDocuments(docs.filter(col("doc_id") >= 100 && col("doc_id") < 160))
+      .write.mode("append").parquet(s"$base/pages")
+    val run2 = rows(StreamingKg.runAvailableNow(
+      spark, s"$base/pages", s"$base/out", s"$base/ck", delay = "7 days",
+      aliasesOverride = Some(v2)))
+
+    // new triples canonicalize under the refreshed dictionary (109 % 31 = 16)
+    assert(run2.contains(("ent0_12", "bornIn", "city_16")))
+    // already-emitted rows survive unchanged and exactly once: the sink
+    // grew by the new batch only, and nothing is duplicated across restart
+    assert(run1.toSet.subsetOf(run2.toSet))
+    assert(run2.size === run2.toSet.size)
+    assert(run2.size > run1.size)
+  }
+
   test("the streaming plan is actually streaming and dedup state is keyed") {
     val sf = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("stream_kg_plan_").toString

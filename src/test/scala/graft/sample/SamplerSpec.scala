@@ -182,6 +182,19 @@ class SamplerSpec extends SparkSpec {
     assert(c === d)
   }
 
+  test("ff: a large draw crosses the broadcast anti-join gate (smoke)") {
+    // burned.size > ForestFireSampler.BurnedInListMax (4096) switches the
+    // per-round unburnt filter from a growing IN-list to a broadcast
+    // anti-join; the draw must stay round-bound, not quadratic in n
+    val big = graft.sources.TpchKg.load(spark, "/root/testdata/sf0.01")
+    val n = 6000
+    val t0 = System.nanoTime()
+    val drawn = new ForestFireSampler(big, seed = 11).draw(n)
+    assert(drawn.sampledNodes.count() === n)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 300.0, f"large FF draw took $sec%.0f s — IN-list gating suspect")
+  }
+
   test("check_input rejects oversized n and bad dpp") {
     intercept[IllegalArgumentException] { new RandomNodeSampler(kb).sample(100000) }
     intercept[IllegalArgumentException] { new RandomNodeSampler(kb).sample(5, 1.5) }
