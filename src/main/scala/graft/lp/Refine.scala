@@ -24,6 +24,13 @@ import graft.expr._
   *    pattern of CELOE's data-property refinement). Splits are caller
   *    supplied — precomputed rungs are the 100-TB path (see
   *    [[Refine.splitsFor]] for the exact driver-bounded helper).
+  *  - `timeSplits`: the same ladder idea for time data properties (ISO
+  *    lexical forms — string order IS chronological order), feeding
+  *    ∃p.(≥/≤ rung) time compares.
+  *  - `universalData`: additionally seed ∀p.(≤ last) / ∀p.(≥ first) OWA
+  *    universal data restrictions from `dataSplits`; ρ tightens their
+  *    bound one rung at a time (downward: a tighter ∀-bound admits fewer
+  *    individuals).
   */
 final case class RefineConfig(
     negation: Boolean = false,
@@ -31,7 +38,9 @@ final case class RefineConfig(
     maxCardN: Int = 5,
     inverse: Boolean = false,
     boolProps: Seq[String] = Nil,
-    dataSplits: Map[String, Seq[Double]] = Map.empty)
+    dataSplits: Map[String, Seq[Double]] = Map.empty,
+    timeSplits: Map[String, Seq[String]] = Map.empty,
+    universalData: Boolean = false)
 
 /** Deterministic top-down refinement operator ρ over the engine's Tbox,
   * modeled on the published downward refinement operators for description
@@ -76,7 +85,17 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
       config.dataSplits.toSeq.sortBy(_._1).flatMap { case (p, vs) =>
         if (vs.isEmpty) Nil
         else Seq(DataCompare(p, ">=", vs.min), DataCompare(p, "<=", vs.max))
-      }
+      } ++
+      config.timeSplits.toSeq.sortBy(_._1).flatMap { case (p, vs) =>
+        if (vs.isEmpty) Nil
+        else Seq(DataTimeCompare(p, ">=", vs.min), DataTimeCompare(p, "<=", vs.max))
+      } ++
+      (if (config.universalData)
+        config.dataSplits.toSeq.sortBy(_._1).flatMap { case (p, vs) =>
+          if (vs.isEmpty) Nil
+          else Seq(DataForAll(p, "<=", vs.max), DataForAll(p, ">=", vs.min))
+        }
+      else Nil)
   }
 
   private def mkAnd(cs: Seq[ClassExpr]): ClassExpr = {
@@ -109,6 +128,11 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
     config.dataSplits.getOrElse(p, Nil).filter(_ > v).minOption
   private def rungDown(p: String, v: Double): Option[Double] =
     config.dataSplits.getOrElse(p, Nil).filter(_ < v).maxOption
+  // ISO lexical forms: string order is chronological order
+  private def timeRungUp(p: String, v: String): Option[String] =
+    config.timeSplits.getOrElse(p, Nil).filter(_ > v).minOption
+  private def timeRungDown(p: String, v: String): Option[String] =
+    config.timeSplits.getOrElse(p, Nil).filter(_ < v).maxOption
 
   def apply(ce0: ClassExpr): Seq[ClassExpr] = {
     val ce = norm(ce0)
@@ -128,6 +152,15 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
         rungUp(p, v).map(DataCompare(p, ">=", _)).toSeq ++ conj(ce)
       case DataCompare(p, "<=", v) =>
         rungDown(p, v).map(DataCompare(p, "<=", _)).toSeq ++ conj(ce)
+      case DataTimeCompare(p, ">=", v) =>
+        timeRungUp(p, v).map(DataTimeCompare(p, ">=", _)).toSeq ++ conj(ce)
+      case DataTimeCompare(p, "<=", v) =>
+        timeRungDown(p, v).map(DataTimeCompare(p, "<=", _)).toSeq ++ conj(ce)
+      // ∀ tightens toward the bound that excludes more assertions
+      case DataForAll(p, "<=", v) =>
+        rungDown(p, v).map(DataForAll(p, "<=", _)).toSeq ++ conj(ce)
+      case DataForAll(p, ">=", v) =>
+        rungUp(p, v).map(DataForAll(p, ">=", _)).toSeq ++ conj(ce)
       case And(cs) =>
         cs.indices.flatMap(i => this(cs(i)).map(r => mkAnd(cs.updated(i, r)))) ++ conj(ce)
       case other        => conj(other)

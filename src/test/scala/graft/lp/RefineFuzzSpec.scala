@@ -61,7 +61,9 @@ class RefineFuzzSpec extends AnyFunSuite {
 
   private val fullCfg = RefineConfig(negation = true, cardinality = true,
     maxCardN = 4, inverse = true, boolProps = Seq("flag"),
-    dataSplits = Map("age" -> Seq(20.0, 40.0, 60.0)))
+    dataSplits = Map("age" -> Seq(20.0, 40.0, 60.0)),
+    timeSplits = Map("born" -> Seq("1960-01-01", "1990-01-01")),
+    universalData = true)
 
   private def randomCeExt(depth: Int): ClassExpr =
     if (depth == 0) {
@@ -89,6 +91,21 @@ class RefineFuzzSpec extends AnyFunSuite {
     assert(renders.contains("∃flag.{true}") && renders.contains("∃flag.{false}"))
     assert(renders.contains("∃age.(>= 20.0)") && renders.contains("∃age.(<= 60.0)"))
     assert(!renders.contains("∃age.(>= 40.0)")) // inner rungs come from ρ, not ⊤
+    assert(renders.contains("∃born.(>= 1960-01-01)") &&
+      renders.contains("∃born.(<= 1990-01-01)"))
+    assert(renders.contains("∀age.(<= 60.0)") && renders.contains("∀age.(>= 20.0)"))
+  }
+
+  test("time and universal-data ladders step like the numeric one") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, fullCfg)
+    assert(rho(DataTimeCompare("born", ">=", "1960-01-01"))
+      .contains(DataTimeCompare("born", ">=", "1990-01-01")))
+    assert(!rho(DataTimeCompare("born", ">=", "1990-01-01")).exists {
+      case DataTimeCompare(_, ">=", _) => true; case _ => false
+    })
+    // ∀ tightens: a SMALLER ≤-bound / LARGER ≥-bound excludes more
+    assert(rho(DataForAll("age", "<=", 60.0)).contains(DataForAll("age", "<=", 40.0)))
+    assert(rho(DataForAll("age", ">=", 20.0)).contains(DataForAll("age", ">=", 40.0)))
   }
 
   test("negation walks downward: ¬leaf → ¬parent, ¬root is a ¬-fixpoint") {
