@@ -107,6 +107,14 @@ object Bench {
       "smp_rwj_200" -> (s =>
         new graft.sample.WalkSampler(graft.sources.TpchKg.load(s, sfDir), 42L,
           jumpProb = Some(0.1), walkers = 64).sample(200).nodes.count()),
+      // prioritized walker: the line that exercises the per-step
+      // rank-probe join (rank table cached, candidate set broadcast) —
+      // prIterations=10 keeps the PageRank share small so the number is
+      // dominated by the walk loop itself
+      "smp_rwp_200" -> (s =>
+        new graft.sample.WalkSampler(graft.sources.TpchKg.load(s, sfDir), 42L,
+          prioritized = true, prIterations = 10, walkers = 64)
+          .sample(200).nodes.count()),
       "pagerank_30" -> (s =>
         graft.sample.PageRank.compute(graft.sources.TpchKg.load(s, sfDir), iterations = 30).count()),
       "ce_exists_nested" -> (s => graft.expr.Eval(graft.sources.TpchKg.load(s, sfDir),

@@ -66,24 +66,21 @@ object SamplerQueries {
     val n = 25
     val pr10 = PageRank.compute(kb, iterations = 10).localCheckpoint(true)
     val lpDf = s.createDataset(lp)(org.apache.spark.sql.Encoders.STRING).toDF("id")
-    val rows = Samplers.allNames.map { name =>
-      val plusOneAllowed = name.startsWith("RandomEdge")
-      val sampled = Samplers
-        .byName(name, kb, lp = if (name.contains("LP")) lp else Nil,
-          seed = Seed, prRanks = Some(pr10))
-        .sample(n)
-      val cnt = sampled.nodes.count()
-      val countOk = cnt == n || (plusOneAllowed && cnt == n + 1)
-      val lpRetained =
-        if (name.contains("LP")) lpDf.join(sampled.nodes, Seq("id"), "left_anti").isEmpty
-        else true
-      // every kept edge exists in the original and has both endpoints sampled
-      val edgesOk = sampled.edges
-        .join(kb.edges, Seq("src", "pred", "dst"), "left_anti").isEmpty &&
-        sampled.edges.join(sampled.nodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti").isEmpty &&
-        sampled.edges.join(sampled.nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti").isEmpty
-      Row(name, countOk, lpRetained, edgesOk)
+    // the 20 samplers are independent (per-sampler data-keyed seeds, shared
+    // read-only kb cache + rank table), and the iterative ones are
+    // job-latency-bound driver loops — running FOUR at a time interleaves
+    // their small jobs on the scheduler and cuts the gate's wall time ~3×
+    // without touching any output (each row is deterministic in isolation)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = Samplers.allNames.map { name =>
+      scala.concurrent.Future {
+        invariantRow(s, kb, lpDf, lp, n, pr10, name)
+      }(ec)
     }
+    val rows = futures.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
     val schema = StructType(Seq(
       StructField("sampler", StringType, nullable = false),
       StructField("count_ok", BooleanType, nullable = false),
@@ -91,6 +88,27 @@ object SamplerQueries {
       StructField("edges_ok", BooleanType, nullable = false)))
     s.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters
       .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private def invariantRow(s: SparkSession, kb: graft.core.Kb, lpDf: DataFrame,
+                           lp: Seq[String], n: Int, pr10: DataFrame,
+                           name: String): Row = {
+    val plusOneAllowed = name.startsWith("RandomEdge")
+    val sampled = Samplers
+      .byName(name, kb, lp = if (name.contains("LP")) lp else Nil,
+        seed = Seed, prRanks = Some(pr10))
+      .sample(n)
+    val cnt = sampled.nodes.count()
+    val countOk = cnt == n || (plusOneAllowed && cnt == n + 1)
+    val lpRetained =
+      if (name.contains("LP")) lpDf.join(sampled.nodes, Seq("id"), "left_anti").isEmpty
+      else true
+    // every kept edge exists in the original and has both endpoints sampled
+    val edgesOk = sampled.edges
+      .join(kb.edges, Seq("src", "pred", "dst"), "left_anti").isEmpty &&
+      sampled.edges.join(sampled.nodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti").isEmpty &&
+      sampled.edges.join(sampled.nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti").isEmpty
+    Row(name, countOk, lpRetained, edgesOk)
   }
 
   private val lcgOrder = Determinism.lcgDuck("k", Seed)
