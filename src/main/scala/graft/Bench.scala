@@ -141,7 +141,8 @@ object Bench {
     var triples = 0L
     var pipelineSec = 0.0
     val skipHeadline = sys.env.get("SPARK_GRAFT_SKIP_HEADLINE").contains("1")
-    val headlineRuns = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RUNS", "3").toInt
+    val headlineRuns =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RUNS", "3").toInt)
     val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
     if (!skipHeadline) {
       headline.foreach { case (_, job) => job(spark) } // warmup pass

@@ -63,14 +63,17 @@ object Canonicalize {
     if (rows <= broadcastMaxRows) df.join(broadcast(m), Seq(key))
     else {
       // deterministic row salt from the non-key columns (identical rows
-      // collide, which only affects balance, never results)
+      // collide, which only affects balance, never results); the salt
+      // column name is made fresh so a caller column can't be clobbered
+      var saltCol = "__salt"
+      while (df.columns.contains(saltCol)) saltCol += "_"
       val others = df.columns.filterNot(_ == key).map(col)
-      val salted = df.withColumn("__salt",
+      val salted = df.withColumn(saltCol,
         pmod(xxhash64(struct(others.toIndexedSeq: _*)), lit(saltBuckets)).cast("int"))
-      val replicated = m.withColumn("__salt",
+      val replicated = m.withColumn(saltCol,
         explode(array((0 until saltBuckets).map(lit): _*)))
-      salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
-        .drop("__salt")
+      salted.join(replicated.hint("shuffle_hash"), Seq(key, saltCol))
+        .drop(saltCol)
     }
   }
 
@@ -135,7 +138,15 @@ object Canonicalize {
     * joins then go through the size-gated [[saltedMapJoin]]: broadcast for
     * dictionary-scale catalogs, salted shuffle-hash for web-scale ones
     * (an unconditional broadcast hint would force a driver-killing build
-    * at 10⁸+ entities regardless of AQE/statistics). */
+    * at 10⁸+ entities regardless of AQE/statistics).
+    *
+    * Durability note: localCheckpoint blocks live on executors (same
+    * contract as the CC rounds feeding this map — the engine-wide trade of
+    * bounded lineage for executor-loss recompute, documented since r1).
+    * A production LONG-RUNNING streaming deployment should point the map
+    * at a reliably-stored copy instead: write it via TableIO and read it
+    * back, refreshing on the restart cadence (see StreamingKg's SCD
+    * contract) — the join shapes here are unchanged by that swap. */
   def apply(linked: DataFrame, aliases: DataFrame,
             keep: Seq[String] = Nil,
             broadcastMaxRows: Long = DefaultBroadcastMaxRows,

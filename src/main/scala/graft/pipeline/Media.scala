@@ -30,22 +30,29 @@ object Media {
   /** Real decode via javax.imageio for any format the JDK recognizes:
     * dimensions come from the image HEADER (reader.getWidth/getHeight —
     * ImageIO readers parse it lazily, the raster is never decoded), format
-    * from the matched reader. Unrecognized payloads → [[decodeStub]]. */
-  def decode(bytes: Array[Byte]): (Int, Int, String) = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    * from the matched reader. Unrecognized payloads → [[decodeStub]], and
+    * so do recognized-but-corrupt ones (a truncated PNG, or a text blob
+    * whose first bytes happen to sniff as BMP, must degrade per-row — a
+    * reader exception may NOT abort the whole partition's task). */
+  def decode(bytes: Array[Byte]): (Int, Int, String) =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeStub(bytes)
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
-        } finally r.dispose()
-      }
-    } finally if (iis != null) iis.close()
-  }
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) decodeStub(bytes)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            (r.getWidth(0), r.getHeight(0),
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => decodeStub(bytes)
+    }
 
   final case class Frame(url: String, frame_idx: Int, byte_offset: Long)
 

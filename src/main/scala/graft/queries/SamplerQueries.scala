@@ -73,14 +73,19 @@ object SamplerQueries {
     // without touching any output (each row is deterministic in isolation)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = Samplers.allNames.map { name =>
-      scala.concurrent.Future {
-        invariantRow(s, kb, lpDf, lp, n, pr10, name)
-      }(ec)
-    }
-    val rows = futures.map(f =>
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-    pool.shutdown()
+    val rows =
+      try {
+        val futures = Samplers.allNames.map { name =>
+          scala.concurrent.Future {
+            invariantRow(s, kb, lpDf, lp, n, pr10, name)
+          }(ec)
+        }
+        futures.map(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        // all futures complete here, so shutdownNow only ever cancels work
+        // when a row FAILED — then queued samplers must not keep submitting
+        // jobs, and the non-daemon threads must die so the JVM can exit
+      } finally pool.shutdownNow()
     val schema = StructType(Seq(
       StructField("sampler", StringType, nullable = false),
       StructField("count_ok", BooleanType, nullable = false),

@@ -73,14 +73,18 @@ final class WalkSampler(
 
     // prRanks lets a caller running SEVERAL prioritized samplers over the
     // same graph compute the (identical) rank table once and share it.
-    // Cached once per draw(): every step probes it with a BROADCAST of the
-    // (tiny) candidate set — the rank table itself never rides a per-step
-    // exchange (it used to SMJ-shuffle in full on every walker step, up to
-    // maxSteps re-shuffles of an O(|V|) table).
+    // PageRank.compute output is always localCheckpoint-materialized, so
+    // this projection is a cheap scan — deliberately NOT re-cached here:
+    // concurrent draws sharing one prRanks would dedup to a single cache
+    // entry and the first finisher's unpersist would yank it from under
+    // the others. Every step probes it with a BROADCAST of the (tiny)
+    // candidate set — the rank table never rides a per-step exchange (it
+    // used to SMJ-shuffle in full on every walker step, up to maxSteps
+    // re-shuffles of an O(|V|) table).
     val ranks =
       if (prioritized)
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
-          .select(col("id").as("dst"), col("pr").as("w")).cache()
+          .select(col("id").as("dst"), col("pr").as("w"))
       else null
 
     // walkers: all LP nodes when given; else the first min(walkers, n)
@@ -189,7 +193,6 @@ final class WalkSampler(
 
     nodesIdx.unpersist()
     tiers.unpersist()
-    if (ranks != null) ranks.unpersist()
     // arrival-order trim to exactly n (insertion order of the LinkedHashMap
     // already is (step, walker) order; keep first n)
     val sampled = firstVisit.keysIterator.take(n).toSeq

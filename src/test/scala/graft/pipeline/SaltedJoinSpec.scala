@@ -17,7 +17,6 @@ class SaltedJoinSpec extends SparkSpec {
       Seq(("u100", "entB_12", "bornIn", "city_1"),
         ("u101", "entA_3", "worksFor", "org_2")))
       .toDF("url", "subj_id", "pred", "obj_id")
-      .withColumn("obj_id", col("obj_id")) // stable column order
   }
 
   private def canonExpected: Set[(String, String, String)] =
