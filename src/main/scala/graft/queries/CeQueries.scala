@@ -251,6 +251,16 @@ object CeQueries {
       s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
         .toDF("concept", "quality", "len")
     }),
+    // the split-ladder helper's portability claim, driver-verified: the
+    // exact rank-based rungs (sorted distinct values at floor(i·m/k))
+    // must be reproducible by plain SQL — DuckDB recomputes them with
+    // ROW_NUMBER over the same attrs table
+    "lp_splits" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val rungs = Refine.splitsFor(kb, "acctbal", 4)
+      s.createDataFrame(rungs.zipWithIndex.map { case (v, i) => (i + 1, v) })
+        .toDF("rung", "value")
+    }),
     // get_top_n keyed on LENGTH, with the engine computing concept_len
     // from the ClassExpr (reference knowledge_base.py:512-524)
     "lp_best_hyp_length" -> ((s, d) => {
@@ -627,6 +637,14 @@ object CeQueries {
            |WHERE quality > 0
            |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
     },
+    // rank-based rungs in plain SQL: ROW_NUMBER over sorted distinct
+    // values, keep indices floor(i·m/4) for i = 1..3 (integer division)
+    "lp_splits" -> TpchKgSql.withKg(
+      """dv AS (SELECT DISTINCT CAST(lexical AS DOUBLE) AS v FROM attrs WHERE prop = 'acctbal'),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx, COUNT(*) OVER () AS m FROM dv)
+        |SELECT CAST(t.i AS INT) AS rung, r.v AS value
+        |FROM r JOIN (VALUES (1), (2), (3)) t(i) ON r.idx = (t.i * r.m) // 4
+        |ORDER BY rung""".stripMargin, inCte = true),
     // hand-counted owlapy lengths: Customer=1, ¬Customer=2,
     // ≥5 contains.Part=4, ∃inNation.∃inRegion.{r:0}=5,
     // (Customer ⊓ ∃acctbal.(> 5000.0))=5; top-3 by length desc

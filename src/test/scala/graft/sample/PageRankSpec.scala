@@ -36,4 +36,28 @@ class PageRankSpec extends SparkSpec {
       }
     }
   }
+
+  test("AQE scoping never touches the caller session's conf") {
+    val kb = HepatitisLikeKb.kb(spark).cache()
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key, "true")
+    spark.conf.set(key, "true")
+    try {
+      // the loop runs with AQE off in a CLONED session; the caller's value
+      // must hold even DURING compute — probe it from a concurrent thread
+      @volatile var seen = List.empty[String]
+      val probe = new Thread(() => {
+        (1 to 20).foreach { _ =>
+          seen ::= spark.conf.get(key); Thread.sleep(5)
+        }
+      })
+      probe.start()
+      val out = PageRank.compute(kb, iterations = 3, adaptive = false)
+      assert(out.count() === kb.nodes.count())
+      probe.join()
+      assert(seen.nonEmpty && seen.forall(_ == "true"),
+        s"caller conf flickered during compute: ${seen.distinct}")
+      assert(spark.conf.get(key) === "true")
+    } finally spark.conf.set(key, before)
+  }
 }
