@@ -13,9 +13,10 @@ object FfProbe {
       .config("spark.ui.enabled", "false").config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_WSCG", "true")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val kb = graft.sources.TpchKg.load(spark, dir)
+    val n0 = sys.env.getOrElse("SPARK_GRAFT_FF_N", "500").toInt
     val t0 = System.nanoTime()
     val sampler = new graft.sample.ForestFireSampler(kb, 42L)
-    val drawn = sampler.draw(500)
+    val drawn = sampler.draw(n0)
     val t1 = System.nanoTime()
     val n = graft.sample.Samplers.finalizeSample(kb, drawn, 1.0, 42L).nodes.count()
     val t2 = System.nanoTime()
