@@ -30,6 +30,23 @@ final class LblNode(val concept: ClassExpr, val isRoot: Boolean = false) {
     f"LblNode($render, q=$quality%.5f, h=$heuristic%.5f, len=$len)"
 }
 
+/** Node-scoring heuristics for the search tree. The light reference ships
+  * none (CELOE's lives in the full learner distribution); quality-as-promise
+  * is the default, and [[celoe]] is the engine's parent-DEPENDENT option —
+  * the shape that makes the tree's re-parent rule (search.py:580-590)
+  * meaningful, since a node reached from a different parent can re-score. */
+object Heuristics {
+  /** CELOE-style scorer (Lehmann, Auer, Bühmann, Tramp: "Class expression
+    * learning for ontology engineering", J. Web Semantics 2011, §4.2
+    * OEHeuristicRuntime shape): quality + gainBonus·(quality − parent
+    * quality) − lengthPenalty·len. Roots score on quality alone. */
+  def celoe(gainBonus: Double = 0.3,
+            lengthPenalty: Double = 0.02): LblNode => Double = n => {
+    val gain = n.parent.map(p => n.quality - p.quality).getOrElse(0.0)
+    n.quality + gainBonus * gain - lengthPenalty * n.len
+  }
+}
+
 /** Search tree based on a priority queue (reference search.py:511-665
   * `SearchTreePriorityQueue`): nodes keyed by concept, a max-heap on
   * heuristic (the reference min-heaps on −heuristic, same order), pops

@@ -93,6 +93,35 @@ class SearchTreeSpec extends SparkSpec {
     assert(male.heuristic === male.quality + 0.25)
   }
 
+  test("celoe heuristic: gain reads the CANDIDATE parent during re-parent") {
+    val (kb, elp) = setup()
+    // parent-dependent scorer — gain = quality − parent.quality
+    val tree = new SearchTreePriorityQueue(kb, elp, F1,
+      Heuristics.celoe(gainBonus = 0.3, lengthPenalty = 0.0))
+    val root = tree.addRoot(Top)                       // q = 2/3
+    tree.addNodes(Seq(Named("male"), Named("person")), root)
+    val male = tree.nodes(Named("male"))               // q = 1
+    val person = tree.nodes(Named("person"))           // q = 2/3
+    val hUnderRoot = male.heuristic                    // 1 + 0.3·(1 − 2/3)
+    // re-offer male under `person` (same quality as root ⇒ same gain):
+    // renewed == old, strict > fails, parent must be RESTORED
+    assert(tree.addNode(Named("male"), person) === None)
+    assert(male.parent.contains(root))
+    assert(male.heuristic === hUnderRoot)
+    // a worse parent means MORE gain for the same quality: the candidate
+    // parent must be swapped in BEFORE scoring, or the branch is dead code
+    val order = tree.addNode(Named("Order-ish"), root) // garbage name: weak
+    assert(order === Some(false))
+    val female = new LblNode(Named("female"))          // build a low-q parent
+    female.quality = 0.0
+    female.heuristic = 0.0
+    tree.add(female)
+    assert(tree.addNode(Named("male"), female) === None)
+    assert(male.parent.contains(female), "gain vs the candidate parent must re-parent")
+    assert(male.heuristic === 1.0 + 0.3 * (1.0 - 0.0))
+    assert(female.children.contains(male) && !root.children.contains(male))
+  }
+
   test("get_top_n by each key, bad key raises") {
     val (kb, elp) = setup()
     val tree = new SearchTreePriorityQueue(kb, elp)
