@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executed-plan regression guards for the shapes the 100-TB story rests
+  * on (ExplainAudit prints them; these asserts keep them from silently
+  * regressing). Plan-string checks are pinned to Spark 4.1.2. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filters and projections reach the parquet scan") {
+    val df = graft.sources.TpchKg.table(spark, sf, "customer")
+      .filter(col("c_acctbal") > 1000.0)
+      .select("c_custkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(c_acctbal"),
+      s"filter not pushed to the scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("c_mktsegment"),
+      "projection not pruned at the scan")
+  }
+
+  test("batched concept scoring joins LP sides as broadcast, never SMJ") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val elp = graft.lp.LearningProblem.encode(kb,
+      graft.lp.Lp(Seq("c:1", "c:2"), Seq("s:1")))
+    val tagged = Seq(graft.expr.Named("Customer"), graft.expr.Named("Supplier"))
+      .zipWithIndex.map { case (ce, i) =>
+        graft.expr.Eval(kb, ce).select(lit(i).as("cid"), col("id"))
+      }.reduce(_.union(_)).distinct()
+      .join(broadcast(elp.kbPos.select(col("id"), lit(1L).as("p"))), Seq("id"), "left")
+      .join(broadcast(elp.kbNeg.select(col("id"), lit(1L).as("n"))), Seq("id"), "left")
+      .groupBy("cid").agg(count(lit(1)).as("cnt"))
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "LP-scale sides must not sort-merge against the retrieval stream")
+  }
+
+  test("dedup pair verify keeps its shuffle-hash hint (no SMJ over array rows)") {
+    val pairs = graft.dedup.Dedup.minhashLsh(
+      graft.queries.TrainingDataQueries.corpus(spark, sf), 0.8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "pair->array attachment must build a hash table, not sort array-laden rows")
+  }
+}
