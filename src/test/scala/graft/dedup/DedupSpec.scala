@@ -31,6 +31,31 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash-lsh recall vs brute-force ground truth on the real corpus") {
+    // every TRUE near-dup pair (exact shingle Jaccard ≥ t over ALL pairs)
+    // that the banded blocking must recover. Precision is exact by
+    // construction (the verify stage recomputes exact Jaccard); recall is
+    // the banding family's P(band collision) = 1 − (1 − J^r)^b per pair —
+    // deterministic here (fixed hash family, fixed corpus), so the bound
+    // is a hard regression gate, not a flaky stochastic one.
+    val t = 0.8
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val idsOnly = docs.select("doc_id")
+    val allPairs = idsOnly.withColumnRenamed("doc_id", "a")
+      .crossJoin(idsOnly.withColumnRenamed("doc_id", "b"))
+      .filter(col("a") < col("b"))
+    val truth = Dedup.jaccardOf(docs, allPairs).filter(col("jaccard") >= t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(docs, t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture corpus must contain true near-dups")
+    assert(found.subsetOf(truth), "verify stage must make precision exact")
+    val recall = found.size.toDouble / truth.size
+    info(f"blocking recall $recall%.4f (${found.size}/${truth.size} true pairs)")
+    assert(recall >= 0.85, f"blocking recall $recall%.3f below bound (found ${found.size}/${truth.size})")
+  }
+
   test("jaccard is exact") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
     val j = Dedup.jaccardOf(corpus, pairs).collect()
