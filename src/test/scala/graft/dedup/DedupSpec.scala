@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, f"blocking recall $recall%.3f below bound (found ${found.size}/${truth.size})")
   }
 
+  test("simhash pigeonhole recall is EXACTLY total vs brute-force Hamming") {
+    // the chunk join is not probabilistic: any pair within Hamming ≤ 3 of
+    // a 16-bit simhash MUST agree on ≥ 1 of the 4 four-bit chunks, so the
+    // candidate set provably covers the truth set — assert set EQUALITY
+    // against brute-force all-pairs Hamming on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val sh = Dedup.simhash(docs)
+    val truth = sh.select(col("doc_id").as("a"), col("simhash").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("simhash").as("sb")))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simhashNearDup(docs, 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture corpus must contain simhash near-dups")
+    assert(found === truth, s"pigeonhole cover must be exact: ${found.size} vs ${truth.size}")
+  }
+
   test("jaccard is exact") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
     val j = Dedup.jaccardOf(corpus, pairs).collect()

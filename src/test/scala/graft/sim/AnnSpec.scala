@@ -44,6 +44,40 @@ class AnnSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("nearDupPairs recall vs brute-force ground truth on the real corpus") {
+    // truth = ALL pairs with cosine ≥ t on the sf0.001 embeddings table;
+    // the banded-hyperplane blocking must recover them. Deterministic
+    // (fixed plane family, fixed vectors): a hard regression gate for the
+    // r3 plane-collapse class of bug — a collapsed family still finds
+    // planted exact dups but loses angular near-dups.
+    val t = 0.999
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // the raw table has no ≥0.999 pairs (checked: brute force finds none),
+    // so plant ANGULAR near-dups — every 25th vector re-enters with its
+    // first coordinate scaled 5%: cosine lands just under 1, above or
+    // around t depending on the coordinate's weight, and brute force below
+    // decides which side each pair fell on. Exact duplicates would not
+    // exercise the angular recall a collapsed plane family loses.
+    val planted = raw.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(x * 1.05 AS FLOAT) ELSE x END)")
+          .as("embedding"))
+    val emb = raw.unionAll(planted)
+    val truth = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b"))
+      .filter(Ann.cosine(col("ea"), col("eb")) >= t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Ann.nearDupPairs(emb, t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture embeddings must contain true near-dups")
+    assert(found.subsetOf(truth), "cosine verify must make precision exact")
+    val recall = found.size.toDouble / truth.size
+    info(f"banded-hyperplane recall $recall%.4f (${found.size}/${truth.size} true pairs)")
+    assert(recall >= 0.85, f"blocking recall $recall%.3f below bound")
+  }
+
   test("VecCosine expression == aggregate/zip_with composable plan (bit-exact)") {
     import spark.implicits._
     val df = vectors(25).select(col("vec_id"), col("embedding").as("a"))
