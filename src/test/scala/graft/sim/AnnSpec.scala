@@ -78,6 +78,35 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, f"blocking recall $recall%.3f below bound")
   }
 
+  test("IVF partial-probe recall vs brute force on the real embeddings") {
+    // the scale path's actual trade: nprobe=4 of nlist=16 scans ~1/4 of
+    // the corpus per query; recall@5 against the exact brute-force top-5
+    // is measured on the real vectors and pinned (deterministic — LCG
+    // centroids, fixed data)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = (0L to 19L)
+    val k = 5
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topSets(Ann.bruteForceTopK(emb, queries, k).select("q", "neighbor"))
+    val ivf = topSets(Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 4)
+      .select("q", "neighbor"))
+    val hits = queries.map(q => (ivf.getOrElse(q, Set.empty) intersect exact(q)).size).sum
+    val recall = hits.toDouble / (queries.size * k)
+    info(f"IVF recall@$k with nprobe 4/16: $recall%.3f")
+    // measured 0.53 on this corpus (near-uniform synthetic vectors are
+    // IVF's hardest case — little cluster structure to exploit); the gate
+    // is a collapse guard with margin, not the measured point
+    assert(recall >= 0.4, f"partial-probe recall $recall%.3f collapsed")
+    // probing every list must recover the exact top-k (already covered by
+    // the full-probe test; re-asserted here on the REAL table)
+    val full = topSets(Ann.ivfTopK(emb, queries, k, nlist = 16, nprobe = 16)
+      .select("q", "neighbor"))
+    assert(full === exact)
+  }
+
   test("VecCosine expression == aggregate/zip_with composable plan (bit-exact)") {
     import spark.implicits._
     val df = vectors(25).select(col("vec_id"), col("embedding").as("a"))
