@@ -103,6 +103,21 @@ object OwlXml {
     def onPropInv(r: String) =
       <owl:onProperty><owl:ObjectProperty><owl:inverseOf rdf:resource={G + r}/></owl:ObjectProperty></owl:onProperty>
     def card(n: Int) = scala.xml.Text(n.toString)
+    // OWL 2 DatatypeRestriction (owlapy renders data compares the same
+    // way): rdfs:Datatype + owl:onDatatype + one facet restriction
+    def facetOf(op: String): String = op match {
+      case ">=" => "minInclusive"
+      case ">"  => "minExclusive"
+      case "<=" => "maxInclusive"
+      case "<"  => "maxExclusive"
+      case o    => throw new IllegalArgumentException(s"facet op $o")
+    }
+    def dtRestriction(dtype: String, op: String, lex: String): Elem = {
+      val facet = scala.xml.Elem("xsd", facetOf(op),
+        new scala.xml.PrefixedAttribute("rdf", "datatype", Xsd + dtype, scala.xml.Null),
+        scala.xml.TopScope, minimizeEmpty = false, scala.xml.Text(lex))
+      <rdfs:Datatype><owl:onDatatype rdf:resource={Xsd + dtype}/><owl:withRestrictions rdf:parseType="Collection"><rdf:Description>{facet}</rdf:Description></owl:withRestrictions></rdfs:Datatype>
+    }
     def ceElem(ce: ClassExpr): Elem = ce match {
       case Top => <owl:Class rdf:about={Owl + "Thing"}/>
       case Bottom => <owl:Class rdf:about={Owl + "Nothing"}/>
@@ -132,13 +147,22 @@ object OwlXml {
         <owl:Class><owl:oneOf rdf:parseType="Collection">{xs.map(x => <rdf:Description rdf:about={G + x}/>)}</owl:oneOf></owl:Class>
       case DataHasValue(p, lex) =>
         <owl:Restriction>{onProp(p)}<owl:hasValue>{scala.xml.Text(lex)}</owl:hasValue></owl:Restriction>
-      case other =>
-        throw new NotImplementedError(s"no RDF/XML rendering for $other")
+      case DataCompare(p, "=", v) =>
+        <owl:Restriction>{onProp(p)}<owl:hasValue rdf:datatype={Xsd + "double"}>{scala.xml.Text(v.toString)}</owl:hasValue></owl:Restriction>
+      case DataCompare(p, op, v) =>
+        <owl:Restriction>{onProp(p)}<owl:someValuesFrom>{dtRestriction("double", op, v.toString)}</owl:someValuesFrom></owl:Restriction>
+      case DataForAll(p, op, v) =>
+        <owl:Restriction>{onProp(p)}<owl:allValuesFrom>{dtRestriction("double", op, v.toString)}</owl:allValuesFrom></owl:Restriction>
+      case DataBoolHasValue(p, b) =>
+        <owl:Restriction>{onProp(p)}<owl:hasValue rdf:datatype={Xsd + "boolean"}>{scala.xml.Text(b.toString)}</owl:hasValue></owl:Restriction>
+      case DataTimeCompare(p, op, t) =>
+        <owl:Restriction>{onProp(p)}<owl:someValuesFrom>{dtRestriction("date", op, t)}</owl:someValuesFrom></owl:Restriction>
     }
     val xml: Elem =
       <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
                xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
                xmlns:owl="http://www.w3.org/2002/07/owl#"
+               xmlns:xsd="http://www.w3.org/2001/XMLSchema#"
                xmlns={G}>
         <owl:Ontology rdf:about={ns}/>
         {expressions.zipWithIndex.map { case (ce, i) =>

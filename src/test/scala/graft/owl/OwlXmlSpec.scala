@@ -138,9 +138,35 @@ class OwlXmlSpec extends SparkSpec {
     intercept[NotImplementedError] {
       OwlXml.writeClassExpressions(Seq(Named("x")), base, rdfFormat = "turtle")
     }
-    intercept[NotImplementedError] { // facet data ranges not rendered
-      OwlXml.writeClassExpressions(Seq(DataCompare("age", ">", 18.0)), base)
-    }
+  }
+
+  test("save_owl_class_expressions renders the data dialect as OWL 2 facets") {
+    import graft.expr._
+    val dir = java.nio.file.Files.createTempDirectory("predictions_data_").toString
+    val base = s"$dir/DataPredictions"
+    OwlXml.writeClassExpressions(Seq(
+      DataCompare("acctbal", ">=", 5000.0),
+      DataForAll("psize", "<=", 25.0),
+      DataBoolHasValue("urgent", value = true),
+      DataTimeCompare("orderdate", "<", "1993-01-01")), base)
+    val xml = scala.xml.XML.loadFile(base + ".owl")
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // ∃acctbal.(≥ 5000.0): someValuesFrom a DatatypeRestriction with a
+    // minInclusive facet on xsd:double
+    val facets = xml \\ "withRestrictions"
+    assert(facets.size === 3) // two compares + the ∀ range (hasValue has none)
+    assert((xml \\ "minInclusive").map(_.text) === Seq("5000.0"))
+    assert((xml \\ "maxInclusive").map(_.text) === Seq("25.0"))
+    assert((xml \\ "maxExclusive").map(_.text) === Seq("1993-01-01"))
+    val onDt = (xml \\ "onDatatype")
+      .map(n => (n \ s"@{$rdfNs}resource").text).toSet
+    assert(onDt === Set("http://www.w3.org/2001/XMLSchema#double",
+      "http://www.w3.org/2001/XMLSchema#date"))
+    // boolean hasValue is a typed literal, no facet
+    val hv = (xml \\ "hasValue").filter(n => (n \ s"@{$rdfNs}datatype").text.endsWith("boolean"))
+    assert(hv.map(_.text) === Seq("true"))
+    // ∀ goes through allValuesFrom
+    assert((xml \\ "allValuesFrom").nonEmpty)
   }
 
   test("sampler registry resolves all 20 reference names") {
