@@ -141,8 +141,8 @@ object Bench {
     var triples = 0L
     var pipelineSec = 0.0
     val skipHeadline = sys.env.get("SPARK_GRAFT_SKIP_HEADLINE").contains("1")
-    val headlineRuns =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RUNS", "3").toInt)
+    val headlineRuns = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RUNS", "3").toInt).getOrElse(3))
     val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
     if (!skipHeadline) {
       headline.foreach { case (_, job) => job(spark) } // warmup pass
@@ -233,10 +233,18 @@ object Bench {
     val spreadJson = querySpread
       .map { case (k, (lo, hi)) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }
       .mkString("{", ",", "}")
+    // per-pass times in run order: a co-tenancy hit INSIDE one pass is
+    // visible from the artifact alone (the widest spread bars — pagerank_30
+    // in r4 — were unattributable from [min,max])
+    val runsJson =
+      if (skipHeadline) "{}"
+      else headline.map { case (name, _) =>
+        "\"" + name + "\":" + runTimes(name).map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val tput = if (pipelineSec > 0) triples / pipelineSec else 0.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_spread":$spreadJson,"headline_protocol":"warmup + best-of-$headlineRuns%d interleaved","sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f,"probes":$probesJson}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_spread":$spreadJson,"query_runs":$runsJson,"headline_protocol":"warmup + best-of-$headlineRuns%d interleaved","sf":"$sfDir","pipeline_triples":$triples,"pipeline_triples_per_sec":$tput%.1f,"scaling":{"cores_low":$low,"cores_high":$high,"rows":$rows,"sec_low":$tLow%.3f,"sec_high":$tHigh%.3f,"rows_per_sec_low":$thLow%.1f,"rows_per_sec_high":$thHigh%.1f,"efficiency":$efficiency%.3f,"machine_ceiling":$ceiling%.3f,"efficiency_vs_machine":$efficiencyVsMachine%.3f,"probes":$probesJson}}"""
     // the sole stdout JSON line (run is forked with StdoutOutput — no sbt
     // prefix) AND a file copy, so the driver can read either
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")

@@ -156,7 +156,16 @@ object OwlXml {
       case DataBoolHasValue(p, b) =>
         <owl:Restriction>{onProp(p)}<owl:hasValue rdf:datatype={Xsd + "boolean"}>{scala.xml.Text(b.toString)}</owl:hasValue></owl:Restriction>
       case DataTimeCompare(p, op, t) =>
-        <owl:Restriction>{onProp(p)}<owl:someValuesFrom>{dtRestriction("date", op, t)}</owl:someValuesFrom></owl:Restriction>
+        // facet datatype follows the LEXICAL form: Eval's Time datatype
+        // group compares date/dateTime/time lexical forms as timestamps
+        // (expr/Eval.scala Time group), so a rung like
+        // '2021-05-01 10:00:00' must save as xsd:dateTime (normalized to
+        // the 'T' separator), not as an invalid xsd:date literal
+        val (timeDt, timeLex) =
+          if (t.matches("""\d{4}-\d{2}-\d{2}[T ].*""")) ("dateTime", t.replace(' ', 'T'))
+          else if (t.matches("""\d{2}:\d{2}.*""")) ("time", t)
+          else ("date", t)
+        <owl:Restriction>{onProp(p)}<owl:someValuesFrom>{dtRestriction(timeDt, op, timeLex)}</owl:someValuesFrom></owl:Restriction>
     }
     val xml: Elem =
       <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -64,12 +64,20 @@ object Canonicalize {
     else {
       // deterministic row salt from the non-key columns (identical rows
       // collide, which only affects balance, never results); the salt
-      // column name is made fresh so a caller column can't be clobbered
+      // column name is made fresh so a caller column can't be clobbered.
+      // A fact table with NO non-key columns would hash an empty struct —
+      // one constant salt bucket, silently disabling the mitigation — so
+      // that shape salts on spark_partition_id instead: rows of a head key
+      // spread across however many input partitions carry it (input
+      // partitions are size-bounded, so per-bucket volume is too), and the
+      // salt still never affects results, only balance
       var saltCol = "__salt"
       while (df.columns.contains(saltCol)) saltCol += "_"
       val others = df.columns.filterNot(_ == key).map(col)
-      val salted = df.withColumn(saltCol,
-        pmod(xxhash64(struct(others.toIndexedSeq: _*)), lit(saltBuckets)).cast("int"))
+      val saltExpr =
+        if (others.nonEmpty) pmod(xxhash64(struct(others.toIndexedSeq: _*)), lit(saltBuckets))
+        else pmod(spark_partition_id().cast("long"), lit(saltBuckets))
+      val salted = df.withColumn(saltCol, saltExpr.cast("int"))
       val replicated = m.withColumn(saltCol,
         explode(array((0 until saltBuckets).map(lit): _*)))
       salted.join(replicated.hint("shuffle_hash"), Seq(key, saltCol))

@@ -47,8 +47,8 @@ final class WalkSampler(
 
   def draw(n: Int): Drawn = {
     val spark = kb.spark
-    val edges = kb.edges.cache()
     val nTotal = kb.nodes.count()
+    import WalkSampler.{Buckets, bkt}
 
     // teleport index: tier-ordered for LPC (tier 0 first), hash-random
     // otherwise; trn ∈ [1, N] dense — a teleport is a join on a drawn rank.
@@ -74,31 +74,48 @@ final class WalkSampler(
     // prRanks lets a caller running SEVERAL prioritized samplers over the
     // same graph compute the (identical) rank table once and share it.
     // PageRank.compute output is always localCheckpoint-materialized, so
-    // this projection is a cheap scan — deliberately NOT re-cached here:
-    // concurrent draws sharing one prRanks would dedup to a single cache
-    // entry and the first finisher's unpersist would yank it from under
-    // the others. Every step probes it with a BROADCAST of the (tiny)
-    // candidate set — the rank table never rides a per-step exchange (it
-    // used to SMJ-shuffle in full on every walker step, up to maxSteps
-    // re-shuffles of an O(|V|) table).
+    // this projection is a cheap scan.
+    //
+    // The rank table is joined INTO the neighbor table ONCE per draw (one
+    // O(|E|) dst-keyed join, amortized over up to maxSteps steps) rather
+    // than probed per step: the r3 broadcast(cand)→ranks BHJ killed the
+    // per-step exchange but still SCANNED the whole O(|V|) cached rank
+    // table every step — up to maxSteps=2000 full scans per draw at 100×
+    // scale. With weights riding on the edges, each step only reads the
+    // bucket-pruned neighbor slice below and no rank probe exists at all.
     val ranks =
       if (prioritized)
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
           .select(col("id").as("dst"), col("pr").as("w"))
       else null
 
+    // Neighbor table bucketed by hash(src) and cached clustered by bucket
+    // (ForestFire.scala:39-57's pattern): each step filters to the
+    // frontier's buckets — a SUPERSET of the join, so results are
+    // unchanged — and the cached scan batch-prunes to the buckets actually
+    // hit instead of re-reading the whole edge (and, when prioritized,
+    // rank-weighted edge) table every step.
+    val nbrs = WalkSampler.neighborTable(kb, Option(ranks)).cache()
+
     // walkers: all LP nodes when given; else the first min(walkers, n)
     // nodes of the deterministic permutation (the reference starts at the
     // arbitrary first node of set-iteration order, classic_samplers.py:116)
-    val starts: Seq[(Long, String)] =
-      if (lpSeeds.nonEmpty) lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id) }
-      else nodesIdx.orderBy(col("trn")).limit(math.max(1, math.min(walkers, n)))
-        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getString(0)) }
+    // start tuples carry their neighbor bucket (computed Spark-side so the
+    // hash matches the cached table's xxhash64 exactly)
+    val starts: Seq[(Long, String, Int)] =
+      if (lpSeeds.nonEmpty) {
+        val bktOf = spark.createDataset(lpSeeds)(Encoders.STRING).toDF("id")
+          .select(col("id"), bkt(col("id")).as("b"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id, bktOf(id)) }
+      } else nodesIdx.orderBy(col("trn")).limit(math.max(1, math.min(walkers, n)))
+        .select(col("id"), bkt(col("id")).as("b"))
+        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getString(0), r.getInt(1)) }
 
     // driver-side walk state (O(walkers · steps))
-    var frontier: Seq[(Long, String)] = starts
+    var frontier: Seq[(Long, String, Int)] = starts
     val firstVisit = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
-    starts.sortBy(_._1).foreach { case (w, id) =>
+    starts.sortBy(_._1).foreach { case (w, id, _) =>
       if (!firstVisit.contains(id)) firstVisit(id) = (0, w)
     }
     val edgeLog = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
@@ -123,7 +140,8 @@ final class WalkSampler(
       // broadcast hints are scoped to the joins that support them below
       // (hinting the whole frontier here propagated to the LEFT side of the
       // dead-end anti join, where build-left is unsupported — log spam)
-      val f = spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur")
+      val f = spark.createDataset(frontier.map(t => (t._1, t._2)))(tupleEnc)
+        .toDF("walker", "cur")
 
       val jumpCol = jumpProb match {
         case Some(p) => Determinism.detRand(seed + 3 * step, col("walker")) < p
@@ -132,23 +150,28 @@ final class WalkSampler(
       val stepping = f.filter(!jumpCol)
       val jumping = f.filter(jumpCol)
 
-      val cand = broadcast(stepping).join(edges, stepping("cur") === edges("src"))
-        .select(col("walker"), col("src"), col("pred"), col("dst"))
+      // bucket-pruned neighbor slice: the frontier's buckets are known
+      // driver-side, so the cached scan skips every bucket partition the
+      // step cannot touch — per-step cost O(|E|·buckets-hit/Buckets), not
+      // O(|E|) (and, prioritized, no O(|V|) rank scan at all)
+      val fBkts = frontier.map(_._3).distinct
+      val pruned = nbrs.filter(col("bkt").isin(fBkts: _*))
+      val cand = broadcast(stepping).join(pruned, stepping("cur") === pruned("src"))
+        .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
+          (if (prioritized) Seq(col("w")) else Nil): _*)
       val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
       val picks =
         if (!prioritized) {
           val w = Window.partitionBy(col("walker")).orderBy(pickHash, col("pred"), col("dst"))
           cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
         } else {
-          // weighted choice ∝ pagerank of the neighbor (reference _base.py:96-106).
-          // Join direction matters at scale: `cand` (bounded by the frontier's
-          // out-neighborhood — the same set the reference materializes
-          // in memory per step, _base.py:96) is BROADCAST into the cached
-          // rank table, so the O(|V|) ranks side is scanned, never shuffled,
-          // per step — one BHJ probe instead of a full SMJ re-shuffle.
+          // weighted choice ∝ pagerank of the neighbor (reference
+          // _base.py:96-106); `w` rides on the candidate edges from the
+          // draw-start rank join above — identical weights, same windowed
+          // inverse-CDF pick, zero per-step rank-table work.
           val ww = Window.partitionBy(col("walker"))
           val wo = ww.orderBy(pickHash, col("pred"), col("dst"))
-          ranks.join(broadcast(cand), Seq("dst"))
+          cand
             .withColumn("cum", sum(col("w")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
             .withColumn("tot", sum(col("w")).over(ww))
             .withColumn("u", Determinism.detRand(seed + 7 * step, col("walker")))
@@ -166,17 +189,19 @@ final class WalkSampler(
         .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
           lit(allowed)) + 1))
         .join(nodesIdx.select("id", "trn"), Seq("trn"))
-        .select(col("walker"), col("id").as("cur"))
+        .select(col("walker"), col("id").as("cur"), bkt(col("id")).as("nbkt"))
 
       val stepOut = picks.select(col("walker"), col("dst").as("next"),
-          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"))
+          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"),
+          bkt(col("dst")).as("nbkt"))
         .unionAll(teleports.select(col("walker"), col("cur").as("next"),
-          lit("").as("src"), lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
+          lit("").as("src"), lit("").as("pred"), lit("").as("dst"),
+          lit(false).as("viaEdge"), col("nbkt")))
         .as[StepOut](outEnc)
         .collect()            // ≤ |walkers| rows — the only action per step
         .sortBy(_.walker)
 
-      frontier = stepOut.map(o => (o.walker, o.next)).toSeq
+      frontier = stepOut.map(o => (o.walker, o.next, o.nbkt)).toSeq
       stepOut.foreach { o =>
         if (o.viaEdge) edgeLog += ((o.src, o.pred, o.dst))
         if (firstVisit.size < n && !firstVisit.contains(o.next))
@@ -193,6 +218,7 @@ final class WalkSampler(
 
     nodesIdx.unpersist()
     tiers.unpersist()
+    nbrs.unpersist()
     // arrival-order trim to exactly n (insertion order of the LinkedHashMap
     // already is (step, walker) order; keep first n)
     val sampled = firstVisit.keysIterator.take(n).toSeq
@@ -210,7 +236,36 @@ final class WalkSampler(
 }
 
 object WalkSampler {
-  /** one walker-step result row (top-level for encoder derivation) */
+  /** one walker-step result row (top-level for encoder derivation); `nbkt`
+    * is the neighbor-table bucket of `next`, fed back into the next step's
+    * bucket pruning */
   final case class StepOut(walker: Long, next: String,
-                           src: String, pred: String, dst: String, viaEdge: Boolean)
+                           src: String, pred: String, dst: String, viaEdge: Boolean,
+                           nbkt: Int)
+
+  /** neighbor-cache bucket count — same trade as ForestFire's (16 buckets:
+    * pruning granularity vs one scheduled task per cached bucket per step) */
+  val Buckets = 16
+  private[graft] def bkt(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(c),
+      org.apache.spark.sql.functions.lit(Buckets)).cast("int")
+
+  /** The per-draw neighbor table (ranks pre-joined onto edges when
+    * prioritized), bucketed by hash(src) for per-step pruning. Exposed so
+    * plan audits (ExplainAudit, PlanShapeSpec) exercise the exact shape the
+    * engine caches. Callers cache the result. */
+  private[graft] def neighborTable(
+      kb: graft.core.Kb,
+      ranks: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = kb.edges.select(col("src"), col("pred"), col("dst"))
+    (ranks match {
+      case Some(r) => base.join(r, Seq("dst"))
+        .select(col("src"), col("pred"), col("dst"), col("w"))
+      case None => base
+    })
+      .withColumn("bkt", bkt(col("src")))
+      .repartition(Buckets, col("bkt"))
+  }
 }

@@ -55,29 +55,37 @@ object ExplainAudit {
     // banded embedding LSH near-dup
     show("emb_near_dup")(graft.sim.Ann.nearDupPairs(
       spark.read.parquet(s"$dir/embeddings.parquet"), 0.999))
-    // prioritized walk step (r3 verdict #2): the O(|V|) rank table must be
-    // PROBED via a broadcast of the per-step candidate set — any
-    // `Exchange hashpartitioning(dst…)` here means the rank table
-    // re-shuffles on every walker step
+    // prioritized walk step (r4 verdict #1): ranks are pre-joined into the
+    // bucketed cached neighbor table ONCE per draw, so the per-step plan is
+    // a broadcast-frontier BHJ into the bucket-PRUNED cached scan — no rank
+    // table and no `Exchange hashpartitioning(dst…)` may appear per step,
+    // and the bkt IN-filter must reach the InMemoryTableScan
     locally {
       import org.apache.spark.sql.functions._
+      val ranks = graft.sample.PageRank.compute(kb, iterations = 2)
+        .select(col("id").as("dst"), col("pr").as("w"))
+      val nbrs = graft.sample.WalkSampler.neighborTable(kb, Some(ranks)).cache()
+      nbrs.count()
       val f = spark.createDataset(Seq((0L, "c:1"), (1L, "s:2")))(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.STRING)).toDF("walker", "cur")
-      val cand = broadcast(f).join(kb.edges, f("cur") === kb.edges("src"))
-        .select(col("walker"), col("src"), col("pred"), col("dst"))
-      val ranks = graft.sample.PageRank.compute(kb, iterations = 2)
-        .select(col("id").as("dst"), col("pr").as("w"))
-      val step = ranks.join(broadcast(cand), Seq("dst"))
+      val pruned = nbrs.filter(col("bkt").isin(3, 7))
+      val step = broadcast(f).join(pruned, f("cur") === pruned("src"))
+        .select(col("walker"), col("src"), col("pred"), col("dst"), col("w"))
       println("\n========== walk_prioritized_step (asserted) ==========")
       step.explain("formatted")
       val plan = step.queryExecution.executedPlan.toString
       require(plan.contains("BroadcastHashJoin"),
-        "prioritized pick must broadcast the candidate set into the rank table")
+        "per-step candidate join must broadcast the frontier into the neighbor cache")
+      require(plan.contains("InMemoryTableScan"),
+        "per-step candidate join must read the cached neighbor table")
+      require(plan.contains("bkt") && plan.contains(" IN (3,7)"),
+        "bucket filter must reach the cached neighbor scan")
       require(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(dst")),
-        "rank table must not re-shuffle per walker step")
-      println("walk_prioritized_step: OK (BHJ probe, no rank-table exchange)")
+        "no per-step rank-table exchange may exist")
+      nbrs.unpersist()
+      println("walk_prioritized_step: OK (bucket-pruned cached scan, no rank probe)")
     }
     // canonical-map join gate (r3 verdict #1): above the catalog threshold
     // the join must be a salted shuffle-hash, never a forced broadcast

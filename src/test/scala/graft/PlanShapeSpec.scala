@@ -37,6 +37,31 @@ class PlanShapeSpec extends SparkSpec {
       "LP-scale sides must not sort-merge against the retrieval stream")
   }
 
+  test("prioritized walk step: bucket filter reaches the cached neighbor scan") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val ranks = graft.sample.PageRank.compute(kb, iterations = 2)
+      .select(col("id").as("dst"), col("pr").as("w"))
+    val nbrs = graft.sample.WalkSampler.neighborTable(kb, Some(ranks)).cache()
+    try {
+      nbrs.count()
+      val f = spark.createDataset(Seq((0L, "c:1"), (1L, "s:2")))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING)).toDF("walker", "cur")
+      val pruned = nbrs.filter(col("bkt").isin(3, 7))
+      val step = broadcast(f).join(pruned, f("cur") === pruned("src"))
+        .select(col("walker"), col("src"), col("pred"), col("dst"), col("w"))
+      val plan = step.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"frontier must broadcast:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"step must read the cached neighbor table:\n$plan")
+      assert(plan.contains("bkt") && plan.contains(" IN (3,7)"),
+        s"bucket filter must reach the cached scan:\n$plan")
+      assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(dst")),
+        "no per-step rank-table exchange may exist")
+    } finally nbrs.unpersist()
+  }
+
   test("dedup pair verify keeps its shuffle-hash hint (no SMJ over array rows)") {
     val pairs = graft.dedup.Dedup.minhashLsh(
       graft.queries.TrainingDataQueries.corpus(spark, sf), 0.8)
