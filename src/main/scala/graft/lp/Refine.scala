@@ -14,6 +14,17 @@ import graft.expr._
   *    B ⊒ A ⇒ ¬B ⊑ ¬A).
   *  - `cardinality`: ≥2 r.⊤ atoms per most-general role; ρ tightens n by 1
   *    up to `maxCardN` and refines the filler.
+  *  - `union`: A ⊔ B atoms over every pair of hierarchy ROOT classes (the
+  *    most general proper unions — the reference's concept space includes
+  *    unions, concept_generator.py:86-103); ρ(C ⊔ D) refines one disjunct
+  *    or drops one (both downward: a smaller disjunct or one fewer
+  *    disjunct admits fewer individuals).
+  *  - `maxCardinality`: ≤`maxCardN` r.⊤ atoms per most-general role
+  *    (the most general ≤-form under the cap); ρ tightens n DOWN by 1
+  *    (≤n−1 admits fewer) — the filler is deliberately never refined
+  *    there, because shrinking the filler of a ≤ is an UPWARD move.
+  *    Also turns on =n: ρ(≥n r.C) and ρ(≤n r.C) each additionally
+  *    propose =n r.C (=n ⊑ ≥n and =n ⊑ ≤n — both downward).
   *  - `inverse`: ∃r⁻.⊤ atoms (knowledge_base.py:902-922 inverse
   *    existential generators); fillers refine.
   *  - `boolProps`: ∃p.{true} / ∃p.{false} atoms per boolean data property
@@ -40,7 +51,9 @@ final case class RefineConfig(
     boolProps: Seq[String] = Nil,
     dataSplits: Map[String, Seq[Double]] = Map.empty,
     timeSplits: Map[String, Seq[String]] = Map.empty,
-    universalData: Boolean = false)
+    universalData: Boolean = false,
+    union: Boolean = false,
+    maxCardinality: Boolean = false)
 
 /** Deterministic top-down refinement operator ρ over the engine's Tbox,
   * modeled on the published downward refinement operators for description
@@ -70,15 +83,40 @@ final case class RefineConfig(
 final class Refine(tbox: Tbox, maxLen: Int = 7,
                    config: RefineConfig = RefineConfig()) {
 
+  // the ladder logic (and the doc claim above) relies on lexical string
+  // order == chronological order, which holds for zone-less xsd:date /
+  // dateTime forms but NOT for xsd:duration (P9D > P10D lexically) or
+  // timezone-offset dateTimes — reject those up front instead of walking
+  // rungs in the wrong order silently
+  private val TimeLexical =
+    """\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?""".r
+  config.timeSplits.foreach { case (p, vs) =>
+    vs.foreach { v =>
+      require(TimeLexical.matches(v),
+        s"timeSplits($p): '$v' is not a zone-less xsd:date/dateTime lexical form " +
+          "(durations and timezone offsets do not sort chronologically)")
+    }
+  }
+
   /** atomic refinements of ⊤: most-general named classes + most-general
     * existential restrictions (knowledge_base.py:750,864-880 shapes) +
     * the config's opt-in atom groups, each enumerated in sorted order. */
   val atomics: Seq[ClassExpr] = {
     val roles = tbox.mostGeneralObjectProps.map(_.prop).sorted
+    val roots = tbox.rootClasses
     tbox.rootClasses.map(Named(_): ClassExpr) ++
       roles.map(p => Exists(p, Top): ClassExpr) ++
+      (if (config.union)
+        (for {
+          (a, i) <- roots.zipWithIndex
+          b <- roots.drop(i + 1)
+        } yield mkOr(Seq(Named(a), Named(b))): ClassExpr)
+      else Nil) ++
       (if (config.negation) tbox.leafClasses().map(c => Not(Named(c)): ClassExpr) else Nil) ++
       (if (config.cardinality) roles.map(p => MinCard(2, p, Top): ClassExpr) else Nil) ++
+      (if (config.maxCardinality)
+        roles.map(p => MaxCard(config.maxCardN, p, Top): ClassExpr)
+      else Nil) ++
       (if (config.inverse) roles.map(p => ExistsInverse(p, Top): ClassExpr) else Nil) ++
       config.boolProps.sorted.flatMap(p =>
         Seq(DataBoolHasValue(p, value = true), DataBoolHasValue(p, value = false))) ++
@@ -104,6 +142,13 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
     if (flat.size == 1) flat.head else And(flat)
   }
 
+  /** canonicalized ⊔ — flattened, deduped, render-sorted, like [[mkAnd]] */
+  private def mkOr(cs: Seq[ClassExpr]): ClassExpr = {
+    val flat = cs.flatMap { case Or(xs) => xs; case x => Seq(x) }
+      .distinctBy(ClassExpr.render).sortBy(ClassExpr.render)
+    if (flat.size == 1) flat.head else Or(flat)
+  }
+
   private def conj(c: ClassExpr): Seq[ClassExpr] =
     atomics.filterNot(_ == c).map(a => mkAnd(Seq(c, a)))
 
@@ -111,7 +156,7 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
     * recursively through restriction fillers */
   private def norm(c: ClassExpr): ClassExpr = c match {
     case And(cs)             => mkAnd(cs.map(norm))
-    case Or(cs)              => Or(cs.map(norm))
+    case Or(cs)              => mkOr(cs.map(norm))
     case Not(x)              => Not(norm(x))
     case Exists(r, f)        => Exists(r, norm(f))
     case ForAll(r, f)        => ForAll(r, norm(f))
@@ -145,7 +190,17 @@ final class Refine(tbox: Tbox, maxLen: Int = 7,
       case ForAll(r, f) => this(f).map(ForAll(r, _)) ++ conj(ce)
       case MinCard(n, r, f) =>
         (if (n < config.maxCardN) Seq(MinCard(n + 1, r, f)) else Nil) ++
+          (if (config.maxCardinality) Seq(ExactCard(n, r, f)) else Nil) ++
           this(f).map(MinCard(n, r, _)) ++ conj(ce)
+      // ≤ tightens n down only: a SMALLER filler admits MORE individuals
+      // under ≤ (upward), so the filler never refines here; =n ⊑ ≤n
+      case MaxCard(n, r, f) =>
+        (if (n > 0) Seq(MaxCard(n - 1, r, f)) else Nil) ++
+          Seq(ExactCard(n, r, f)) ++ conj(ce)
+      case Or(cs) =>
+        cs.indices.flatMap(i => this(cs(i)).map(r => mkOr(cs.updated(i, r)))) ++
+          (if (cs.size > 1) cs.indices.map(i => mkOr(cs.patch(i, Nil, 1))) else Nil) ++
+          conj(ce)
       case ExistsInverse(r, f) => this(f).map(ExistsInverse(r, _)) ++ conj(ce)
       case ForAllInverse(r, f) => this(f).map(ForAllInverse(r, _)) ++ conj(ce)
       case DataCompare(p, ">=", v) =>

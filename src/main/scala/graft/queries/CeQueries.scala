@@ -251,6 +251,33 @@ object CeQueries {
       s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
         .toDF("concept", "quality", "len")
     }),
+    // ρ with ⊔ and ≤n switched on (round-5 dialect growth): LP pos =
+    // customers ∪ parts (no shared named class), neg = suppliers. The
+    // deterministic trace: iter 1 expands ⊤ — atoms under maxLen 4 are the
+    // 4 roots, 5 ∃r.⊤, 6 root-pair unions, and 5 ≤5 r.⊤; (Agent ⊔ Part)
+    // retrieves all positives with only the suppliers as fp, and the
+    // 0.98592 tie with ⊤ and the all-but-some-orders ≤5 atoms breaks on
+    // '(' < '≤' < '⊤', so iter 2 expands it and refines its Agent
+    // disjunct to the goal (Customer ⊔ Part). The oracle recomputes all
+    // 23 candidate scores (incl. the ≤ retrievals) from the base tables,
+    // mirrors weak rejection with quality > 0, and applies the same
+    // (quality desc, render) top-3.
+    "lp_refine_fit_union" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      def cls(c: String) = kb.types.filter(col("cls") === c)
+        .select("node").collect().map(_.getString(0)).toSeq
+      val pos = (cls("Customer") ++ cls("Part")).sorted
+      val neg = cls("Supplier").sorted
+      val elp = LearningProblem.encode(kb, Lp(pos, neg))
+      val cfg = RefineConfig(union = true, maxCardinality = true)
+      val fit = Learner.fit(kb, elp, maxLen = 4, config = cfg)
+      require(fit.goalFound && fit.iterations == 2 &&
+        fit.best.head.render == "(Customer ⊔ Part)",
+        s"unexpected search trace: goal=${fit.goalFound} iters=${fit.iterations} " +
+          s"best=${fit.best.headOption.map(_.render)}")
+      s.createDataFrame(fit.best.map(n => (n.render, n.quality, n.len)))
+        .toDF("concept", "quality", "len")
+    }),
     // the split-ladder helper's portability claim, driver-verified: the
     // exact rank-based rungs (sorted distinct values at floor(i·m/k))
     // must be reproducible by plain SQL — DuckDB recomputes them with
@@ -627,6 +654,53 @@ object CeQueries {
       TpchKgSql.withKg(
         s"""pos AS (SELECT node AS id FROM attrs WHERE prop = 'urgent' AND lexical = 'true'),
            |neg AS (SELECT node AS id FROM attrs WHERE prop = 'urgent' AND lexical = 'false'),
+           |scored AS (
+           |$rows)
+           |SELECT concept, quality, len FROM (
+           |  SELECT concept, CASE WHEN tp = 0 THEN 0.0
+           |    ELSE ROUND(2 * ((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn)))
+           |         / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))), 5) END AS quality,
+           |    len FROM scored) q
+           |WHERE quality > 0
+           |ORDER BY quality DESC, concept LIMIT 3""".stripMargin, inCte = true)
+    },
+    // union/max-cardinality learner mirror: ⊤ + the 20 extended-ρ(⊤)
+    // atoms (4 roots, 5 ∃r.⊤, 6 root-pair ⊔, 5 ≤5 r.⊤) + the 2 unions
+    // iteration 2 registers, each F1-scored from the base tables;
+    // quality > 0 reproduces weak rejection, top-3 the engine tiebreak
+    "lp_refine_fit_union" -> {
+      def cand(name: String, len: Int, ret: String) =
+        s"""SELECT '$name' AS concept, CAST($len AS INT) AS len,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS tp,
+           |  CAST((SELECT COUNT(*) FROM pos WHERE id NOT IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fn,
+           |  CAST((SELECT COUNT(*) FROM neg WHERE id IN (SELECT id FROM ($ret) y)) AS BIGINT) AS fp""".stripMargin
+      val placeClosure = TpchKg.tbox.subClassesOf("Place").toSeq.sorted
+      def clsIn(cs: Seq[String]) = s"SELECT node AS id FROM types WHERE cls IN ${inList(cs)}"
+      def cls(c: String) = s"SELECT node AS id FROM types WHERE cls = '$c'"
+      def existsTop(r: String) = s"SELECT DISTINCT src AS id FROM edges WHERE pred = '$r'"
+      def maxCard5(r: String) =
+        s"""SELECT id FROM nodes EXCEPT
+           |SELECT src FROM edges WHERE pred = '$r' GROUP BY src HAVING COUNT(*) > 5""".stripMargin
+      val roles = Seq("contains", "inNation", "inRegion", "placedBy", "suppliedBy")
+      val rootRet: Map[String, String] = Map(
+        "Agent" -> clsIn(agentClosure), "Order" -> cls("Order"),
+        "Part" -> cls("Part"), "Place" -> clsIn(placeClosure))
+      val roots = Seq("Agent", "Order", "Part", "Place")
+      val rows = (Seq(cand("⊤", 1, "SELECT id FROM nodes")) ++
+        roots.map(c => cand(c, 1, rootRet(c))) ++
+        roles.map(r => cand(s"∃$r.⊤", 3, existsTop(r))) ++
+        (for {
+          (a, i) <- roots.zipWithIndex
+          b <- roots.drop(i + 1)
+        } yield cand(s"($a ⊔ $b)", 3, s"${rootRet(a)} UNION ${rootRet(b)}")) ++
+        roles.map(r => cand(s"≤5 $r.⊤", 4, maxCard5(r))) ++
+        Seq(
+          cand("(Customer ⊔ Part)", 3, s"${cls("Customer")} UNION ${cls("Part")}"),
+          cand("(Part ⊔ Supplier)", 3, s"${cls("Part")} UNION ${cls("Supplier")}")))
+        .mkString("\nUNION ALL\n")
+      TpchKgSql.withKg(
+        s"""pos AS (SELECT node AS id FROM types WHERE cls IN ('Customer', 'Part')),
+           |neg AS (SELECT node AS id FROM types WHERE cls = 'Supplier'),
            |scored AS (
            |$rows)
            |SELECT concept, quality, len FROM (

@@ -156,4 +156,89 @@ class RefineFuzzSpec extends AnyFunSuite {
       assert(rho(And(cs)) === rho(And(rnd.shuffle(cs))))
     }
   }
+
+  // ---- union + max/exact cardinality (round-5 dialect growth) ----
+
+  private val unionCfg = fullCfg.copy(union = true, maxCardinality = true)
+
+  test("union atoms: root pairs only, canonical ⊔; ρ(⊔) refines or drops a disjunct") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, unionCfg)
+    val atoms = rho(Top).map(ClassExpr.render)
+    // person is the single root in FamilyKb — no proper root pair exists
+    assert(!atoms.exists(_.contains("⊔")))
+    val or = Or(Seq(Named("female"), Named("male")))
+    val refs = rho(or).map(ClassExpr.render)
+    // drop-a-disjunct
+    assert(refs.contains("female") && refs.contains("male"))
+    // a disjunct refinement stays inside the ⊔ (male/female are leaves, so
+    // only their conj-forms refine them — capped shapes aside, the ⊓ lands
+    // INSIDE the union)
+    assert(refs.exists(r => r.contains("⊔") && r.contains("⊓")))
+    // permutation-canonical: reversed input refines identically
+    assert(rho(Or(Seq(Named("male"), Named("female")))) === rho(or))
+    // no self-refinement under either permutation
+    assert(!refs.contains(ClassExpr.render(or)))
+  }
+
+  test("≤n tightens down only (never the filler), =n comes from both sides") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 9, unionCfg)
+    val atoms = rho(Top)
+    assert(atoms.contains(MaxCard(4, "hasChild", Top)), "≤maxCardN r.⊤ atom missing")
+    val refs = rho(MaxCard(4, "hasChild", Top))
+    assert(refs.contains(MaxCard(3, "hasChild", Top)))
+    assert(refs.contains(ExactCard(4, "hasChild", Top)))
+    // the ≤-filler must NOT refine (that move is upward)
+    assert(!refs.exists {
+      case MaxCard(4, _, f) => f != Top; case _ => false
+    })
+    // floor: ≤0 has no count refinement, still proposes =0
+    val atZero = rho(MaxCard(0, "hasChild", Top))
+    assert(!atZero.exists { case MaxCard(_, _, _) => true; case _ => false })
+    assert(atZero.contains(ExactCard(0, "hasChild", Top)))
+    // ≥n proposes =n when maxCardinality is on
+    assert(rho(MinCard(2, "hasChild", Top)).contains(ExactCard(2, "hasChild", Top)))
+    // =n is a cardinality fixpoint (conj-only)
+    assert(!rho(ExactCard(2, "hasChild", Top)).exists {
+      case ExactCard(_, _, _) => true
+      case MinCard(_, _, _) | MaxCard(_, _, _) => true
+      case _ => false
+    })
+  }
+
+  private def randomCeUnion(depth: Int): ClassExpr =
+    if (depth == 0) {
+      if (rnd.nextInt(4) == 0) Top else Named(classes(rnd.nextInt(classes.size)))
+    } else rnd.nextInt(4) match {
+      case 0 => Or((0 until 2 + rnd.nextInt(2)).map(_ => randomCeUnion(depth - 1)))
+      case 1 => MaxCard(rnd.nextInt(4), roles(rnd.nextInt(roles.size)), randomCeUnion(depth - 1))
+      case 2 => ExactCard(rnd.nextInt(4), roles(rnd.nextInt(roles.size)), randomCeUnion(depth - 1))
+      case _ => randomCeExt(depth)
+    }
+
+  test("300 random union/cardinality trees keep the structural guarantees") {
+    val rho = new Refine(FamilyKb.tbox, maxLen = 11, unionCfg)
+    def flatSortedOr(c: ClassExpr): Boolean = c match {
+      case Or(cs) =>
+        cs.forall { case Or(_) => false; case x => flatSortedOr(x) } &&
+          cs.map(ClassExpr.render) == cs.map(ClassExpr.render).sorted
+      case And(cs)       => cs.forall(flatSortedOr)
+      case Exists(_, f)  => flatSortedOr(f)
+      case ForAll(_, f)  => flatSortedOr(f)
+      case Not(x)        => flatSortedOr(x)
+      case MinCard(_, _, f) => flatSortedOr(f)
+      case MaxCard(_, _, f) => flatSortedOr(f)
+      case ExactCard(_, _, f) => flatSortedOr(f)
+      case _             => true
+    }
+    for (_ <- 1 to 300) {
+      val ce = randomCeUnion(2 + rnd.nextInt(2))
+      val refs = rho(ce)
+      val renders = refs.map(ClassExpr.render)
+      assert(refs.forall(ClassExpr.length(_) <= 11), s"length cap broken for $ce")
+      assert(renders == renders.sorted && renders.distinct == renders,
+        s"output not sorted-distinct for $ce")
+      assert(refs.forall(flatSortedOr), s"non-canonical ⊔ in refinements of $ce")
+      assert(!renders.contains(ClassExpr.render(ce)), s"self-refinement for $ce")
+    }
+  }
 }
