@@ -130,25 +130,77 @@ object Ann {
       .limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
-  def ivfAssign(embeddings: DataFrame, nlist: Int = 16, seed: Long = 97L): DataFrame = {
-    val cents = broadcast(ivfCentroids(embeddings, nlist, seed))
+  /** top-`kassign` max-cosine centroids per vector against an explicit
+    * (cid, ce) table — the assignment kernel [[ivfAssign]], the Lloyd
+    * sweep (kassign = 1), and the multi-assignment index share. Ties break
+    * to the lowest cid; round(·, 6) keeps the argmax oracle-stable under
+    * last-ulp float divergence. */
+  private def assignTo(embeddings: DataFrame, cents: DataFrame,
+                       kassign: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    embeddings.crossJoin(cents)
+    embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         col("cid"), round(cosine(col("embedding"), col("ce")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= kassign)
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Seeded-LCG init refined by `iters` DETERMINISTIC Lloyd sweeps: assign
+    * every vector to its max-cosine centroid, recompute each centroid as
+    * the member mean. Each sweep is one broadcast-assign pass + one
+    * groupBy aggregate — linear in N, the k-means shape that scales.
+    * Component sums run on round(x·10⁶) INTEGERS (exactly associative), so
+    * the refined centroids — and therefore every downstream assignment —
+    * are bit-identical at any parallelism (a double sum's rounding depends
+    * on partition order and could flip an argmax near a tie). Clusters
+    * that lose all members keep their previous centroid. With `iters` = 0
+    * this IS [[ivfCentroids]]. */
+  def ivfCentroidsLloyd(embeddings: DataFrame, nlist: Int = 16, seed: Long = 97L,
+                        iters: Int = 0): DataFrame = {
+    var cents = ivfCentroids(embeddings, nlist, seed)
+    if (iters > 0) {
+      cents = cents.localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val members = embeddings.join(assignTo(embeddings, cents), Seq("vec_id"))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("cid", "i")
+          .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("q"),
+            count(lit(1)).as("c"))
+        val next = members.groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"),
+              (col("q").cast("double") / (col("c").cast("double") * 1000000.0)).as("v")))),
+            e => e.getField("v")).as("ce"))
+        cents = cents.select(col("cid"), col("ce").as("prev"))
+          .join(next, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("ce"), col("prev")).as("ce"))
+          .localCheckpoint(true)
+      }
+    }
+    cents
+  }
+
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16, seed: Long = 97L,
+                lloyd: Int = 0): DataFrame =
+    assignTo(embeddings, ivfCentroidsLloyd(embeddings, nlist, seed, lloyd))
+
   /** IVF top-k: each query probes only the vectors assigned to its
     * `nprobe` nearest centroids — the scale path that turns brute-force
-    * O(|Q|·N) into O(|Q|·N·nprobe/nlist). (q, rank, neighbor), ordering
-    * oracle-stable on round(sim, 6) desc then id. */
+    * O(|Q|·N) into O(|Q|·N·nprobe·kassign/nlist). `lloyd` deterministic
+    * k-means sweeps refine the seeded centroids; `kassign` > 1 indexes
+    * every vector in its top-kassign cells (multi-assignment — the
+    * standard recall lever when the corpus has little cluster structure:
+    * a neighbor is found if ANY of its cells is probed; the index grows
+    * ×kassign, never the verify stage, which dedups (q, candidate) before
+    * scoring). (q, rank, neighbor), ordering oracle-stable on
+    * round(sim, 6) desc then id. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 97L): DataFrame = {
-    val assign = ivfAssign(embeddings, nlist, seed)
-    val cents = broadcast(ivfCentroids(embeddings, nlist, seed))
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 97L,
+              lloyd: Int = 0, kassign: Int = 1): DataFrame = {
+    val cents0 = ivfCentroidsLloyd(embeddings, nlist, seed, lloyd)
+    val assign = assignTo(embeddings, cents0, kassign)
+    val cents = broadcast(cents0)
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
     val probeW = Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))
@@ -160,6 +212,7 @@ object Ann {
     val cands = probes
       .join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("q"))
+      .dropDuplicates("q", "vec_id") // multi-assignment: candidate met once
       .join(embeddings, Seq("vec_id"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
     cands.select(col("q"), col("vec_id").as("neighbor"),
