@@ -237,9 +237,11 @@ object Refine {
     * indices floor(i·m/k), i = 1..k−1. Rank-based (no interpolation), so
     * any SQL engine reproduces the exact rung values. Each rung is a
     * TakeOrdered-limit + max — never a full value collect; cost is one
-    * distinct + k jobs, driver-bounded. At 100-TB scale precompute the
-    * ladder offline (or from approx quantiles, accepting drift) and hand
-    * it to [[RefineConfig.dataSplits]] — ρ only ever reads the ladder. */
+    * distinct + k jobs, driver-bounded, and each rung's TakeOrdered
+    * materializes idx+1 rows on one task — fine at gate scale, not the
+    * 100-TB path. There, use [[approxSplitsFor]]: one sketch aggregate,
+    * rank drift bounded and measured (LearnerSpec). ρ only ever reads the
+    * ladder, so the two are drop-in interchangeable. */
   def splitsFor(kb: graft.core.Kb, prop: String, k: Int): Seq[Double] = {
     import org.apache.spark.sql.functions._
     val dv = kb.attrs.filter(col("prop") === prop)
@@ -253,6 +255,25 @@ object Refine {
             .agg(max(col("v"))).collect()(0).getDouble(0)
         }
     } finally dv.unpersist()
+  }
+
+  /** The 100-TB ladder: the same k-quantile semantics as [[splitsFor]]
+    * (quantiles of the DISTINCT value set) from ONE `approx_percentile`
+    * aggregate — a Greenwald-Khanna sketch pass, no per-rung TakeOrdered
+    * jobs and no single-task materialization. The sketch contract bounds
+    * each returned rung's rank drift by m/accuracy (ε = 1/accuracy over m
+    * distinct values); LearnerSpec measures the bound against the exact
+    * ladder at fixture scale. Returned rungs are real data values
+    * (approx_percentile interpolates nothing), deduped and ascending. */
+  def approxSplitsFor(kb: graft.core.Kb, prop: String, k: Int,
+                      accuracy: Int = 10000): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    val dv = kb.attrs.filter(col("prop") === prop)
+      .select(col("lexical").cast("double").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val probs = (1 until k).map(i => lit(i.toDouble / k))
+    dv.agg(percentile_approx(col("v"), array(probs: _*), lit(accuracy)).as("r"))
+      .collect()(0).getSeq[Double](0).distinct.sorted
   }
 }
 
@@ -285,8 +306,11 @@ object Learner {
     var exhausted = false
     var it = 0
     while (!goal && !exhausted && it < maxIterations) {
-      tree.nodes.values.filterNot(n => expanded(n.concept)).toSeq
-        .sortBy(n => (-n.heuristic, n.render)).headOption match {
+      // heap-served frontier: O(log n) amortized per expansion instead of
+      // the old O(|tree|) registry scan (O(n²) over a long run); selection
+      // order — (heuristic desc, render) over unexpanded nodes — is
+      // IDENTICAL, which LearnerSpec cross-checks against the scan
+      tree.popBestUnexpanded(expanded) match {
         case None => exhausted = true // frontier exhausted: true count stands
         case Some(n) =>
           it += 1

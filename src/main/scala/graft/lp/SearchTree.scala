@@ -169,6 +169,27 @@ final class SearchTreePriorityQueue(
     }
   }
 
+  /** Best registered-and-not-skipped node by (heuristic desc, render asc),
+    * served from the heap in O(log n) amortized instead of an O(n) registry
+    * scan per call. Lazy invalidation: every heuristic ASSIGNMENT pushes a
+    * fresh entry (fresh node, improved re-parent — heuristics only ever
+    * increase), so each node's CURRENT heuristic has a live entry and any
+    * stale entry carries a strictly lower key; a popped entry is served
+    * only if it matches the node's current heuristic and the node is not
+    * skipped, otherwise it is discarded. Entries are consumed — callers
+    * that expand every returned node (the learner loop) never lose one. */
+  def popBestUnexpanded(skip: ClassExpr => Boolean): Option[LblNode] = {
+    while (queue.nonEmpty) {
+      val (h, _, popped) = queue.dequeue()
+      nodes.get(popped.concept) match {
+        case Some(n) if !skip(n.concept) && n.heuristic == h && (n eq popped) =>
+          return Some(n)
+        case _ => // stale entry (superseded score, replaced node) or skipped
+      }
+    }
+    None
+  }
+
   /** get_most_promising (search.py:601-617): pop the top heuristic entry,
     * resolve through the registry, re-push, return. Throws if the popped
     * concept is no longer registered (the reference raises KeyError). */

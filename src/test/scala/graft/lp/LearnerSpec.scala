@@ -99,4 +99,42 @@ class LearnerSpec extends SparkSpec {
     // k = 2 → index 3 → the upper median distinct value
     assert(Refine.splitsFor(kb, "age", 2) === Seq(35.0))
   }
+
+  test("approxSplitsFor: rank drift vs the exact ladder within the sketch bound") {
+    // the 100-TB ladder replaces k TakeOrdered jobs with one sketch pass;
+    // its contract is BOUNDED RANK DRIFT, measured here on the real
+    // acctbal distribution at fixture scale (sf0.001: agents with distinct
+    // balances). rank(v) = #distinct values ≤ v; exact rung i sits at rank
+    // i·m/k; the GK sketch guarantees ≤ m/accuracy drift per rung.
+    val kb = graft.sources.TpchKg.load(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val distinctVals = kb.attrs.filter(col("prop") === "acctbal")
+      .select(col("lexical").cast("double").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .collect().map(_.getDouble(0)).sorted
+    val m = distinctVals.length
+    def rank(v: Double): Int = distinctVals.count(_ <= v)
+    val k = 8
+    val accuracy = 100
+    val approx = Refine.approxSplitsFor(kb, "acctbal", k, accuracy)
+    assert(approx.nonEmpty && approx == approx.sorted && approx.distinct == approx)
+    // every approx rung is a REAL data value (the sketch never interpolates)
+    approx.foreach(v => assert(distinctVals.contains(v), s"rung $v not a data value"))
+    val maxDrift = approx.zipWithIndex.map { case (v, j) =>
+      // deduped output: align each rung to its nearest exact target rank
+      (1 until k).map(i => math.abs(rank(v) - i * m / k)).min
+    }.max
+    val bound = m / accuracy + 1
+    info(s"m=$m distinct values, max rank drift $maxDrift (bound $bound)")
+    assert(maxDrift <= bound, s"rank drift $maxDrift exceeds sketch bound $bound")
+    // at high accuracy only the rank CONVENTION differs (the sketch
+    // targets ceil(p·m) where the exact ladder takes floor(i·m/k)+1 —
+    // equal except when i·m/k is integral): per-rung rank drift ≤ 1
+    val exactRanks = Refine.splitsFor(kb, "acctbal", 4).map(rank)
+    val approxRanks = Refine.approxSplitsFor(kb, "acctbal", 4).map(rank)
+    assert(exactRanks.size === approxRanks.size)
+    exactRanks.zip(approxRanks).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1, s"high-accuracy rung rank $a vs exact $e")
+    }
+  }
 }
