@@ -151,21 +151,37 @@ object Canonicalize {
     * Durability note: localCheckpoint blocks live on executors (same
     * contract as the CC rounds feeding this map — the engine-wide trade of
     * bounded lineage for executor-loss recompute, documented since r1).
-    * A production LONG-RUNNING streaming deployment should point the map
-    * at a reliably-stored copy instead: write it via TableIO and read it
-    * back, refreshing on the restart cadence (see StreamingKg's SCD
-    * contract) — the join shapes here are unchanged by that swap. */
+    * A production LONG-RUNNING streaming deployment points the map at a
+    * reliably-stored copy instead: [[writeDurableMap]] persists it via
+    * TableIO, [[readDurableMap]] re-reads it on restart, and `mapOverride`
+    * feeds it through — the join shapes are unchanged by the swap
+    * (StreamingKgSpec's durable-refresh case exercises the full cycle). */
   def apply(linked: DataFrame, aliases: DataFrame,
             keep: Seq[String] = Nil,
             broadcastMaxRows: Long = DefaultBroadcastMaxRows,
-            saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
-    val canon = canonicalMap(aliases).localCheckpoint(true)
+            saltBuckets: Int = DefaultSaltBuckets,
+            mapOverride: Option[DataFrame] = None): DataFrame = {
+    val canon = mapOverride.getOrElse(canonicalMap(aliases)).localCheckpoint(true)
     val rows = Some(canon.count())
     val subj = saltedMapJoin(linked, canon, "subj_id", "subj",
       broadcastMaxRows, saltBuckets, rows)
     saltedMapJoin(subj, canon, "obj_id", "obj", broadcastMaxRows, saltBuckets, rows)
       .select(keep.map(col) :+ col("subj") :+ col("pred") :+ col("obj"): _*)
   }
+
+  /** Persist the connected-components canonical map durably (the SCD
+    * refresh contract for long-running streaming: recompute on the refresh
+    * cadence, write, restart the query against the same checkpoint with
+    * the re-read map). Plain unpartitioned write — the map is (entity_id,
+    * canonical), unique per entity, and its consumers re-shuffle or
+    * broadcast it per [[saltedMapJoin]]'s gate anyway. */
+  def writeDurableMap(io: graft.core.TableIO, aliases: DataFrame, table: String): Unit =
+    io.write(canonicalMap(aliases), table)
+
+  /** Read a durable canonical map back for `apply`'s `mapOverride` /
+    * StreamingKg's `canonicalMapOverride`. */
+  def readDurableMap(io: graft.core.TableIO, table: String): DataFrame =
+    io.read(table).select(col("entity_id"), col("canonical"))
 }
 
 /** Connected components via the ALTERNATING large-star / small-star

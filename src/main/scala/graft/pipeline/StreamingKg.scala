@@ -30,13 +30,18 @@ import org.apache.spark.sql.functions._
 object StreamingKg {
 
   /** pagesStream(url, warc_ts, html, …) → streaming canonical triples
-    * (subj, pred, obj). `delay` is the event-time lateness bound. */
+    * (subj, pred, obj). `delay` is the event-time lateness bound.
+    * `canonicalMap` points the canonicalization stage at a prebuilt —
+    * typically DURABLY STORED ([[Canonicalize.readDurableMap]]) — map
+    * instead of recomputing connected components at query start; None
+    * keeps the self-computed map. */
   def triples(pagesStream: DataFrame, aliases: DataFrame,
-              delay: String = "10 minutes"): DataFrame = {
+              delay: String = "10 minutes",
+              canonicalMap: Option[DataFrame] = None): DataFrame = {
     val extracted = Extract.withTs(pagesStream)
     val mentions = Mentions.withTs(extracted).toDF()
     val linked = Link(mentions, aliases, keep = Seq("warc_ts"))
-    Canonicalize(linked, aliases, keep = Seq("warc_ts"))
+    Canonicalize(linked, aliases, keep = Seq("warc_ts"), mapOverride = canonicalMap)
       .withWatermark("warc_ts", delay)
       .dropDuplicatesWithinWatermark("subj", "pred", "obj")
       .select("subj", "pred", "obj")
@@ -55,10 +60,12 @@ object StreamingKg {
     * proves both). */
   def runAvailableNow(spark: SparkSession, pagesDir: String, outDir: String,
                       checkpointDir: String, delay: String = "10 minutes",
-                      aliasesOverride: Option[DataFrame] = None): DataFrame = {
+                      aliasesOverride: Option[DataFrame] = None,
+                      canonicalMapOverride: Option[DataFrame] = None): DataFrame = {
     val schema = spark.read.parquet(pagesDir).schema
     val stream = spark.readStream.schema(schema).parquet(pagesDir)
-    val q = triples(stream, aliasesOverride.getOrElse(Pages.aliases(spark)), delay)
+    val q = triples(stream, aliasesOverride.getOrElse(Pages.aliases(spark)), delay,
+      canonicalMapOverride)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -64,6 +64,47 @@ class StreamingKgSpec extends SparkSpec {
     assert(run2.size > run1.size)
   }
 
+  test("durable canonical map: TableIO-stored map drives the stream across restart") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("stream_kg_durable_").toString
+    val io = new graft.core.ParquetTableIO(spark, s"$base/store")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+    // cycle start: compute the map ONCE, store it durably, run the query
+    // from the STORED copy (not executor-resident localCheckpoint state)
+    Canonicalize.writeDurableMap(io, Pages.aliases(spark), "canonical_map")
+    Pages.fromDocuments(docs.filter(col("doc_id") < 50))
+      .write.mode("append").parquet(s"$base/pages")
+    val run1 = rows(StreamingKg.runAvailableNow(
+      spark, s"$base/pages", s"$base/out", s"$base/ck", delay = "7 days",
+      canonicalMapOverride = Some(Canonicalize.readDurableMap(io, "canonical_map"))))
+    assert(run1.contains(("entA_12", "bornIn", "city_12")))
+
+    // SCD refresh cadence: recompute the map from the updated dictionary,
+    // OVERWRITE the stored table, restart against the same checkpoint with
+    // the re-read map — only unprocessed pages see the new canonical ids
+    val v2 = Pages.aliases(spark)
+      .unionAll(spark.createDataFrame(Seq(("Ent 12", "ent0_12", 0.95)))
+        .toDF("surface", "entity_id", "score"))
+    Canonicalize.writeDurableMap(io, v2, "canonical_map")
+    Pages.fromDocuments(docs.filter(col("doc_id") >= 100 && col("doc_id") < 160))
+      .write.mode("append").parquet(s"$base/pages")
+    val run2 = rows(StreamingKg.runAvailableNow(
+      spark, s"$base/pages", s"$base/out", s"$base/ck", delay = "7 days",
+      aliasesOverride = Some(v2),
+      canonicalMapOverride = Some(Canonicalize.readDurableMap(io, "canonical_map"))))
+
+    // post-restart links canonicalize under the refreshed stored map …
+    assert(run2.contains(("ent0_12", "bornIn", "city_16")))
+    // … while everything emitted before the restart survives exactly once
+    assert(run1.toSet.subsetOf(run2.toSet))
+    assert(run2.size === run2.toSet.size)
+    assert(run2.size > run1.size)
+  }
+
   test("the streaming plan is actually streaming and dedup state is keyed") {
     val sf = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("stream_kg_plan_").toString
