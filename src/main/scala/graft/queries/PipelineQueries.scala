@@ -63,6 +63,26 @@ object PipelineQueries {
       Media(s.createDataFrame(imgs).toDF("url", "html")).toDF()
         .select("url", "width", "height", "format")
     }),
+    // audio/video HEADER metadata through the same typed-mapPartitions
+    // stage: hand-built WAV (RIFF chunks, incl. an odd-size LIST chunk
+    // exercising even-padding) and MP4 (ftyp + moov/mvhd v0 AND v1 + trak)
+    // fixtures with arithmetic-known duration/rate/track values, plus a
+    // non-media payload that must degrade per-row to 'unknown'. The oracle
+    // pins the exact header-derived values, so a parser that mis-walks the
+    // chunk/box structure hash-mismatches.
+    "fe_media_av" -> ((s, d) => {
+      val fx = Seq(
+        ("av://0", wavBytes(channels = 1, sampleRate = 8000, dataBytes = 8000,
+          listChunk = false)),
+        ("av://1", wavBytes(channels = 2, sampleRate = 44100, dataBytes = 44100,
+          listChunk = true)),
+        ("av://2", mp4Bytes(mvhdVersion = 0, timescale = 600, duration = 3000L,
+          tracks = 2)),
+        ("av://3", mp4Bytes(mvhdVersion = 1, timescale = 90000, duration = 630000L,
+          tracks = 1)),
+        ("av://4", "<html><body>not media</body></html>".getBytes("UTF-8")))
+      Media.av(s.createDataFrame(fx).toDF("url", "html")).toDF()
+    }),
     // the SAME canonical-triple set via the Structured Streaming pipeline:
     // pages parquet replayed as a bounded stream, drained exactly-once with
     // Trigger.AvailableNow into a parquet sink. The 7-day lateness bound
@@ -75,6 +95,54 @@ object PipelineQueries {
       StreamingKg.runAvailableNow(s, s"$base/pages", s"$base/out", s"$base/ck",
         delay = "7 days")
     }))
+
+  /** Minimal PCM WAV: RIFF/WAVE + (optional odd-size LIST chunk, testing
+    * the spec's pad-to-even walk) + 16-byte fmt chunk + zero-filled data
+    * chunk. 16-bit samples, so byteRate = sampleRate · channels · 2. */
+  private def wavBytes(channels: Int, sampleRate: Int, dataBytes: Int,
+                       listChunk: Boolean): Array[Byte] = {
+    val listLen = if (listChunk) 8 + 3 + 1 else 0 // "LIST" + size 3 + 1 pad
+    val riffLen = 4 + listLen + 24 + 8 + dataBytes
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    ascii("RIFF"); bb.putInt(riffLen); ascii("WAVE")
+    if (listChunk) { ascii("LIST"); bb.putInt(3); ascii("INF"); bb.put(0.toByte) }
+    ascii("fmt "); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byteRate
+    bb.putShort((channels * 2).toShort)  // blockAlign
+    bb.putShort(16)                      // bitsPerSample
+    ascii("data"); bb.putInt(dataBytes)
+    bb.array()
+  }
+
+  /** Minimal ISO-BMFF MP4: 16-byte ftyp + moov{mvhd(v0|v1) + empty trak
+    * boxes}. duration_ms = duration · 1000 / timescale. */
+  private def mp4Bytes(mvhdVersion: Int, timescale: Int, duration: Long,
+                       tracks: Int): Array[Byte] = {
+    val mvhdLen = if (mvhdVersion == 0) 108 else 120
+    val moovLen = 8 + mvhdLen + 8 * tracks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovLen) // big-endian default
+    def ascii(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(16); ascii("ftyp"); ascii("isom"); bb.putInt(0x200)
+    bb.putInt(moovLen); ascii("moov")
+    bb.putInt(mvhdLen); ascii("mvhd")
+    val mvhdEnd = bb.position() - 8 + mvhdLen
+    bb.put(mvhdVersion.toByte); bb.put(Array[Byte](0, 0, 0)) // version + flags
+    if (mvhdVersion == 0) {
+      bb.putInt(0); bb.putInt(0)          // creation/modification
+      bb.putInt(timescale); bb.putInt(duration.toInt)
+    } else {
+      bb.putLong(0L); bb.putLong(0L)
+      bb.putInt(timescale); bb.putLong(duration)
+    }
+    bb.position(mvhdEnd) // rest of mvhd (rate/volume/matrix/…) zero-filled
+    (0 until tracks).foreach { _ => bb.putInt(8); ascii("trak") }
+    bb.array()
+  }
 
   private val docsCte =
     s"""docs AS (SELECT doc_id, text, lang, ${Pages.Sql.url} AS url,
@@ -138,6 +206,14 @@ object PipelineQueries {
         |  ('img://2', CAST(18 AS INT), CAST(13 AS INT), 'png'),
         |  ('img://3', CAST(19 AS INT), CAST(15 AS INT), 'jpeg')
         |) t(url, width, height, format)""".stripMargin,
+    "fe_media_av" ->
+      """SELECT * FROM (VALUES
+        |  ('av://0', 'wav',     CAST(500  AS BIGINT), CAST(8000  AS INT), CAST(1 AS INT)),
+        |  ('av://1', 'wav',     CAST(250  AS BIGINT), CAST(44100 AS INT), CAST(2 AS INT)),
+        |  ('av://2', 'mp4',     CAST(5000 AS BIGINT), CAST(0     AS INT), CAST(2 AS INT)),
+        |  ('av://3', 'mp4',     CAST(7000 AS BIGINT), CAST(0     AS INT), CAST(1 AS INT)),
+        |  ('av://4', 'unknown', CAST(0    AS BIGINT), CAST(0     AS INT), CAST(0 AS INT))
+        |) t(url, container, duration_ms, sample_rate, tracks)""".stripMargin,
     "fe_media_meta" -> withDocs(
       s"""SELECT url, CAST(octet_length(encode($htmlSql)) AS BIGINT) AS n_bytes,
          |  CAST(64 + octet_length(encode($htmlSql)) % 101 AS INT) AS width,

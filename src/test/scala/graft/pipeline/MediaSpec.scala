@@ -44,4 +44,77 @@ class MediaSpec extends AnyFunSuite {
     val (w, h, f) = Media.decode(fakeBmp)
     assert(f.nonEmpty && w != 0 && h != 0)
   }
+
+  // ---- decodeAv: WAV / MP4 header parsing and per-row degradation ----
+
+  private def le(n: Int): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  private def ascii(bb: java.nio.ByteBuffer, s: String): Unit =
+    bb.put(s.getBytes("US-ASCII"))
+
+  /** PCM WAV with 16-bit samples; byteRate = rate·ch·2. */
+  private def wav(ch: Int, rate: Int, dataBytes: Int): Array[Byte] = {
+    val bb = le(44 + dataBytes)
+    ascii(bb, "RIFF"); bb.putInt(36 + dataBytes); ascii(bb, "WAVE")
+    ascii(bb, "fmt "); bb.putInt(16)
+    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(rate * ch * 2); bb.putShort((ch * 2).toShort); bb.putShort(16)
+    ascii(bb, "data"); bb.putInt(dataBytes)
+    bb.array()
+  }
+
+  test("WAV duration/rate/channels come from the fmt and data chunk headers") {
+    // 8000 B of data at 16000 B/s → 500 ms
+    assert(Media.decodeAv(wav(1, 8000, 8000)) === (("wav", 500L, 8000, 1)))
+    // 44100 B at 176400 B/s → 250 ms, stereo
+    assert(Media.decodeAv(wav(2, 44100, 44100)) === (("wav", 250L, 44100, 2)))
+  }
+
+  test("a truncated WAV (magic only, no fmt chunk) degrades to unknown") {
+    assert(Media.decodeAv(wav(1, 8000, 8000).take(12)) === (("unknown", 0L, 0, 0)))
+  }
+
+  test("a WAV whose fmt declares byteRate 0 degrades instead of dividing") {
+    val b = wav(1, 8000, 8000)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 0) // byteRate field inside fmt
+    assert(Media.decodeAv(b) === (("unknown", 0L, 0, 0)))
+  }
+
+  /** ftyp + moov{mvhd v0 + `tracks` empty trak boxes}. */
+  private def mp4(timescale: Int, duration: Int, tracks: Int): Array[Byte] = {
+    val moovLen = 8 + 108 + 8 * tracks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovLen)
+    bb.putInt(16); ascii(bb, "ftyp"); ascii(bb, "isom"); bb.putInt(0x200)
+    bb.putInt(moovLen); ascii(bb, "moov")
+    bb.putInt(108); ascii(bb, "mvhd")
+    val end = bb.position() + 100
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0); bb.putInt(timescale); bb.putInt(duration)
+    bb.position(end)
+    (0 until tracks).foreach { _ => bb.putInt(8); ascii(bb, "trak") }
+    bb.array()
+  }
+
+  test("MP4 duration and track count come from moov/mvhd and trak boxes") {
+    assert(Media.decodeAv(mp4(600, 3000, 2)) === (("mp4", 5000L, 0, 2)))
+  }
+
+  test("an MP4 with a corrupt box size (< 8) degrades to unknown") {
+    val b = mp4(600, 3000, 2)
+    java.nio.ByteBuffer.wrap(b).putInt(16, 3) // moov's size field → 3
+    assert(Media.decodeAv(b) === (("unknown", 0L, 0, 0)))
+  }
+
+  test("an MP4 without a moov box (ftyp only) degrades to unknown") {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putInt(16); ascii(bb, "ftyp"); ascii(bb, "isom"); bb.putInt(0x200)
+    assert(Media.decodeAv(bb.array()) === (("unknown", 0L, 0, 0)))
+  }
+
+  test("non-media payloads and short buffers degrade to unknown") {
+    assert(Media.decodeAv("just prose".getBytes("UTF-8")) === (("unknown", 0L, 0, 0)))
+    assert(Media.decodeAv(Array.emptyByteArray) === (("unknown", 0L, 0, 0)))
+    assert(Media.decodeAv("RIFF".getBytes("US-ASCII")) === (("unknown", 0L, 0, 0)))
+  }
 }
