@@ -97,7 +97,12 @@ object Bench {
 
     // ---- headline queries at local[cpus] ----
     var spark = session(cpus)
-    val headline: Seq[(String, SparkSession => Long)] = Seq(
+    // comma-separated allowlist for iterating on ONE query's number
+    // (A/B runs against another build on the same box); full-suite runs
+    // — everything the driver reads — leave it unset
+    val onlyQueries = sys.env.get("SPARK_GRAFT_HEADLINE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val headlineAll: Seq[(String, SparkSession => Long)] = Seq(
       "kg_triples" -> (s => graft.sources.TpchKg.load(s, sfDir).triples.count()),
       "fe_pipeline" -> (s => graft.pipeline.KgPipeline
         .run(s, sfDir, graft.pipeline.KgPipeline.tempDir("bench_fe_")).count()),
@@ -128,6 +133,8 @@ object Bench {
         s.read.parquet(s"$sfDir/documents.parquet")).count()),
       "td_sessionize" -> (s => graft.streaming.Sessions.sessionize(
         s.read.parquet(s"$sfDir/events.parquet"), 30).count()))
+    val headline = headlineAll.filter { case (name, _) =>
+      onlyQueries.forall(_.contains(name)) }
 
     // Headline protocol mirrors the probes': ONE warmup pass (JIT, parquet
     // footer cache, shuffle service spin-up), then `headlineRuns` timed

@@ -48,7 +48,6 @@ final class WalkSampler(
   def draw(n: Int): Drawn = {
     val spark = kb.spark
     val nTotal = kb.nodes.count()
-    import WalkSampler.{Buckets, bkt}
 
     // teleport index: tier-ordered for LPC (tier 0 first), hash-random
     // otherwise; trn ∈ [1, N] dense — a teleport is a join on a drawn rank.
@@ -81,41 +80,37 @@ final class WalkSampler(
     // than probed per step: the r3 broadcast(cand)→ranks BHJ killed the
     // per-step exchange but still SCANNED the whole O(|V|) cached rank
     // table every step — up to maxSteps=2000 full scans per draw at 100×
-    // scale. With weights riding on the edges, each step only reads the
-    // bucket-pruned neighbor slice below and no rank probe exists at all.
+    // scale. With weights riding on the edges, each step reads ONLY the
+    // cached neighbor table and no rank probe exists at all.
+    //
+    // (A hash(src)-bucketed variant of that cache with per-step
+    // frontier-bucket pruning — ForestFire.scala:39-57's pattern — was
+    // built and MEASURED here: with walkers=64 over any practical bucket
+    // count the frontier hits nearly every bucket every step, so the
+    // filter prunes ~nothing while the bucketed repartition costs cache
+    // balance and parallelism — smp_rwj_200 6.3→7.5 s, smp_rwp_200
+    // 16.8→21.5 s in same-box A/B at sf0.1. Rejected on those numbers;
+    // bucket pruning only pays when walkers ≪ buckets, which this
+    // sampler's batch shape never guarantees.)
     val ranks =
       if (prioritized)
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
           .select(col("id").as("dst"), col("pr").as("w"))
       else null
-
-    // Neighbor table bucketed by hash(src) and cached clustered by bucket
-    // (ForestFire.scala:39-57's pattern): each step filters to the
-    // frontier's buckets — a SUPERSET of the join, so results are
-    // unchanged — and the cached scan batch-prunes to the buckets actually
-    // hit instead of re-reading the whole edge (and, when prioritized,
-    // rank-weighted edge) table every step.
     val nbrs = WalkSampler.neighborTable(kb, Option(ranks)).cache()
 
     // walkers: all LP nodes when given; else the first min(walkers, n)
     // nodes of the deterministic permutation (the reference starts at the
     // arbitrary first node of set-iteration order, classic_samplers.py:116)
-    // start tuples carry their neighbor bucket (computed Spark-side so the
-    // hash matches the cached table's xxhash64 exactly)
-    val starts: Seq[(Long, String, Int)] =
-      if (lpSeeds.nonEmpty) {
-        val bktOf = spark.createDataset(lpSeeds)(Encoders.STRING).toDF("id")
-          .select(col("id"), bkt(col("id")).as("b"))
-          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-        lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id, bktOf(id)) }
-      } else nodesIdx.orderBy(col("trn")).limit(math.max(1, math.min(walkers, n)))
-        .select(col("id"), bkt(col("id")).as("b"))
-        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getString(0), r.getInt(1)) }
+    val starts: Seq[(Long, String)] =
+      if (lpSeeds.nonEmpty) lpSeeds.zipWithIndex.map { case (id, i) => (i.toLong, id) }
+      else nodesIdx.orderBy(col("trn")).limit(math.max(1, math.min(walkers, n)))
+        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getString(0)) }
 
     // driver-side walk state (O(walkers · steps))
-    var frontier: Seq[(Long, String, Int)] = starts
+    var frontier: Seq[(Long, String)] = starts
     val firstVisit = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
-    starts.sortBy(_._1).foreach { case (w, id, _) =>
+    starts.sortBy(_._1).foreach { case (w, id) =>
       if (!firstVisit.contains(id)) firstVisit(id) = (0, w)
     }
     val edgeLog = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
@@ -140,8 +135,7 @@ final class WalkSampler(
       // broadcast hints are scoped to the joins that support them below
       // (hinting the whole frontier here propagated to the LEFT side of the
       // dead-end anti join, where build-left is unsupported — log spam)
-      val f = spark.createDataset(frontier.map(t => (t._1, t._2)))(tupleEnc)
-        .toDF("walker", "cur")
+      val f = spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur")
 
       val jumpCol = jumpProb match {
         case Some(p) => Determinism.detRand(seed + 3 * step, col("walker")) < p
@@ -150,13 +144,7 @@ final class WalkSampler(
       val stepping = f.filter(!jumpCol)
       val jumping = f.filter(jumpCol)
 
-      // bucket-pruned neighbor slice: the frontier's buckets are known
-      // driver-side, so the cached scan skips every bucket partition the
-      // step cannot touch — per-step cost O(|E|·buckets-hit/Buckets), not
-      // O(|E|) (and, prioritized, no O(|V|) rank scan at all)
-      val fBkts = frontier.map(_._3).distinct
-      val pruned = nbrs.filter(col("bkt").isin(fBkts: _*))
-      val cand = broadcast(stepping).join(pruned, stepping("cur") === pruned("src"))
+      val cand = broadcast(stepping).join(nbrs, stepping("cur") === nbrs("src"))
         .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
           (if (prioritized) Seq(col("w")) else Nil): _*)
       val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
@@ -189,19 +177,17 @@ final class WalkSampler(
         .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
           lit(allowed)) + 1))
         .join(nodesIdx.select("id", "trn"), Seq("trn"))
-        .select(col("walker"), col("id").as("cur"), bkt(col("id")).as("nbkt"))
+        .select(col("walker"), col("id").as("cur"))
 
       val stepOut = picks.select(col("walker"), col("dst").as("next"),
-          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"),
-          bkt(col("dst")).as("nbkt"))
+          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"))
         .unionAll(teleports.select(col("walker"), col("cur").as("next"),
-          lit("").as("src"), lit("").as("pred"), lit("").as("dst"),
-          lit(false).as("viaEdge"), col("nbkt")))
+          lit("").as("src"), lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
         .as[StepOut](outEnc)
         .collect()            // ≤ |walkers| rows — the only action per step
         .sortBy(_.walker)
 
-      frontier = stepOut.map(o => (o.walker, o.next, o.nbkt)).toSeq
+      frontier = stepOut.map(o => (o.walker, o.next)).toSeq
       stepOut.foreach { o =>
         if (o.viaEdge) edgeLog += ((o.src, o.pred, o.dst))
         if (firstVisit.size < n && !firstVisit.contains(o.next))
@@ -236,36 +222,26 @@ final class WalkSampler(
 }
 
 object WalkSampler {
-  /** one walker-step result row (top-level for encoder derivation); `nbkt`
-    * is the neighbor-table bucket of `next`, fed back into the next step's
-    * bucket pruning */
+  /** one walker-step result row (top-level for encoder derivation) */
   final case class StepOut(walker: Long, next: String,
-                           src: String, pred: String, dst: String, viaEdge: Boolean,
-                           nbkt: Int)
+                           src: String, pred: String, dst: String, viaEdge: Boolean)
 
-  /** neighbor-cache bucket count — same trade as ForestFire's (16 buckets:
-    * pruning granularity vs one scheduled task per cached bucket per step) */
-  val Buckets = 16
-  private[graft] def bkt(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.xxhash64(c),
-      org.apache.spark.sql.functions.lit(Buckets)).cast("int")
-
-  /** The per-draw neighbor table (ranks pre-joined onto edges when
-    * prioritized), bucketed by hash(src) for per-step pruning. Exposed so
-    * plan audits (ExplainAudit, PlanShapeSpec) exercise the exact shape the
+  /** The per-draw neighbor table: ranks pre-joined onto edges when
+    * prioritized (one O(|E|) join per draw; every step then reads ONLY
+    * this table — no per-step rank probe), plain edges otherwise. Natural
+    * partitioning is kept deliberately: a bucketed repartition was
+    * measured strictly slower (see the draw() comment). Exposed so plan
+    * audits (ExplainAudit, PlanShapeSpec) exercise the exact shape the
     * engine caches. Callers cache the result. */
   private[graft] def neighborTable(
       kb: graft.core.Kb,
       ranks: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val base = kb.edges.select(col("src"), col("pred"), col("dst"))
-    (ranks match {
+    ranks match {
       case Some(r) => base.join(r, Seq("dst"))
         .select(col("src"), col("pred"), col("dst"), col("w"))
       case None => base
-    })
-      .withColumn("bkt", bkt(col("src")))
-      .repartition(Buckets, col("bkt"))
+    }
   }
 }

@@ -37,7 +37,7 @@ class PlanShapeSpec extends SparkSpec {
       "LP-scale sides must not sort-merge against the retrieval stream")
   }
 
-  test("prioritized walk step: bucket filter reaches the cached neighbor scan") {
+  test("prioritized walk step: one cached scan, no per-step rank probe") {
     val kb = graft.sources.TpchKg.load(spark, sf)
     val ranks = graft.sample.PageRank.compute(kb, iterations = 2)
       .select(col("id").as("dst"), col("pr").as("w"))
@@ -48,15 +48,12 @@ class PlanShapeSpec extends SparkSpec {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.STRING)).toDF("walker", "cur")
-      val pruned = nbrs.filter(col("bkt").isin(3, 7))
-      val step = broadcast(f).join(pruned, f("cur") === pruned("src"))
+      val step = broadcast(f).join(nbrs, f("cur") === nbrs("src"))
         .select(col("walker"), col("src"), col("pred"), col("dst"), col("w"))
       val plan = step.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"frontier must broadcast:\n$plan")
-      assert(plan.contains("InMemoryTableScan"),
-        s"step must read the cached neighbor table:\n$plan")
-      assert(plan.contains("bkt") && plan.contains(" IN (3,7)"),
-        s"bucket filter must reach the cached scan:\n$plan")
+      assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) == 1,
+        s"step must read exactly ONE cached table (ranks pre-joined into edges):\n$plan")
       assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(dst")),
         "no per-step rank-table exchange may exist")
     } finally nbrs.unpersist()
