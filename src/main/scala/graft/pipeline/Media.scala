@@ -87,6 +87,10 @@ object Media {
     while (off + 8 <= bytes.length && (channels == 0 || dataSize < 0)) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = bb.getInt(off + 4)
+      // a corrupt negative chunk size would walk `off` backwards (or hold
+      // it still) — an infinite loop on an executor thread, not just a bad
+      // row; degrade like every other structural corruption instead
+      if (size < 0) return ("unknown", 0L, 0, 0)
       if (id == "fmt " && off + 20 <= bytes.length) { // reads through byteRate @ +16..19
         channels = bb.getShort(off + 10)
         sampleRate = bb.getInt(off + 12)

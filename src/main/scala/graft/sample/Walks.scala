@@ -237,11 +237,13 @@ object WalkSampler {
       kb: graft.core.Kb,
       ranks: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = kb.edges.select(col("src"), col("pred"), col("dst"))
     ranks match {
-      case Some(r) => base.join(r, Seq("dst"))
+      case Some(r) => kb.edges.select(col("src"), col("pred"), col("dst"))
+        .join(r, Seq("dst"))
         .select(col("src"), col("pred"), col("dst"), col("w"))
-      case None => base
+      // verbatim kb.edges (no no-op Project): the cache entry then shares
+      // its canonical plan with every other consumer of the edge table
+      case None => kb.edges
     }
   }
 }

@@ -112,6 +112,29 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeAv(bb.array()) === (("unknown", 0L, 0, 0)))
   }
 
+  test("a WAV chunk with a NEGATIVE size must degrade, not loop forever") {
+    // size = -8 makes `off += 8 + size + (size & 1)` a no-op — before the
+    // guard this hung the executor thread instead of failing the row
+    val b = wav(1, 8000, 64)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk's size field
+    assert(Media.decodeAv(b) === (("unknown", 0L, 0, 0)))
+  }
+
+  test("decodeAv never throws and always terminates on arbitrary bytes") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 7, 8, 12, 13, 44, 200, 4096); _ <- 1 to 50) {
+      val b = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      Media.decodeAv(b) // any result is fine; throwing or hanging is not
+    }
+    // adversarial prefixes over random tails: magic sniffs into each parser
+    for (_ <- 1 to 200) {
+      val tail = Array.fill[Byte](100)(rnd.nextInt().toByte)
+      Media.decodeAv("RIFF????WAVE".getBytes("US-ASCII") ++ tail)
+      Media.decodeAv(Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++ tail)
+    }
+  }
+
   test("non-media payloads and short buffers degrade to unknown") {
     assert(Media.decodeAv("just prose".getBytes("UTF-8")) === (("unknown", 0L, 0, 0)))
     assert(Media.decodeAv(Array.emptyByteArray) === (("unknown", 0L, 0, 0)))
