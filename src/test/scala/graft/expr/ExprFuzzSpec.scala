@@ -75,6 +75,29 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedOverlapAtLeast: -1 ONLY on pairs that cannot round to threshold") {
+    // the early-exit merge must be result-identical to the exhaustive one
+    // for every pair a caller's `round(J, 5) >= t` filter would keep: -1
+    // is only allowed when the exhaustive J provably rounds below t
+    (1 to 2000).foreach { _ =>
+      val sa = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(80)).distinct.sorted
+      val sb = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(80)).distinct.sorted
+      val t = Seq(0.5, 0.7, 0.8, 0.9, 1.0)(rnd.nextInt(5))
+      val exact = sa.toSet.intersect(sb.toSet).size
+      val j = BigDecimal(exact.toDouble / (sa.length + sb.length - exact))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = ArrayAgreeFn.sortedOverlapAtLeast(
+        new GenericArrayData(sa), new GenericArrayData(sb), t)
+      if (j >= t) assert(got === exact, s"kept pair must carry the exact overlap (J=$j, t=$t)")
+      else assert(got === exact || got === -1,
+        s"subthreshold pair may only early-exit or complete exactly (J=$j, t=$t)")
+    }
+    // identical arrays sit at exactly J = 1.0 — the boundary must survive
+    val same = Array(1, 5, 9, 12)
+    assert(ArrayAgreeFn.sortedOverlapAtLeast(
+      new GenericArrayData(same), new GenericArrayData(same), 1.0) === 4)
+  }
+
   test("VecCosineFn == explicit double formula") {
     (1 to 300).foreach { _ =>
       val n = 1 + rnd.nextInt(32)
