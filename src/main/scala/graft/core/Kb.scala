@@ -108,11 +108,17 @@ final case class Kb(
   /** Typed-column materialization of a datatype group (SURVEY §1.3): the
     * assertions of the group's properties with `lexical` cast to `castTo`
     * ((node, prop, value)). The prop list is driver-scale, so the filter is
-    * an isin that pushes down to the attrs scan. */
+    * an isin that pushes down to the attrs scan. try_cast, not cast: under
+    * ANSI (Spark 4 default) one junk lexical on a DECLARED-typed property
+    * would throw and kill the whole scan — the reference's Python accessors
+    * raise there too, but a 10¹²-assertion pipeline must degrade per ROW;
+    * unparseable assertions simply aren't typed values and drop. */
   def typedDataValues(group: Set[String], castTo: String): DataFrame = {
     val props = tbox.dataPropsByRange(group).map(_.prop)
     attrs.filter(col("prop").isInCollection(props))
-      .select(col("node"), col("prop"), col("lexical").cast(castTo).as("value"))
+      .select(col("node"), col("prop"),
+        expr(s"try_cast(lexical AS $castTo)").as("value"))
+      .filter(col("value").isNotNull)
   }
 
   /** Hierarchy navigation (reference knowledge_base.py:729-966) — thin

@@ -106,8 +106,13 @@ object Eval {
         nodes.except(violators)
 
       case DataCompare(p, op, v) =>
+        // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+        // THROWS on any non-numeric lexical sharing the attrs scan —
+        // whether the row survives the prop filter is predicate-order
+        // luck. try_cast nulls it, cmp(null) is null, the row drops:
+        // the pre-ANSI semantics this comparison was written against.
         asId(kb.attrs.filter(col("prop") === p &&
-          cmp(col("lexical").cast("double"), op, lit(v))), "node").distinct()
+          cmp(expr("try_cast(lexical AS double)"), op, lit(v))), "node").distinct()
 
       case DataHasValue(p, l) =>
         asId(kb.attrs.filter(col("prop") === p && col("lexical") === l), "node").distinct()
@@ -115,8 +120,10 @@ object Eval {
       case DataForAll(p, op, v) =>
         // OWA: member iff no p-assertion violates the range; individuals
         // with no p-assertion pass vacuously (same shape as object ∀)
+        // try_cast (see DataCompare): an unparseable lexical is not a
+        // violator — it simply isn't a value of the numeric range
         val violators = asId(kb.attrs.filter(col("prop") === p &&
-          !cmp(col("lexical").cast("double"), op, lit(v))), "node")
+          !cmp(expr("try_cast(lexical AS double)"), op, lit(v))), "node")
         nodes.except(violators)
 
       case DataBoolHasValue(p, b) =>

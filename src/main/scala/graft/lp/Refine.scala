@@ -244,8 +244,11 @@ object Refine {
     * ladder, so the two are drop-in interchangeable. */
   def splitsFor(kb: graft.core.Kb, prop: String, k: Int): Seq[Double] = {
     import org.apache.spark.sql.functions._
+    // try_cast: under ANSI a plain cast throws on ANY non-numeric lexical
+    // in the scan (even another property's, by predicate-order luck) —
+    // unparseable values are simply not ladder material
     val dv = kb.attrs.filter(col("prop") === prop)
-      .select(col("lexical").cast("double").as("v"))
+      .select(expr("try_cast(lexical AS double)").as("v"))
       .filter(col("v").isNotNull).distinct().cache()
     try {
       val m = dv.count()
@@ -269,11 +272,14 @@ object Refine {
                       accuracy: Int = 10000): Seq[Double] = {
     import org.apache.spark.sql.functions._
     val dv = kb.attrs.filter(col("prop") === prop)
-      .select(col("lexical").cast("double").as("v"))
+      .select(expr("try_cast(lexical AS double)").as("v"))
       .filter(col("v").isNotNull).distinct()
     val probs = (1 until k).map(i => lit(i.toDouble / k))
-    dv.agg(percentile_approx(col("v"), array(probs: _*), lit(accuracy)).as("r"))
-      .collect()(0).getSeq[Double](0).distinct.sorted
+    val row = dv.agg(percentile_approx(col("v"), array(probs: _*), lit(accuracy)).as("r"))
+      .collect()(0)
+    // zero numeric values → the sketch aggregate returns NULL, not an
+    // empty array; mirror splitsFor's empty-ladder contract
+    if (row.isNullAt(0)) Nil else row.getSeq[Double](0).distinct.sorted
   }
 }
 

@@ -137,4 +137,14 @@ class LearnerSpec extends SparkSpec {
       assert(math.abs(e - a) <= 1, s"high-accuracy rung rank $a vs exact $e")
     }
   }
+
+  test("both ladders return Nil for a property with no numeric values") {
+    val kb = FamilyKb.kb(spark)
+    // 'nickname' carries string lexicals — double-cast leaves zero rows
+    // (the sketch aggregate returns NULL there, not an empty array)
+    assert(Refine.splitsFor(kb, "nickname", 3) === Nil)
+    assert(Refine.approxSplitsFor(kb, "nickname", 3) === Nil)
+    assert(Refine.splitsFor(kb, "no_such_prop", 3) === Nil)
+    assert(Refine.approxSplitsFor(kb, "no_such_prop", 3) === Nil)
+  }
 }
