@@ -169,6 +169,26 @@ class OwlXmlSpec extends SparkSpec {
     assert((xml \\ "allValuesFrom").nonEmpty)
   }
 
+  test("time facets pick their datatype from the lexical form") {
+    import graft.expr._
+    val dir = java.nio.file.Files.createTempDirectory("predictions_time_").toString
+    val base = s"$dir/TimeFacets"
+    OwlXml.writeClassExpressions(Seq(
+      DataTimeCompare("a", ">=", "2021-05-01 10:00:00"), // space-separated dateTime
+      DataTimeCompare("b", "<", "2021-05-01T10:00"),     // T-separated dateTime
+      DataTimeCompare("c", "<=", "10:05:00"),            // time of day
+      DataTimeCompare("d", ">", "2021-05-01")), base)    // plain date
+    val xml = scala.xml.XML.loadFile(base + ".owl")
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val onDt = (xml \\ "onDatatype").map(n => (n \ s"@{$rdfNs}resource").text)
+    assert(onDt.count(_.endsWith("#dateTime")) === 2, s"dateTime facets in $onDt")
+    assert(onDt.count(_.endsWith("#time")) === 1)
+    assert(onDt.count(_.endsWith("#date")) === 1)
+    // the space-separated form normalizes to the xsd 'T' separator
+    assert((xml \\ "minInclusive").map(_.text) === Seq("2021-05-01T10:00:00"),
+      "lexical must be a VALID xsd:dateTime literal, not the space form")
+  }
+
   test("sampler registry resolves all 20 reference names") {
     val kb = FamilyKb.kb(spark)
     graft.sample.Samplers.allNames.foreach { n =>
