@@ -45,7 +45,13 @@ final class WalkSampler(
 
   import WalkSampler.StepOut
 
+  /** stats of the most recent draw (steps taken, wall split between the
+    * rank/setup phase and the step loop) — evidence surface for the bench
+    * probes; None until draw() runs */
+  @volatile var lastStats: Option[WalkSampler.WalkStats] = None
+
   def draw(n: Int): Drawn = {
+    val t0 = System.nanoTime()
     val spark = kb.spark
     val nTotal = kb.nodes.count()
 
@@ -129,6 +135,7 @@ final class WalkSampler(
       math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.product[StepOut]
+    val tLoop = System.nanoTime()
 
     while (firstVisit.size < n && step < maxSteps) {
       step += 1
@@ -202,6 +209,9 @@ final class WalkSampler(
       }
     }
 
+    lastStats = Some(WalkSampler.WalkStats(step,
+      setupSec = (tLoop - t0) / 1e9,
+      loopSec = (System.nanoTime() - tLoop) / 1e9))
     nodesIdx.unpersist()
     tiers.unpersist()
     nbrs.unpersist()
@@ -225,6 +235,10 @@ object WalkSampler {
   /** one walker-step result row (top-level for encoder derivation) */
   final case class StepOut(walker: Long, next: String,
                            src: String, pred: String, dst: String, viaEdge: Boolean)
+
+  /** draw() evidence: steps taken, wall split between setup (teleport
+    * index + PageRank + neighbor table) and the step loop */
+  final case class WalkStats(steps: Int, setupSec: Double, loopSec: Double)
 
   /** The per-draw neighbor table: ranks pre-joined onto edges when
     * prioritized (one O(|E|) join per draw; every step then reads ONLY
