@@ -135,6 +135,12 @@ final class WalkSampler(
       math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.product[StepOut]
+    // Per-step wall is a ~2 s FLOOR from the sequential broadcast-job
+    // chain (frontier broadcast → picks → dead-end anti → teleport
+    // broadcast → collect), not data volume: WalkProbe measured it
+    // invariant under shuffle width (32 → 8), AQE on/off, and across
+    // passes (so not codegen compilation either). It amortizes at scale —
+    // the data-proportional work per step is the single cached-table scan.
     val tLoop = System.nanoTime()
 
     while (firstVisit.size < n && step < maxSteps) {
