@@ -78,12 +78,18 @@ object PageRank {
 
     if (iterations == 0) return kb.nodes.select(col("id"), lit(1.0).as("pr"))
 
-    // the constant source-only contribution, folded into a cached per-node
-    // base vector so a sweep stays at two shuffles (mass agg + join)
-    def baseWith(constRanks: DataFrame): DataFrame = dstNodes
-      .join(massOf(adjConst, constRanks).withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+    // the constant source-only contribution, folded into a per-node base
+    // vector so a sweep stays at two shuffles (mass agg + join). The
+    // source-only rank is a SCALAR (1.0 at sweep 1, d/n after), so the
+    // rank join of the general massOf constant-folds away — one less join
+    // inside each base build, same per-row arithmetic (lit(r)/outdeg sums
+    // over the identical groups).
+    def baseWith(r: Double): DataFrame = dstNodes
+      .join(adjConst.select(col("dst"), (lit(r) / col("outdeg")).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("mass"))
+          .withColumnRenamed("dst", "id"),
+        Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("mass"), lit(0.0)).as("cmass"))
-      .localCheckpoint(true)
 
     def sweep(ranksAll: DataFrame, base: DataFrame): DataFrame = {
       val m0 = massOf(adjIter, ranksAll)
@@ -92,12 +98,16 @@ object PageRank {
           (col("cmass") + coalesce(col("mass"), lit(0.0)))).as("pr"))
     }
 
-    // sweep 1: source-only nodes contribute at the init value 1.0
+    // sweep 1: source-only nodes contribute at the init value 1.0; its
+    // base is consumed exactly ONCE, so it is left lazy — a checkpoint
+    // here was a pure scheduling barrier (the fixed setup phase is
+    // job-count bound at small scale, like the walk step floor)
     val init = kb.nodes.select(col("id"), lit(1.0).as("pr"))
-    var ranks = sweep(init, baseWith(init)).localCheckpoint(true)
+    var ranks = sweep(init, baseWith(1.0)).localCheckpoint(true)
 
-    // from sweep 2 on they sit at d/n forever
-    val base = baseWith(kb.nodes.select(col("id"), lit(d / n).as("pr")))
+    // from sweep 2 on they sit at d/n forever; reused every sweep →
+    // checkpoint-materialized once
+    val base = baseWith(d / n).localCheckpoint(true)
 
     var i = 1
     while (i < iterations) {
