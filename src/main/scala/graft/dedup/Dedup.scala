@@ -97,6 +97,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS with keeper selection — the operation a
+    * training-data pipeline actually runs after pair detection: group
+    * transitively-connected near-dup pairs ([[minhashLsh]] at `threshold`)
+    * into clusters (the alternating large-star/small-star connected
+    * components already powering entity canonicalization — O(log n)
+    * rounds) and keep the MIN doc_id per cluster. Returns (doc_id, keeper)
+    * for EVERY corpus doc — singletons keep themselves — so `keeper ===
+    * doc_id` IS the dedup filter and `keeper` the cluster id. */
+  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(corpus, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = graft.pipeline.ConnectedComponents.run(pairs)
+    corpus.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
+  }
+
   /** exact n-gram Jaccard for given (a, b) pairs: |A∩B| / |A∪B| over
     * distinct shingles, rounded to 5.
     *

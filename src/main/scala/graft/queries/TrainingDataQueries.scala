@@ -46,6 +46,7 @@ object TrainingDataQueries {
     "td_minhash" -> ((s, d) => Dedup.minhash(corpus(s, d))),
     "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
     "td_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(corpus(s, d), 0.8)),
+    "td_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(corpus(s, d), 0.8)),
     "td_simhash" -> ((s, d) => Dedup.simhash(corpus(s, d))),
     "td_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d), 3)),
     "td_jaccard_consecutive" -> ((s, d) => {
@@ -97,6 +98,34 @@ object TrainingDataQueries {
       |  SELECT doc_id, CAST(j // 4 AS INT) AS band, string_agg(mh, '_' ORDER BY j) AS key
       |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
 
+  private val candCtes =
+    """cand0 AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+      |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      |cand AS (
+      |  SELECT c.a, c.b FROM cand0 c
+      |  JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+      |  GROUP BY c.a, c.b
+      |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= """.stripMargin +
+      s"${Dedup.sigAgreeMin(0.8)})"
+
+  /** the jaccardSql verify stage as a `pairs` CTE (thresholded) */
+  private def jaccardPairsCte(threshold: Double) =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+       |  GROUP BY c.a, c.b),
+       |pairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT c.a, c.b,
+       |      ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)), 5) AS jaccard
+       |    FROM cand c
+       |    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |    JOIN sizes na ON na.doc_id = c.a
+       |    JOIN sizes nb ON nb.doc_id = c.b) q
+       |  WHERE jaccard >= $threshold)""".stripMargin
+
   private def jaccardSql(pairsCte: String) =
     s"""$pairsCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -139,17 +168,21 @@ object TrainingDataQueries {
     "td_minhash" -> s"WITH $corpusCte, $shCte, $mhCte\nSELECT doc_id, j, mh FROM mh",
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
     "td_dedup_minhash" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
-      jaccardSql(
-        """cand0 AS (
-          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
-          |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-          |cand AS (
-          |  SELECT c.a, c.b FROM cand0 c
-          |  JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
-          |  GROUP BY c.a, c.b
-          |  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= """.stripMargin +
-      s"${Dedup.sigAgreeMin(0.8)})") +
-      "\nWHERE jaccard >= 0.8"),
+      jaccardSql(candCtes) + "\nWHERE jaccard >= 0.8"),
+    // clusters = transitive closure of the SAME near-dup pairs (recursive
+    // CTE — the pair graph is tiny relative to the corpus), keeper = MIN
+    // over each doc's reachable set ∪ itself; singletons keep themselves
+    "td_dedup_clusters" -> (s"WITH RECURSIVE $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
+      s"$candCtes,\n${jaccardPairsCte(0.8)},\n" +
+      """und AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+        |SELECT c.doc_id,
+        |  CAST(COALESCE(LEAST(c.doc_id, MIN(r.v)), c.doc_id) AS BIGINT) AS keeper
+        |FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+        |GROUP BY c.doc_id""".stripMargin),
     "td_simhash" -> s"""WITH $corpusCte, $shCte,
       |bits AS (
       |  SELECT doc_id, CAST(j AS INT) AS j,

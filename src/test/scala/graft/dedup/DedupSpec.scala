@@ -31,6 +31,16 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("near-dup clusters: transitive grouping, min-id keeper, singletons self") {
+    // 1≈2 (exact) and 1≈3 (near): {1,2,3} must cluster TRANSITIVELY even
+    // if the (2,3) pair alone sat below threshold; 4 is a singleton
+    val clusters = Dedup.nearDupClusters(corpus, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    // keeper === doc_id is the dedup filter: exactly one survivor per cluster
+    assert(clusters.count { case (d, k) => d == k } === 2)
+  }
+
   test("minhash-lsh recall vs brute-force ground truth on the real corpus") {
     // every TRUE near-dup pair (exact shingle Jaccard ≥ t over ALL pairs)
     // that the banded blocking must recover. Precision is exact by
