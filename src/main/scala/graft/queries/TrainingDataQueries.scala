@@ -70,6 +70,8 @@ object TrainingDataQueries {
     "td_ann_lsh_bucket" -> ((s, d) => Ann.lshBucket(emb(s, d))),
     "td_dedup_embedding" -> ((s, d) =>
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
+    "td_dedup_emb_clusters" -> ((s, d) =>
+      Ann.nearDupClusters(embCorpus(s, d), 0.999)),
     // winnowing fingerprints (window-min selection, rightmost-min tiebreak)
     // over the codegen KGramHashes rolling hash — full DuckDB oracle
     "td_winnow_fp" -> ((s, d) => TextOps.winnow(docs(s, d), k = 8, w = 4)),
@@ -343,26 +345,44 @@ object TrainingDataQueries {
     },
     "td_dedup_embedding" ->
       s"""WITH $embCte, ${evCte("ec")},
-         |proj AS (
-         |  SELECT vec_id, CAST(j AS INT) AS j,
-         |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN q ELSE -q END) AS s
-         |  FROM (SELECT vec_id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS q FROM ev) evq
-         |  CROSS JOIN generate_series(0, ${Ann.EmbBands * Ann.EmbBandBits - 1}) t(j)
-         |  GROUP BY vec_id, j),
-         |bands AS (
-         |  SELECT vec_id, CAST(j // ${Ann.EmbBandBits} AS INT) AS band,
-         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (j % ${Ann.EmbBandBits})) ELSE 0 END) AS BIGINT) AS key
-         |  FROM proj GROUP BY vec_id, j // ${Ann.EmbBandBits}),
-         |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
-         |cand AS (
-         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM bands l
-         |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
-         |dots AS (
-         |  SELECT c.a, c.b, SUM(ea.x * eb.x) AS dot FROM cand c
-         |  JOIN ev ea ON ea.vec_id = c.a JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
-         |  GROUP BY c.a, c.b)
-         |SELECT a, b FROM (
-         |  SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim FROM dots d
-         |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b) s
-         |WHERE sim >= 0.999""".stripMargin)
+         |$embPairsCtes
+         |SELECT a, b FROM epairs""".stripMargin,
+    // same closure shape as td_dedup_clusters over the embedding pairs
+    "td_dedup_emb_clusters" ->
+      s"""WITH RECURSIVE $embCte, ${evCte("ec")},
+         |$embPairsCtes,
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM epairs UNION SELECT b, a FROM epairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         |SELECT c.vec_id,
+         |  CAST(COALESCE(LEAST(c.vec_id, MIN(r.v)), c.vec_id) AS BIGINT) AS keeper
+         |FROM ec c LEFT JOIN reach r ON r.u = c.vec_id
+         |GROUP BY c.vec_id""".stripMargin)
+
+  private lazy val embPairsCtes =
+    s"""proj AS (
+       |  SELECT vec_id, CAST(j AS INT) AS j,
+       |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN q ELSE -q END) AS s
+       |  FROM (SELECT vec_id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS q FROM ev) evq
+       |  CROSS JOIN generate_series(0, ${Ann.EmbBands * Ann.EmbBandBits - 1}) t(j)
+       |  GROUP BY vec_id, j),
+       |bands AS (
+       |  SELECT vec_id, CAST(j // ${Ann.EmbBandBits} AS INT) AS band,
+       |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (j % ${Ann.EmbBandBits})) ELSE 0 END) AS BIGINT) AS key
+       |  FROM proj GROUP BY vec_id, j // ${Ann.EmbBandBits}),
+       |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM bands l
+       |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+       |dots AS (
+       |  SELECT c.a, c.b, SUM(ea.x * eb.x) AS dot FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.a JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+       |  GROUP BY c.a, c.b),
+       |epairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim FROM dots d
+       |    JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b) s
+       |  WHERE sim >= 0.999)""".stripMargin
 }

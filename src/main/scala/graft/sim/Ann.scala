@@ -225,6 +225,20 @@ object Ann {
     * threshold. (a, b, sim) with a < b. Candidate generation is the banded
     * bucket join above; the verify joins candidates to the embedding table
     * (embeddings shuffle once per side, linear — never with the pairs). */
+  /** Embedding near-dup CLUSTERS with keeper selection — the same
+    * pairs → connected-components → min-id-keeper composition as
+    * [[graft.dedup.Dedup.nearDupClusters]], over the banded-hyperplane
+    * blocking path. (vec_id, keeper) for EVERY embedding; singletons keep
+    * themselves, so `keeper === vec_id` is the dedup filter. */
+  def nearDupClusters(embeddings: DataFrame, threshold: Double = 0.999): DataFrame = {
+    val pairs = nearDupPairs(embeddings, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = graft.pipeline.ConnectedComponents.run(pairs)
+    embeddings.select(col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("keeper"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.999): DataFrame = {
     val bk = lshBandKeys(embeddings)
     val cand = bk.select(col("vec_id").as("a"), col("band"), col("key"))

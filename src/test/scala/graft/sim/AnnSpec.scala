@@ -44,6 +44,37 @@ class AnnSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("nearDupClusters == transitive closure of the operator's own pair set") {
+    val base = vectors(60)
+    // two extra copies of every 10th vector: {i, i+1000, i+2000} must
+    // cluster transitively (the sin fixture also carries incidental
+    // near-dups — e.g. 5 ≈ 20 at cos ≈ 0.9992 — so the invariant is
+    // closure-equality, not an assumed partition)
+    val dups = base.filter(col("vec_id") % 10 === 0)
+    val all = base
+      .unionAll(dups.select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+      .unionAll(dups.select((col("vec_id") + 2000).as("vec_id"), col("embedding")))
+    val clusters = Ann.nearDupClusters(all, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === 72)
+    // reference closure: union-find over the pairs the operator reports
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    Ann.nearDupPairs(all, 0.999).select("a", "b").collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (id, keeper) => assert(keeper === find(id)) }
+    // the planted copies must share their base's cluster
+    (0 until 60 by 10).foreach { i =>
+      assert(clusters(i + 1000L) === clusters(i.toLong))
+      assert(clusters(i + 2000L) === clusters(i.toLong))
+    }
+  }
+
   test("nearDupPairs recall vs brute-force ground truth on the real corpus") {
     // truth = ALL pairs with cosine ≥ t on the sf0.001 embeddings table;
     // the banded-hyperplane blocking must recover them. Deterministic
