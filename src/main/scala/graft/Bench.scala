@@ -131,6 +131,11 @@ object Bench {
         s.read.parquet(s"$sfDir/embeddings.parquet"), 0L to 9L, 5).count()),
       "td_winnow" -> (s => graft.text.TextOps.winnow(
         s.read.parquet(s"$sfDir/documents.parquet")).count()),
+      // composite curation: decontamination (broadcast benchmark grams) +
+      // repetition signals (two keyed aggs) + exact-dup keeper, composed
+      // via semi/anti joins — the end-to-end data-curation line
+      "td_curation" -> (s => graft.queries.CurationQueries
+        .curationFilter(s, sfDir).count()),
       "td_sessionize" -> (s => graft.streaming.Sessions.sessionize(
         s.read.parquet(s"$sfDir/events.parquet"), 30).count()))
     val headline = headlineAll.filter { case (name, _) =>

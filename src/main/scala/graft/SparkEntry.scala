@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries ++
-      TrainingDataQueries.queries ++ SamplerQueries.queries ++ AccessorQueries.queries
+      TrainingDataQueries.queries ++ CurationQueries.queries ++
+      SamplerQueries.queries ++ AccessorQueries.queries
 
   def oracleSql: Map[String, String] =
     KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TrainingDataQueries.oracleSql ++ SamplerQueries.oracleSql ++ AccessorQueries.oracleSql
+      TrainingDataQueries.oracleSql ++ CurationQueries.oracleSql ++
+      SamplerQueries.oracleSql ++ AccessorQueries.oracleSql
 }

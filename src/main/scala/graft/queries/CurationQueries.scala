@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.text.{Curation, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (decontamination / repetition / PII / URL
+  * normalization / mixture sampling), each hash-checked against a DuckDB
+  * oracle over the same documents parquet. Fixture derivations (planted
+  * PII, synthesized URLs, the benchmark split) are pure arithmetic in
+  * doc_id, mirrored side by side with their SQL. */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** benchmark split: every 37th base doc is "eval suite". */
+  private def bench(s: SparkSession, d: String) =
+    docs(s, d).filter(col("doc_id") % 37 === 0).select(col("doc_id"), col("text"))
+
+  /** corpus minus the benchmark rows themselves — but the planted
+    * +100000/+200000 copies of benchmark docs stay in, so contamination
+    * via duplicated eval text is actually exercised. */
+  private def scanSide(s: SparkSession, d: String) =
+    TrainingDataQueries.corpus(s, d)
+      .filter(!(col("doc_id") % 37 === 0 && col("doc_id") < 100000))
+
+  /** planted PII: every 7th doc gains an email, every 11th a phone. */
+  private def piiCorpus(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+      .as("text"))
+
+  /** synthesized URL table: mixed-case schemes/hosts, default and
+    * non-default ports, tracking params, fragments, and a malformed row
+    * every 17th doc (quarantine path). */
+  private def synthUrls(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, concat(lit("not a url "), col("doc_id")))
+        .otherwise(concat(
+          when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"), lit("://"),
+          when(col("doc_id") % 4 === 0, "Ex.ORG")
+            .when(col("doc_id") % 4 === 1, "ex.org")
+            .when(col("doc_id") % 4 === 2, "www.ex.org")
+            .otherwise("cdn.Ex.org"),
+          when(col("doc_id") % 5 === 0, ":443")
+            .when(col("doc_id") % 5 === 1, ":8080").otherwise(""),
+          lit("/a"), when(col("doc_id") % 3 === 0, "/b").otherwise(""),
+          lit("/doc"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit("?utm_source=feed&id="), col("doc_id")))
+            .when(col("doc_id") % 3 === 1, concat(lit("?id="), col("doc_id"), lit("&utm_medium=x")))
+            .otherwise(""),
+          when(col("doc_id") % 2 === 1, "#sec").otherwise("")))
+        .as("url"))
+
+  /** per-source keep rates in thousandths: src<k> keeps ((k%4)+1)·25%. */
+  private def rates(s: SparkSession) = {
+    import s.implicits._
+    (0 to 19).map(k => (s"src$k", ((k % 4) + 1) * 250L)).toDF("source", "keep_per_mille")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "td_decontam" -> ((s, d) =>
+      Curation.decontaminate(scanSide(s, d), bench(s, d), n = 8)),
+    "td_repetition" -> ((s, d) =>
+      Curation.repetitionSignals(TrainingDataQueries.corpus(s, d))),
+    "td_pii" -> ((s, d) => Curation.pii(piiCorpus(s, d))),
+    "td_url_norm" -> ((s, d) => Curation.urlNormalize(synthUrls(s, d))),
+    "td_mix_sample" -> ((s, d) => Curation.mixSample(docs(s, d), rates(s))),
+    "td_split" -> ((s, d) => Curation.splitAssign(docs(s, d))),
+    "td_chunk" -> ((s, d) => Curation.chunk(docs(s, d), maxTokens = 32, overlap = 8)),
+    "td_pack" -> ((s, d) => Curation.packSequences(docs(s, d), capacity = 512L)),
+    "td_curation_filter" -> ((s, d) => curationFilter(s, d))
+  )
+
+  /** Composite C4/Gopher-style retention pipeline over the dup-planted
+    * corpus: keep a doc iff it is its exact-dup group's keeper (min id),
+    * has ≥ 20 tokens, its top-2-gram coverage is below 25%, and it shares
+    * no 8-gram with the benchmark. One output row per retained doc. */
+  def curationFilter(s: SparkSession, d: String): DataFrame = {
+    val corpus = TrainingDataQueries.corpus(s, d)
+    val keepers = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val rep = Curation.repetitionSignals(corpus)
+      .filter(col("top2_frac") < 0.25).select(col("doc_id"))
+    val contaminated = Curation.decontaminate(corpus, bench(s, d), n = 8)
+      .select(col("doc_id"))
+    corpus.filter(TextOps.tokenCount(col("text")) >= 20)
+      .join(keepers, Seq("doc_id"), "semi")
+      .join(rep, Seq("doc_id"), "semi")
+      .join(contaminated, Seq("doc_id"), "anti")
+      .select(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 100000, text || ' x' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val benchCte =
+    "bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)"
+
+  private def ngramCte(name: String, rel: String, n: Int) =
+    s"$name AS (${Curation.wordNgramsSql(rel, n)})"
+
+  /** decontamination chain over scan relation `rel` → CTE `hits(doc_id,
+    * n_hits)` (names prefixed to stay composable in one WITH). */
+  private def decontamBody(rel: String) =
+    s"""$benchCte,
+       |${ngramCte("dgall", rel, 8)},
+       |dg AS (SELECT DISTINCT doc_id, gram FROM dgall),
+       |${ngramCte("bgall", "bench", 8)},
+       |bg AS (SELECT DISTINCT gram FROM bgall),
+       |hits AS (SELECT dg.doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)""".stripMargin
+
+  /** repetition-signal chain over `corpus` → CTE `rep(doc_id, top2_frac,
+    * dup3_frac)`. */
+  private val repBody =
+    s"""${ngramCte("g2", "corpus", 2)},
+       |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+       |t2 AS (SELECT doc_id, cnt * length(gram) AS cov2,
+       |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c2),
+       |${ngramCte("g3", "corpus", 3)},
+       |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+       |d3 AS (SELECT doc_id, SUM(cnt * length(gram)) AS cov3 FROM c3 WHERE cnt > 1 GROUP BY doc_id),
+       |rep AS (
+       |  SELECT c.doc_id,
+       |    ROUND(COALESCE(t.cov2, 0) / length(c.text), 5) AS top2_frac,
+       |    ROUND(LEAST(COALESCE(d.cov3, 0) / length(c.text), 1.0), 5) AS dup3_frac
+       |  FROM corpus c
+       |  LEFT JOIN (SELECT doc_id, cov2 FROM t2 WHERE rn = 1) t USING (doc_id)
+       |  LEFT JOIN d3 d USING (doc_id))""".stripMargin
+
+  private val piiCte =
+    """pdocs AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  private val urlCte =
+    """urls AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || doc_id
+      |    ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+      |      || (CASE WHEN doc_id % 4 = 0 THEN 'Ex.ORG' WHEN doc_id % 4 = 1 THEN 'ex.org'
+      |          WHEN doc_id % 4 = 2 THEN 'www.ex.org' ELSE 'cdn.Ex.org' END)
+      |      || (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+      |      || '/a' || (CASE WHEN doc_id % 3 = 0 THEN '/b' ELSE '' END) || '/doc' || doc_id
+      |      || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || doc_id
+      |          WHEN doc_id % 3 = 1 THEN '?id=' || doc_id || '&utm_medium=x' ELSE '' END)
+      |      || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END)
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[Curation.urlNormalize]] over `urls(doc_id, url)`
+    * (standard-SQL single-quoted literals don't process backslashes, so the
+    * Scala pattern embeds verbatim and reaches RE2 unchanged). */
+  private val urlNormSql = {
+    val re = Curation.UrlRe
+    s"""SELECT doc_id,
+       |  CASE WHEN host0 = '' THEN url ELSE
+       |    scheme || '://' || host || port || path
+       |      || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS url_norm,
+       |  CASE WHEN host0 = '' THEN '' ELSE host END AS host,
+       |  CASE WHEN host0 = '' THEN 0 ELSE len(string_split(path, '/')) - 1 END AS path_depth
+       |FROM (
+       |  SELECT doc_id, url, host0, scheme, host,
+       |    CASE WHEN (scheme = 'https' AND rawport = ':443') OR (scheme = 'http' AND rawport = ':80')
+       |      THEN '' ELSE rawport END AS port,
+       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+       |    array_to_string(list_filter(string_split(CASE WHEN rawq = '' THEN '' ELSE rawq[2:] END, '&'),
+       |      p -> NOT starts_with(p, 'utm_')), '&') AS q
+       |  FROM (
+       |    SELECT doc_id, url,
+       |      regexp_extract(url, '$re', 2) AS host0,
+       |      lower(regexp_extract(url, '$re', 1)) AS scheme,
+       |      lower(regexp_extract(url, '$re', 2)) AS host,
+       |      regexp_extract(url, '$re', 3) AS rawport,
+       |      regexp_extract(url, '$re', 4) AS rawpath,
+       |      regexp_extract(url, '$re', 5) AS rawq
+       |    FROM urls) p0) p1""".stripMargin
+  }
+
+  private val ratesCte =
+    "rates AS (SELECT 'src' || k AS source, ((k % 4) + 1) * 250 AS keep_per_mille FROM generate_series(0, 19) g(k))"
+
+  def oracleSql: Map[String, String] = Map(
+    "td_decontam" -> (s"WITH $corpusCte,\n" +
+      "scanside AS (SELECT doc_id, text FROM corpus WHERE NOT (doc_id % 37 = 0 AND doc_id < 100000)),\n" +
+      s"${decontamBody("scanside")}\nSELECT doc_id, n_hits FROM hits"),
+
+    "td_repetition" -> s"WITH $corpusCte,\n$repBody\nSELECT doc_id, top2_frac, dup3_frac FROM rep",
+
+    "td_pii" -> (s"WITH $piiCte\n" +
+      s"SELECT doc_id, len(regexp_extract_all(text, '${Curation.EmailRe}')) AS n_emails,\n" +
+      s"  len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS n_phones,\n" +
+      s"  regexp_replace(regexp_replace(text, '${Curation.EmailRe}', '<EMAIL>', 'g'), " +
+      s"'${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted\nFROM pdocs"),
+
+    "td_url_norm" -> s"WITH $urlCte\n$urlNormSql",
+
+    "td_mix_sample" -> (s"WITH $ratesCte\n" +
+      "SELECT d.doc_id, d.source, r.keep_per_mille FROM documents d JOIN rates r USING (source)\n" +
+      "WHERE ((d.doc_id * 2654435761) % 2147483647) % 1000 < r.keep_per_mille"),
+
+    "td_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761) % 2147483647) % 1000 < 100 THEN 'validation'
+        |       WHEN ((doc_id * 2654435761) % 2147483647) % 1000 < 200 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "td_chunk" ->
+      s"""SELECT doc_id, k AS chunk_id, array_to_string(w[k*24+1 : k*24+32], ' ') AS chunk
+         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+         |CROSS JOIN generate_series(0, ${TextOps.OracleMaxDocLen}) g(k)
+         |WHERE k <= greatest(0, CAST(ceil((len(w) - 8) / 24.0) AS INT) - 1)""".stripMargin,
+
+    "td_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(cum AS BIGINT) // 512 AS bin, CAST(cum AS BIGINT) % 512 AS bin_offset
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |        FROM documents) t) c""".stripMargin,
+
+    "td_curation_filter" -> (s"WITH $corpusCte,\n${decontamBody("corpus")},\n$repBody\n" +
+      """SELECT c.doc_id FROM corpus c
+        |JOIN (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text) k USING (doc_id)
+        |JOIN (SELECT doc_id FROM rep WHERE top2_frac < 0.25) r USING (doc_id)
+        |WHERE length(c.text) - length(replace(c.text, ' ', '')) + 1 >= 20
+        |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = c.doc_id)""".stripMargin)
+  )
+}

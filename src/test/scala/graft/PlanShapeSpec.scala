@@ -59,6 +59,29 @@ class PlanShapeSpec extends SparkSpec {
     } finally nbrs.unpersist()
   }
 
+  test("decontamination probes a broadcast benchmark set; corpus grams never pre-shuffle") {
+    val docs = graft.queries.TrainingDataQueries.corpus(spark, sf)
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val hits = graft.text.Curation.decontaminate(docs, bench, n = 8)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus gram stream must never sort-merge against the benchmark set")
+    // tree print order: BHJ, then its STREAMED child subtree, then the
+    // broadcast child (from its BroadcastExchange line on). The corpus
+    // gram stream is the streamed child — no hash exchange may print in
+    // that window (a distinct() upstream of the join would put one there);
+    // exchanges above the BHJ (post-join aggs) and inside the broadcast
+    // subtree (the tiny benchmark distinct) are expected.
+    val lines = plan.linesIterator.toVector
+    val bhj = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val be = lines.indexWhere(_.contains("BroadcastExchange"), bhj)
+    assert(bhj >= 0 && be > bhj, s"unexpected plan shape:\n$plan")
+    assert(!lines.slice(bhj + 1, be).exists(_.contains("Exchange hashpartitioning")),
+      s"the raw corpus gram stream gained a shuffle upstream of the broadcast probe:\n$plan")
+  }
+
   test("dedup pair verify is size-gated: broadcast under, shuffle-hash over") {
     val corpus = graft.queries.TrainingDataQueries.corpus(spark, sf)
     // under the gate (every fixture corpus): the array table broadcasts and
