@@ -77,7 +77,11 @@ object CurationQueries {
     "td_split" -> ((s, d) => Curation.splitAssign(docs(s, d))),
     "td_chunk" -> ((s, d) => Curation.chunk(docs(s, d), maxTokens = 32, overlap = 8)),
     "td_pack" -> ((s, d) => Curation.packSequences(docs(s, d), capacity = 512L)),
-    "td_curation_filter" -> ((s, d) => curationFilter(s, d))
+    "td_curation_filter" -> ((s, d) => curationFilter(s, d)),
+    "td_dup_spans" -> ((s, d) =>
+      Curation.dupSpans(TrainingDataQueries.corpus(s, d), k = 8)),
+    "td_dup_frac" -> ((s, d) =>
+      Curation.dupSpanFraction(TrainingDataQueries.corpus(s, d), k = 8))
   )
 
   /** Composite C4/Gopher-style retention pipeline over the dup-planted
@@ -196,7 +200,40 @@ object CurationQueries {
   private val ratesCte =
     "rates AS (SELECT 'src' || k AS source, ((k % 4) + 1) * 250 AS keep_per_mille FROM generate_series(0, 19) g(k))"
 
+  /** seed → maximal-span chain over `corpus`, k = 8 → CTE
+    * `spans(doc_id, span_start, span_end, span_tokens)`. Mirrors
+    * [[Curation.dupSpans]]: gram count > 1 (within-doc repeats included),
+    * lag-gap islands, coverage-adjacent merge at pos ≤ prev + k. */
+  private val dupSpanBody =
+    s"""dsg AS (SELECT doc_id, i AS pos, gram FROM (
+       |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram, i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+       |  CROSS JOIN generate_series(1, ${TextOps.OracleMaxDocLen}) g(i)
+       |  WHERE i <= len(w) - 7) q),
+       |dsd AS (SELECT gram FROM dsg GROUP BY gram HAVING COUNT(*) > 1),
+       |dss AS (SELECT doc_id, pos FROM dsg JOIN dsd USING (gram)),
+       |dsm AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+       |  FROM dss WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |dsi AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dsm),
+       |spans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       |    CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+       |  FROM dsi GROUP BY doc_id, island)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "td_dup_spans" -> (s"WITH $corpusCte,\n$dupSpanBody\n" +
+      "SELECT doc_id, span_start, span_end, span_tokens FROM spans"),
+
+    "td_dup_frac" -> (s"WITH $corpusCte,\n$dupSpanBody,\n" +
+      """cov AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  ROUND(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+        |    / (length(c.text) - length(replace(c.text, ' ', '')) + 1), 5) AS dup_frac
+        |FROM corpus c LEFT JOIN cov USING (doc_id)""".stripMargin),
+
     "td_decontam" -> (s"WITH $corpusCte,\n" +
       "scanside AS (SELECT doc_id, text FROM corpus WHERE NOT (doc_id % 37 = 0 AND doc_id < 100000)),\n" +
       s"${decontamBody("scanside")}\nSELECT doc_id, n_hits FROM hits"),

@@ -216,6 +216,75 @@ object Curation {
       .select(col(idCol), col("c.chunk_id"), col("c.chunk"))
   }
 
+  // --------------------------------- exact-substring duplicate spans
+
+  /** Exact-substring duplicate-span detection (the ExactSubstr dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — there via a monolithic suffix array; here
+    * re-expressed as a k-gram seed-and-merge over Spark relational ops):
+    * a token position is duplicated iff some k-gram window covering it
+    * occurs ≥ 2 times in the corpus (across docs OR repeated within one).
+    * Returns the MAXIMAL duplicated spans per doc as
+    * (idCol, span_start, span_end, span_tokens), positions 1-based
+    * inclusive; overlapping and coverage-adjacent seed windows merge.
+    *
+    * Shape and scale: one gram-keyed aggregation (map-side partial count)
+    * filtered to count > 1, then the seed stream semi-joins it on gram —
+    * a saturated gram ("the the the…" pathologies) lands on one reducer
+    * only as a 1-row build side; AQE skew-split handles the probe side.
+    * The measured alternative (tools/DupSpanProbe, sf0.1 × 32 cores): a
+    * single window `count over (partition by gram)` is 1.34 s vs this
+    * shape's 2.22 s — one exchange instead of two — but a window sort
+    * partition cannot be skew-split, so one hot gram would serialize an
+    * entire partition at web scale; the join shape is kept deliberately.
+    * The island merge is two windows PARTITIONED BY doc (lag + running
+    * sum), so per-doc work is bounded by doc length and docs spread
+    * across the cluster — no global sort anywhere. At 100 TB, key the
+    * count/join on xxhash64(gram) to shrink the exchange payload (the
+    * string key is kept here so the DuckDB oracle shares it verbatim),
+    * and seed with k ≈ 50 tokens per the paper so the dup-gram set stays
+    * sparse. */
+  def dupSpans(docs: DataFrame, k: Int,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "span seed length k must be >= 2")
+    val seeds = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> struct(i as pos, array_join(slice(w, i, $k), ' ') as gram))"))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.gram").as("gram"))
+    val dupGrams = seeds.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("gram"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds.join(dupGrams, Seq("gram"), "semi")
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byPos), lit(Long.MinValue)) + k, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start").cast("long"), col("span_end").cast("long"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** Per-doc duplicated-token fraction from [[dupSpans]]: union length of
+    * the maximal spans / token count, 0.0 for clean docs (every input doc
+    * gets a row). The 5-dp round matches the corpus oracle dialect. */
+  def dupSpanFraction(docs: DataFrame, k: Int,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cov = dupSpans(docs, k, textCol, idCol)
+      .groupBy(col(idCol)).agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col(idCol), TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 5)
+          .as("dup_frac"))
+  }
+
   // --------------------------------------------------- sequence packing
 
   /** Cumulative-offset sequence packing: within each source, docs in id

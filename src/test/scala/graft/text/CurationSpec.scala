@@ -144,6 +144,46 @@ class CurationSpec extends SparkSpec {
       (3L, 0L) -> "x1 x2 x3 x4"))
   }
 
+  // ---------------------------------------------------------- dupSpans
+
+  test("dupSpans: cross-doc and within-doc seeds merge into maximal spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // shares "a b c","b c d" with doc 2
+      (2L, "x x a b c d y"),
+      (3L, "p q r s p q r s"), // within-doc repeat; coverage-adjacent merge
+      (4L, "u v w z1 z2 z3"), // no duplicated 3-gram
+      (5L, "a b") // shorter than k — no seeds
+    ).toDF("doc_id", "text")
+    val out = Curation.dupSpans(docs, k = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+    // doc1: seeds pos 1,2 → span 1..4; doc2: seeds pos 3,4 → span 3..6
+    // doc3: "p q r"/"q r s" each ×2 → seeds 1,2,5,6; pos5 ≤ 2+3 merges → 1..8
+    assert(out === Set(
+      (1L, (1L, 4L, 4L)),
+      (2L, (3L, 6L, 4L)),
+      (3L, (1L, 8L, 8L))))
+  }
+
+  test("dupSpans: a gap beyond k splits islands; fraction covers every doc") {
+    // doc 1 repeats doc 2's head AND tail with unique middle filler —
+    // two separate spans (gap 5..6 > seed reach)
+    val docs = Seq(
+      (1L, "h1 h2 h3 m1 m2 m3 m4 t1 t2 t3"),
+      (2L, "h1 h2 h3 q1 q2 q3 q4 t1 t2 t3"),
+      (3L, "all unique words here entirely")
+    ).toDF("doc_id", "text")
+    val spans = Curation.dupSpans(docs, k = 3)
+    val byDoc = spans.collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 3L), (8L, 10L)))
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 3L), (8L, 10L)))
+    assert(!byDoc.contains(3L))
+    val frac = Curation.dupSpanFraction(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frac === Map(1L -> 0.6, 2L -> 0.6, 3L -> 0.0)) // 6 of 10 tokens
+  }
+
   // ----------------------------------------------------- packSequences
 
   test("packSequences: hand-computed bins/offsets, sources pack independently") {
