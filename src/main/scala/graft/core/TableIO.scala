@@ -20,6 +20,10 @@ trait TableIO {
 final class ParquetTableIO(spark: SparkSession, baseDir: String) extends TableIO {
   private def path(table: String) = s"$baseDir/$table"
 
+  /** Filesystem location of `table` — for writers that need a mode/layout
+    * this trait's `write` doesn't expose (e.g. incremental appends). */
+  def pathOf(table: String): String = path(table)
+
   override def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))

@@ -47,6 +47,68 @@ object Materialize {
       .withColumn("salt", pmod(xxhash64(col("src"), col("pred"), col("dst")), lit(Salts)).cast("int"))
       .write.mode("overwrite").partitionBy("pred").parquet(path)
 
+  /** Rows appended by one [[merge]] call (0/0 on a pure replay). */
+  final case class MergeStats(newEdges: Long, newNodes: Long)
+
+  /** Incremental merge of a canonical-triple batch into a materialized
+    * graph store (the Iceberg `MERGE INTO`-shaped operation the north rule's
+    * long-running construction needs): appends exactly the edges not
+    * already stored, plus the nodes/types those edges introduce. Replaying
+    * a batch is a no-op — at-least-once delivery upstream (a restarted
+    * crawl segment, a re-run extraction) becomes exactly-once store
+    * semantics, and `merge(b1); merge(b2)` equals a from-scratch build over
+    * b1 ∪ b2 (MergeSpec proves both, fe_merge_triples pins the edge set
+    * end-to-end).
+    *
+    * Scale shape: the cost center is the anti-join of the (small) increment
+    * against the (huge) store. Three levers, in order: (1) the store is
+    * partitioned by `pred`, and the scan is filtered to the increment's
+    * predicate vocabulary — collected driver-side because predicates are a
+    * bounded rule-defined set (guarded: above `MaxPredPushdown` distinct
+    * preds the filter is skipped rather than building a giant IN list);
+    * (2) store the edges bucketed by `src` (`ParquetTableIO.writeBucketed`)
+    * and the store side of the anti-join needs no exchange; (3) the Iceberg
+    * binding replaces the whole read-filter-anti chain with `MERGE INTO` +
+    * min/max file skipping. Append cost is ∝ increment size, never store
+    * size. */
+  val MaxPredPushdown = 1000
+
+  def merge(io: graft.core.ParquetTableIO, prefix: String, triples: DataFrame): MergeStats = {
+    val newE = triples.select(col("subj").as("src"), col("pred"), col("obj").as("dst"))
+      .distinct()
+    if (!io.exists(s"$prefix/edges")) {
+      io.writeSalted(newE, s"$prefix/edges", saltKey = "dst", partitionBy = Seq("pred"))
+      val nodes = nodesOf(triples)
+      io.write(nodes, s"$prefix/nodes")
+      io.write(nodes.select(col("id").as("node"), clsOf(col("id")).as("cls")),
+        s"$prefix/types", partitionBy = Seq("cls"))
+      return MergeStats(io.read(s"$prefix/edges").count(), io.read(s"$prefix/nodes").count())
+    }
+    val preds = newE.select(col("pred")).distinct()
+      .limit(MaxPredPushdown + 1).collect().map(_.getString(0))
+    val stored = io.read(s"$prefix/edges").select(col("src"), col("pred"), col("dst"))
+    val prunedStore =
+      if (preds.length <= MaxPredPushdown) stored.filter(col("pred").isin(preds: _*))
+      else stored
+    val appendE = newE.join(prunedStore, Seq("src", "pred", "dst"), "anti")
+      .localCheckpoint() // pin the delta: the append below mutates its own input scan
+    val nE = appendE.count()
+    if (nE > 0)
+      appendE // same salt formula as the initial writeSalted layout (dst = the skew key)
+        .withColumn("salt", pmod(xxhash64(col("dst")), lit(Salts)).cast("int"))
+        .write.mode("append").partitionBy("pred").parquet(io.pathOf(s"$prefix/edges"))
+    val appendN = nodesOf(appendE.select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
+      .join(io.read(s"$prefix/nodes"), Seq("id"), "anti")
+      .localCheckpoint()
+    val nN = appendN.count()
+    if (nN > 0) {
+      appendN.write.mode("append").parquet(io.pathOf(s"$prefix/nodes"))
+      appendN.select(col("id").as("node"), clsOf(col("id")).as("cls"))
+        .write.mode("append").partitionBy("cls").parquet(io.pathOf(s"$prefix/types"))
+    }
+    MergeStats(nE, nN)
+  }
+
   /** Wrap canonical triples as a first-class Kb — samplers, class
     * expressions and LP evaluation run directly on the materialized graph. */
   def asKb(triples: DataFrame): Kb = {

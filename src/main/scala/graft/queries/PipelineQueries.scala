@@ -83,6 +83,27 @@ object PipelineQueries {
         ("av://4", "<html><body>not media</body></html>".getBytes("UTF-8")))
       Media.av(s.createDataFrame(fx).toDF("url", "html")).toDF()
     }),
+    // the SAME canonical-triple set via INCREMENTAL batched merges into the
+    // materialized store (Materialize.merge): three overlapping batches +
+    // a full replay of batch 1. Exactly-once store semantics make the final
+    // edge set equal the from-scratch distinct build — the fe_triples
+    // oracle applies with materialized column names; a duplicate append or
+    // a lost edge breaks the hash, and the replay's (0,0) MergeStats is
+    // asserted in-query so a broken anti-join fails loudly.
+    "fe_merge_triples" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("merge_kg_").toString
+      val io = new graft.core.ParquetTableIO(s, base)
+      val triples = KgPipeline.run(s, d, ck(d), "triples")
+      val half = pmod(xxhash64(col("subj")), lit(2)) === 0
+      val b1 = triples.filter(half)
+      Materialize.merge(io, "kg", b1)
+      Materialize.merge(io, "kg", triples.filter(pmod(xxhash64(col("obj")), lit(3)) === 0))
+      val replay = Materialize.merge(io, "kg", b1)
+      require(replay.newEdges == 0 && replay.newNodes == 0,
+        s"replayed batch appended rows: $replay")
+      Materialize.merge(io, "kg", triples.filter(!half))
+      io.read("kg/edges").select("src", "pred", "dst")
+    }),
     // the SAME canonical-triple set via the Structured Streaming pipeline:
     // pages parquet replayed as a bounded stream, drained exactly-once with
     // Trigger.AvailableNow into a parquet sink. The 7-day lateness bound
@@ -94,6 +115,34 @@ object PipelineQueries {
       Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
       StreamingKg.runAvailableNow(s, s"$base/pages", s"$base/out", s"$base/ck",
         delay = "7 days")
+    }),
+    // streaming construction into the MATERIALIZED store (foreachBatch →
+    // Materialize.merge), run TWICE: the second pass wipes the checkpoint so
+    // the file source replays every page against the already-built store —
+    // the worst-case at-least-once delivery. Store-level exactly-once means
+    // the replay appends nothing (asserted in-query from the merge lineage)
+    // and the final edge set equals the batch build — the fe_merge_triples
+    // oracle applies verbatim.
+    "fe_stream_merge_triples" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_merge_").toString
+      Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
+      val io = new graft.core.ParquetTableIO(s, s"$base/store")
+      StreamingKg.runMergeAvailableNow(s, s"$base/pages", io, "kg", s"$base/ck1",
+        delay = "7 days")
+      val out = StreamingKg.runMergeAvailableNow(s, s"$base/pages", io, "kg",
+        s"$base/ck2", delay = "7 days")
+      val firstRunBatches = io.read("kg/merge_lineage")
+        .filter(col("new_edges") > 0).count()
+      val replayed = io.read("kg/merge_lineage")
+        .groupBy("batch_id").count().filter(col("count") > 1)
+      val replayAppends = io.read("kg/merge_lineage")
+        .groupBy("batch_id")
+        .agg(min(col("new_edges")).as("later_pass_edges"))
+        .filter(col("later_pass_edges") > 0).count()
+      require(firstRunBatches > 0, "first pass merged nothing")
+      require(replayed.count() > 0, "second pass did not replay any batch")
+      require(replayAppends == 0, "a replayed batch appended edges")
+      out
     }))
 
   /** Minimal PCM WAV: RIFF/WAVE + (optional odd-size LIST chunk, testing
@@ -193,6 +242,10 @@ object PipelineQueries {
         |FROM als""".stripMargin),
     "fe_triples" -> withDocs(triplesSql),
     "fe_stream_triples" -> withDocs(triplesSql),
+    "fe_merge_triples" -> withDocs(
+      s"SELECT subj AS src, pred, obj AS dst FROM ($triplesSql) t"),
+    "fe_stream_merge_triples" -> withDocs(
+      s"SELECT subj AS src, pred, obj AS dst FROM ($triplesSql) t"),
     "fe_lineage_counts" -> withDocs(
       s"""SELECT 'pages' AS stage, CAST(COUNT(*) AS BIGINT) AS total_rows FROM docs
          |UNION ALL SELECT 'extracted', CAST(COUNT(*) AS BIGINT) FROM docs

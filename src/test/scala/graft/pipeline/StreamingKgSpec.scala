@@ -105,6 +105,47 @@ class StreamingKgSpec extends SparkSpec {
     assert(run2.size > run1.size)
   }
 
+  test("merge sink: incremental restart appends only new pages; full replay appends nothing") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("stream_kg_merge_").toString
+    val io = new graft.core.ParquetTableIO(spark, s"$base/store")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    // drain backlog part 1 into the store
+    Pages.fromDocuments(docs.filter(col("doc_id") < 50))
+      .write.mode("append").parquet(s"$base/pages")
+    val run1 = edges(StreamingKg.runMergeAvailableNow(
+      spark, s"$base/pages", io, "kg", s"$base/ck", delay = "7 days"))
+    assert(run1.nonEmpty)
+
+    // append part 2, restart against the SAME checkpoint: only the new
+    // pages' triples merge, and the store grows to the union
+    Pages.fromDocuments(docs.filter(col("doc_id") >= 100 && col("doc_id") < 160))
+      .write.mode("append").parquet(s"$base/pages")
+    val run2 = edges(StreamingKg.runMergeAvailableNow(
+      spark, s"$base/pages", io, "kg", s"$base/ck", delay = "7 days"))
+    assert(run1.subsetOf(run2))
+    assert(run2.size > run1.size)
+
+    // worst-case at-least-once: replay EVERYTHING with a wiped checkpoint —
+    // the store is unchanged and the replay's lineage rows are all (0, 0)
+    val lineageRowsBefore = io.read("kg/merge_lineage").count()
+    val run3 = edges(StreamingKg.runMergeAvailableNow(
+      spark, s"$base/pages", io, "kg", s"$base/ck_replay", delay = "7 days"))
+    assert(run3 === run2)
+    val replayRows = io.read("kg/merge_lineage")
+      .orderBy(col("recorded_at")).collect().drop(lineageRowsBefore.toInt)
+    assert(replayRows.nonEmpty)
+    assert(replayRows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+
+    // store-side tables stay consistent: nodes = edge endpoints
+    val endpoints = run2.flatMap(e => Set(e._1, e._3))
+    assert(ids(io.read("kg/nodes")) === endpoints)
+  }
+
   test("the streaming plan is actually streaming and dedup state is keyed") {
     val sf = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("stream_kg_plan_").toString
