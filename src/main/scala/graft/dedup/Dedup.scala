@@ -66,23 +66,28 @@ object Dedup {
     math.max(0, math.ceil((threshold - 2 * sigma) * NumHashes).toInt)
   }
 
-  /** near-dup pairs via MinHash-LSH banding → signature-estimate prefilter
-    * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
-    * Jaccard rounded to 5. */
-  def minhashLsh(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val mh = minhash(corpus)
-    // per-doc: full signature array (j-ordered) + the 4 band keys — built in
-    // one aggregation so the band self-join can evaluate the signature
-    // agreement INLINE (zip_with, codegen) instead of re-joining 16
-    // signature rows per candidate pair (band collisions can be quadratic;
-    // the prefilter must not shuffle them)
-    val sigs = mh.groupBy("doc_id")
+  /** Per-doc LSH index rows (doc_id, sig, band, key): the full j-ordered
+    * signature array + one row per band key, built in ONE aggregation so
+    * band joins can evaluate the signature agreement INLINE (codegen)
+    * instead of re-joining 16 signature rows per candidate pair (band
+    * collisions can be quadratic; the prefilter must not shuffle them).
+    * This is the PERSISTABLE candidate-generation state: store it via
+    * TableIO once and [[incrementNearDup]] probes later crawl increments
+    * against it without recomputing anything over the stored corpus. */
+  def lshIndex(corpus: DataFrame): DataFrame =
+    minhash(corpus).groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
         x => x.getField("mh")).as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), " +
           s"b -> struct(b AS band, array_join(transform(slice(sig, b * $BandRows + 1, $BandRows), x -> cast(x AS string)), '_') AS key))")).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** near-dup pairs via MinHash-LSH banding → signature-estimate prefilter
+    * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
+    * Jaccard rounded to 5. */
+  def minhashLsh(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sigs = lshIndex(corpus)
     // codegen agreement count — NOT aggregate(zip_with(...)): HOFs run
     // interpreted and this predicate sits on the (possibly quadratic)
     // band-collision stream
@@ -94,6 +99,46 @@ object Dedup {
       .filter(agreeExpr >= sigAgreeMin(threshold))
       .select("a", "b").distinct()
     jaccardOf(corpus, candidates, atLeast = Some(threshold))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL near-dup detection — the shape a daily crawl actually
+    * runs at 100 TB: probe an increment against an already-indexed store
+    * without touching the store's text except where a candidate demands it.
+    * Returns exactly `minhashLsh(store ∪ inc)` restricted to pairs with at
+    * least one increment doc (IncrementalDedupSpec proves the equivalence;
+    * banding is seeded hash arithmetic, so per-doc index rows are identical
+    * whether computed in the store build or the increment probe).
+    *
+    * Cost shape per increment: shingle/minhash/band ONLY the increment;
+    * one equi-join of the increment's band keys against the stored index
+    * (bucketable by (band, key) — no store-side shuffle under a bucketed
+    * layout, and band-key min/max file skipping under the Iceberg binding);
+    * exact-Jaccard verify reads store TEXT only for docs a candidate pair
+    * touches (left-semi on candidate ids — row-group skipping territory,
+    * never a full store text scan). The store is never re-shingled or
+    * re-minhashed. */
+  def incrementNearDup(store: DataFrame, storeIndex: DataFrame, inc: DataFrame,
+                       threshold: Double = 0.8): DataFrame = {
+    val incIdx = lshIndex(inc)
+    val all = storeIndex.unionByName(incIdx)
+    val agreeExpr = graft.expr.SigOps.agree(col("siga"), col("sigb"))
+    // inc side probes (store ∪ inc): inc–store pairs once, inc–inc pairs in
+    // both orders — normalized + distinct below; store–store pairs never
+    // materialize
+    val cand = incIdx.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+      .join(all.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") =!= col("b"))
+      .filter(agreeExpr >= sigAgreeMin(threshold))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val candIds = cand.select(col("a").as("doc_id"))
+      .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+    val verifyCorpus = store.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .unionByName(inc.select(col("doc_id"), col("text")))
+    jaccardOf(verifyCorpus, cand, atLeast = Some(threshold))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -47,6 +47,21 @@ object TrainingDataQueries {
     "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
     "td_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(corpus(s, d), 0.8)),
     "td_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(corpus(s, d), 0.8)),
+    // incremental dedup: the planted dup rows (doc_id ≥ 100000) arrive as a
+    // later crawl increment probed against the indexed base corpus, with
+    // the LSH index persisted and read back through TableIO (the
+    // stored-state round trip a long-running pipeline depends on). The
+    // contract is exactly the full-corpus near-dup pairs touching ≥ 1
+    // increment doc — the td_dedup_minhash oracle restricted accordingly.
+    "td_dedup_incremental" -> ((s, d) => {
+      val full = corpus(s, d)
+      val store = full.filter(col("doc_id") < 100000)
+      val inc = full.filter(col("doc_id") >= 100000)
+      val dir = java.nio.file.Files.createTempDirectory("lsh_idx_").toString
+      val io = new graft.core.ParquetTableIO(s, dir)
+      io.write(Dedup.lshIndex(store), "lsh_index")
+      Dedup.incrementNearDup(store, io.read("lsh_index"), inc, 0.8)
+    }),
     "td_simhash" -> ((s, d) => Dedup.simhash(corpus(s, d))),
     "td_dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d), 3)),
     "td_jaccard_consecutive" -> ((s, d) => {
@@ -171,6 +186,8 @@ object TrainingDataQueries {
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
     "td_dedup_minhash" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
       jaccardSql(candCtes) + "\nWHERE jaccard >= 0.8"),
+    "td_dedup_incremental" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
+      jaccardSql(candCtes) + "\nWHERE jaccard >= 0.8 AND (a >= 100000 OR b >= 100000)"),
     // clusters = transitive closure of the SAME near-dup pairs (recursive
     // CTE — the pair graph is tiny relative to the corpus), keeper = MIN
     // over each doc's reachable set ∪ itself; singletons keep themselves
