@@ -78,6 +78,21 @@ object CurationQueries {
     "td_chunk" -> ((s, d) => Curation.chunk(docs(s, d), maxTokens = 32, overlap = 8)),
     "td_pack" -> ((s, d) => Curation.packSequences(docs(s, d), capacity = 512L)),
     "td_curation_filter" -> ((s, d) => curationFilter(s, d)),
+    // per-domain capping over the normalized synth URLs: the '' host
+    // (malformed rows, ~1/17 of docs ≈ 29 at the 500-doc gate scale) stays
+    // under the 100 cap and rides the pass-through anti-join side; the
+    // three real hosts exceed it and are window-capped — both paths
+    // load-bearing in one gate
+    "td_domain_cap" -> ((s, d) =>
+      Curation.capPerGroup(
+        Curation.urlNormalize(synthUrls(s, d)).select(col("doc_id"), col("host")),
+        cap = 100, groupCol = "host")),
+    // stratified sampling: exactly 10 docs per source — binding for every
+    // source at every sf (≥ 25 docs/source), so the gate checks the exact
+    // hash-rank selection, not a pass-through
+    "td_stratified" -> ((s, d) =>
+      Curation.capPerGroup(docs(s, d).select(col("doc_id"), col("source")),
+        cap = 10, groupCol = "source")),
     "td_dup_spans" -> ((s, d) =>
       Curation.dupSpans(TrainingDataQueries.corpus(s, d), k = 8)),
     "td_dup_frac" -> ((s, d) =>
@@ -247,6 +262,24 @@ object CurationQueries {
       s"'${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted\nFROM pdocs"),
 
     "td_url_norm" -> s"WITH $urlCte\n$urlNormSql",
+
+    "td_domain_cap" -> (s"WITH $urlCte, norm AS ($urlNormSql),\n" +
+      """ranked AS (
+        |  SELECT doc_id, host,
+        |    ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY host) AS n
+        |  FROM norm)
+        |SELECT doc_id, host FROM ranked WHERE n <= 100 OR rn <= 100""".stripMargin),
+
+    "td_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents) r
+        |WHERE n <= 10 OR rn <= 10""".stripMargin,
 
     "td_mix_sample" -> (s"WITH $ratesCte\n" +
       "SELECT d.doc_id, d.source, r.keep_per_mille FROM documents d JOIN rates r USING (source)\n" +

@@ -178,6 +178,44 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("keep_per_mille"))
       .select(col(idCol), docs(sourceCol), col("keep_per_mille"))
 
+  /** Full-range deterministic rank hash (the [0,1000) bucket quantized for
+    * rate filters is too collision-heavy to ORDER by). */
+  def rankHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(2147483647L)
+
+  /** Exact top-`cap` per group by deterministic hash rank — ONE operator
+    * behind two standard curation moves: per-DOMAIN capping (the
+    * Common-Crawl practice of bounding any single host's share of the
+    * corpus) and STRATIFIED sampling (exactly `cap` docs per
+    * language/source). Selection key (rankHash(id), id) is uniform and
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Scale shape: groups at-or-under the cap never enter a window — the
+    * (partial-aggregated) groupBy count splits the corpus into an
+    * under-cap side passed through verbatim (anti-join) and an over-cap
+    * side (semi-join) that alone pays the per-group sort. On a web corpus
+    * the over-cap hosts are the head of the domain distribution, so the
+    * window sorts docs-in-over-cap-hosts, not |corpus|. Residual hotspot —
+    * one mega-host's rows landing in a single window partition — calls for
+    * a hash-threshold pre-prune (keep rows with rankHash below ~cap/n with
+    * slack, verify the survivor count, exact window over survivors) before
+    * this operator; at the tested scales the count split suffices.
+    * Emits (idCol, groupCol) for kept rows. */
+  def capPerGroup(docs: DataFrame, cap: Int, groupCol: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0)
+    val over = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select(col(groupCol))
+    val underSide = docs.join(over, Seq(groupCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(rankHash(col(idCol)), col(idCol))
+    val capped = docs.join(over, Seq(groupCol), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+    underSide.select(col(idCol), col(groupCol))
+      .unionByName(capped.select(col(idCol), col(groupCol)))
+  }
+
   /** Deterministic train/validation/test assignment from the same hash
     * bucket: [0, valPm) → validation, [valPm, valPm+testPm) → test, rest →
     * train. Pure map — the assignment is stable under re-partitioning,

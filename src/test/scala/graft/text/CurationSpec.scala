@@ -205,4 +205,30 @@ class CurationSpec extends SparkSpec {
     assert(out(10L) === ((9L, 0L, 0L)))
     assert(out(11L) === ((2L, 0L, 9L)))
   }
+
+  // ------------------------------------------------------- capPerGroup
+
+  test("capPerGroup: over-cap groups trimmed to exactly cap, under-cap intact, deterministic") {
+    val docs = ((0L until 40L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "group")
+    val kept = Curation.capPerGroup(docs, cap = 10, groupCol = "group")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGroup = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGroup("big").size === 10)
+    assert(byGroup("small") === Set(100L, 101L, 102L)) // under cap: untouched
+    // selection = the 10 smallest (rankHash, id) keys — recompute driver-side
+    val expectBig = (0L until 40L)
+      .sortBy(i => ((i * 2654435761L) % 2147483647L, i)).take(10).toSet
+    assert(byGroup("big") === expectBig)
+    // deterministic across partitionings
+    val again = Curation.capPerGroup(docs.repartition(7), cap = 10, groupCol = "group")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === kept.toSet)
+  }
+
+  test("capPerGroup: a group exactly AT the cap is passed through, not windowed") {
+    val docs = (0L until 5L).map(i => (i, "g")).toDF("doc_id", "group")
+    val kept = Curation.capPerGroup(docs, cap = 5, groupCol = "group")
+    assert(kept.count() === 5L)
+  }
 }
