@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Curation, TextOps}
+import graft.text.{Classifier, Curation, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,14 @@ object CurationQueries {
     "td_stratified" -> ((s, d) =>
       Curation.capPerGroup(docs(s, d).select(col("doc_id"), col("source")),
         cap = 10, groupCol = "source")),
+    // trained-in-engine NB evidence voter: weak labels from the corpus's
+    // own lang metadata (pos = English); the whole train+score cycle is
+    // one deterministic integer pipeline the oracle replays end-to-end
+    "td_nb_classifier" -> ((s, d) => {
+      val base = docs(s, d)
+      val labels = base.select(col("doc_id"), (col("lang") === "en").as("pos"))
+      Classifier.score(base, Classifier.trainVotes(base, labels))
+    }),
     "td_dup_spans" -> ((s, d) =>
       Curation.dupSpans(TrainingDataQueries.corpus(s, d), k = 8)),
     "td_dup_frac" -> ((s, d) =>
@@ -271,6 +279,25 @@ object CurationQueries {
         |    COUNT(*) OVER (PARTITION BY host) AS n
         |  FROM norm)
         |SELECT doc_id, host FROM ranked WHERE n <= 100 OR rn <= 100""".stripMargin),
+
+    "td_nb_classifier" ->
+      s"""WITH g2all AS (${Curation.wordNgramsSql("documents", 2)}),
+         |g2 AS (SELECT DISTINCT doc_id, gram FROM g2all),
+         |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+         |tot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM lab),
+         |cnt AS (SELECT gram,
+         |  SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |  SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+         |  FROM g2 JOIN lab USING (doc_id) GROUP BY gram),
+         |votes AS (SELECT gram,
+         |  CASE WHEN cp * nn > cn * np THEN 1
+         |       WHEN cp * nn < cn * np THEN -1 ELSE 0 END AS v
+         |  FROM cnt CROSS JOIN tot),
+         |sc AS (SELECT doc_id, SUM(v) AS s FROM g2 JOIN votes USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS vote_score,
+         |  COALESCE(sc.s, 0) > 0 AS predicted
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "td_stratified" ->
       """SELECT doc_id, source FROM (
