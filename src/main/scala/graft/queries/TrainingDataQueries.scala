@@ -82,6 +82,20 @@ object TrainingDataQueries {
       docs(s, d).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))),
     "td_ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 0L to 9L, 5)),
     "td_ann_ivf" -> ((s, d) => Ann.ivfTopK(emb(s, d), 0L to 9L, 5)),
+    // the SAME search through a PERSISTED index: centroids + assignments
+    // round-trip through TableIO and the query runs against the stored
+    // copies — byte-equal to the inline build (identical oracle)
+    "td_ann_ivf_indexed" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+      val io = new graft.core.ParquetTableIO(s, dir)
+      val cents = Ann.ivfCentroidsLloyd(e)
+      io.write(cents, "ivf/centroids")
+      io.write(Ann.ivfAppend(cents, e), "ivf/assign")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      Ann.ivfTopKIndexed(e, io.read("ivf/centroids"), io.read("ivf/assign"), q, 5)
+    }),
     "td_ann_lsh_bucket" -> ((s, d) => Ann.lshBucket(emb(s, d))),
     "td_dedup_embedding" -> ((s, d) =>
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
@@ -178,6 +192,43 @@ object TrainingDataQueries {
        |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN x ELSE -x END) AS s
        |  FROM ev CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id, j) proj
        |GROUP BY vec_id""".stripMargin
+
+  /** IVF search: LCG-seeded centroids, max-cosine assignment, nprobe=4 of
+    * nlist=16 lists probed per query. Shared by `td_ann_ivf` (inline build)
+    * and `td_ann_ivf_indexed` (the same search through a TableIO-persisted
+    * index — byte-equal by contract). */
+  private lazy val ivfOracleSql: String =
+    s"""WITH ${evCte("embeddings")},
+       |cent AS (SELECT vec_id AS cid FROM embeddings
+       |  ORDER BY ${graft.core.Determinism.lcgDuck("vec_id", 97L)}, vec_id LIMIT 16),
+       |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+       |cdots AS (
+       |  SELECT a.vec_id, b.vec_id AS cid, SUM(a.x * b.x) AS dot
+       |  FROM ev a JOIN ev b ON b.i = a.i
+       |  WHERE b.vec_id IN (SELECT cid FROM cent)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |csims AS (
+       |  SELECT c.vec_id, c.cid, ROUND(c.dot / (na.nrm * nc.nrm), 6) AS csim
+       |  FROM cdots c JOIN norms na ON na.vec_id = c.vec_id
+       |  JOIN norms nc ON nc.vec_id = c.cid),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM csims) a WHERE rn = 1),
+       |probes AS (SELECT q, cid FROM (
+       |  SELECT vec_id AS q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM csims WHERE vec_id < 10) p WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q, a.vec_id AS neighbor FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q),
+       |dots AS (
+       |  SELECT c.q, c.neighbor, SUM(ea.x * eb.x) AS dot FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.q JOIN ev eb ON eb.vec_id = c.neighbor AND eb.i = ea.i
+       |  GROUP BY c.q, c.neighbor)
+       |SELECT q, rank, neighbor FROM (
+       |  SELECT q, neighbor, CAST(row_number() OVER (
+       |    PARTITION BY q ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, neighbor) AS INT) AS rank
+       |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
+       |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "td_dedup_exact" -> s"WITH $corpusCte\nSELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text",
@@ -286,39 +337,11 @@ object TrainingDataQueries {
          |WHERE rank <= 5""".stripMargin,
     "td_ann_lsh_bucket" -> s"WITH ${evCte("embeddings")}\n$bucketSql",
     // IVF: deterministic LCG-seeded centroids, max-cosine assignment,
-    // nprobe=4 of nlist=16 lists probed per query
-    "td_ann_ivf" ->
-      s"""WITH ${evCte("embeddings")},
-         |cent AS (SELECT vec_id AS cid FROM embeddings
-         |  ORDER BY ${graft.core.Determinism.lcgDuck("vec_id", 97L)}, vec_id LIMIT 16),
-         |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
-         |cdots AS (
-         |  SELECT a.vec_id, b.vec_id AS cid, SUM(a.x * b.x) AS dot
-         |  FROM ev a JOIN ev b ON b.i = a.i
-         |  WHERE b.vec_id IN (SELECT cid FROM cent)
-         |  GROUP BY a.vec_id, b.vec_id),
-         |csims AS (
-         |  SELECT c.vec_id, c.cid, ROUND(c.dot / (na.nrm * nc.nrm), 6) AS csim
-         |  FROM cdots c JOIN norms na ON na.vec_id = c.vec_id
-         |  JOIN norms nc ON nc.vec_id = c.cid),
-         |assign AS (SELECT vec_id, cid FROM (
-         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-         |  FROM csims) a WHERE rn = 1),
-         |probes AS (SELECT q, cid FROM (
-         |  SELECT vec_id AS q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-         |  FROM csims WHERE vec_id < 10) p WHERE rn <= 4),
-         |cand AS (
-         |  SELECT p.q, a.vec_id AS neighbor FROM probes p
-         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q),
-         |dots AS (
-         |  SELECT c.q, c.neighbor, SUM(ea.x * eb.x) AS dot FROM cand c
-         |  JOIN ev ea ON ea.vec_id = c.q JOIN ev eb ON eb.vec_id = c.neighbor AND eb.i = ea.i
-         |  GROUP BY c.q, c.neighbor)
-         |SELECT q, rank, neighbor FROM (
-         |  SELECT q, neighbor, CAST(row_number() OVER (
-         |    PARTITION BY q ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, neighbor) AS INT) AS rank
-         |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
-         |WHERE rank <= 5""".stripMargin,
+    // nprobe=4 of nlist=16 lists probed per query. The indexed variant is
+    // the SAME search through a TableIO-persisted index — byte-equal by
+    // contract, so one oracle serves both rows.
+    "td_ann_ivf" -> ivfOracleSql,
+    "td_ann_ivf_indexed" -> ivfOracleSql,
     // sessionization: new session iff ts > prev_ts + gap — Spark's
     // session_window merges TOUCHING windows (an event at exactly
     // prev + gap joins the session; verified empirically in

@@ -198,13 +198,24 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 97L,
               lloyd: Int = 0, kassign: Int = 1): DataFrame = {
-    val cents0 = ivfCentroidsLloyd(embeddings, nlist, seed, lloyd)
-    val assign = assignTo(embeddings, cents0, kassign)
-    val cents = broadcast(cents0)
+    val cents = ivfCentroidsLloyd(embeddings, nlist, seed, lloyd)
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    ivfTopKIndexed(embeddings, cents, assignTo(embeddings, cents, kassign),
+      q, k, nprobe)
+  }
+
+  /** IVF search against an EXPLICIT — typically TableIO-PERSISTED — index
+    * (centroids `cents(cid, ce)` + cell assignments `assign(vec_id, cid)`):
+    * the long-running deployment queries and grows the index without ever
+    * recomputing centroids or reassigning the stored corpus. Queries come
+    * as (q, qe) rows, so they need not live in the corpus id space.
+    * `td_ann_ivf_indexed` proves the persisted round trip is byte-equal to
+    * the inline build; AnnIndexSpec proves the append path. */
+  def ivfTopKIndexed(corpus: DataFrame, cents: DataFrame, assign: DataFrame,
+                     queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val probeW = Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))
-    val probes = q.crossJoin(cents)
+    val probes = queries.crossJoin(broadcast(cents))
       .select(col("q"), col("qe"), col("cid"),
         round(cosine(col("qe"), col("ce")), 6).as("csim"))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
@@ -213,13 +224,23 @@ object Ann {
       .join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("q"))
       .dropDuplicates("q", "vec_id") // multi-assignment: candidate met once
-      .join(embeddings, Seq("vec_id"))
+      .join(corpus, Seq("vec_id"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("neighbor"))
     cands.select(col("q"), col("vec_id").as("neighbor"),
         round(cosine(col("qe"), col("embedding")), 6).as("sim"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q"), col("rank"), col("neighbor"))
   }
+
+  /** Index APPEND for corpus growth: assign ONLY the new vectors against
+    * the stored (frozen) centroids — per-vector independent, so
+    * incremental construction equals assigning the full corpus against the
+    * same centroids, and append cost is ∝ increment size. (Centroid drift
+    * under sustained growth is handled the SCD way: periodically re-run
+    * Lloyd offline and swap the index, like the canonical-map refresh.)
+    * Returns the new assignment rows to append to the stored table. */
+  def ivfAppend(cents: DataFrame, newVectors: DataFrame, kassign: Int = 1): DataFrame =
+    assignTo(newVectors, cents, kassign)
 
   /** near-duplicate vector pairs: same key in ANY band, cosine-verified ≥
     * threshold. (a, b, sim) with a < b. Candidate generation is the banded
