@@ -275,7 +275,7 @@ object CurationQueries {
       """ranked AS (
         |  SELECT doc_id, host,
         |    ROW_NUMBER() OVER (PARTITION BY host
-        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY host) AS n
         |  FROM norm)
         |SELECT doc_id, host FROM ranked WHERE n <= 100 OR rn <= 100""".stripMargin),
@@ -303,19 +303,19 @@ object CurationQueries {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY source) AS n
         |  FROM documents) r
         |WHERE n <= 10 OR rn <= 10""".stripMargin,
 
     "td_mix_sample" -> (s"WITH $ratesCte\n" +
       "SELECT d.doc_id, d.source, r.keep_per_mille FROM documents d JOIN rates r USING (source)\n" +
-      "WHERE ((d.doc_id * 2654435761) % 2147483647) % 1000 < r.keep_per_mille"),
+      "WHERE (((d.doc_id % 2147483647) * 2654435761) % 2147483647) % 1000 < r.keep_per_mille"),
 
     "td_split" ->
       """SELECT doc_id,
-        |  CASE WHEN ((doc_id * 2654435761) % 2147483647) % 1000 < 100 THEN 'validation'
-        |       WHEN ((doc_id * 2654435761) % 2147483647) % 1000 < 200 THEN 'test'
+        |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 1000 < 100 THEN 'validation'
+        |       WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 1000 < 200 THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
 

@@ -47,8 +47,13 @@ object Classifier {
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
       .select(col("gram"),
-        when(col("cp") * nn > col("cn") * np, 1L)
-          .when(col("cp") * nn < col("cn") * np, -1L)
+        // cross-multiplied in DECIMAL(38,0): a raw int64 product cp·nn
+        // overflows (ANSI: throws) once class totals reach the ~1e9×1e9
+        // range a weak-labeled web corpus hits; decimal(19,0)² → (38,0)
+        // stays exact. Identical comparisons at any tested scale; the
+        // oracle side is already exact (DuckDB promotes to HUGEINT).
+        when(col("cp").cast("decimal(19,0)") * nn > col("cn").cast("decimal(19,0)") * np, 1L)
+          .when(col("cp").cast("decimal(19,0)") * nn < col("cn").cast("decimal(19,0)") * np, -1L)
           .otherwise(0L).as("vote"))
   }
 

@@ -163,9 +163,14 @@ object Curation {
 
   /** Multiplicative-hash bucket in [0, 1000): pure integer arithmetic so
     * engine and oracle agree bit-for-bit (Knuth multiplicative constant,
-    * modulo a Mersenne prime). */
+    * modulo a Mersenne prime). The id is pre-reduced mod M before the
+    * multiply — same trick as [[graft.core.Determinism.lcg]] — so the
+    * product stays inside int64 for ANY id: a raw `id * K` overflows (and
+    * under ANSI semantics THROWS) once ids pass ~3.5e9, i.e. exactly the
+    * 10^12-doc id range this operator is for. Identical output for
+    * ids < M, so small-scale results and the oracle dialect are unchanged. */
   def hashBucket(id: Column): Column =
-    ((id * lit(2654435761L)) % lit(2147483647L)) % lit(1000L)
+    (((id % lit(2147483647L)) * lit(2654435761L)) % lit(2147483647L)) % lit(1000L)
 
   /** Deterministic training-mixture sampling: each source is down-sampled
     * to `rate` (in thousandths) by keeping rows whose id hash-bucket falls
@@ -181,7 +186,7 @@ object Curation {
   /** Full-range deterministic rank hash (the [0,1000) bucket quantized for
     * rate filters is too collision-heavy to ORDER by). */
   def rankHash(id: Column): Column =
-    (id * lit(2654435761L)) % lit(2147483647L)
+    ((id % lit(2147483647L)) * lit(2654435761L)) % lit(2147483647L)
 
   /** Exact top-`cap` per group by deterministic hash rank — ONE operator
     * behind two standard curation moves: per-DOMAIN capping (the

@@ -218,7 +218,7 @@ class CurationSpec extends SparkSpec {
     assert(byGroup("small") === Set(100L, 101L, 102L)) // under cap: untouched
     // selection = the 10 smallest (rankHash, id) keys — recompute driver-side
     val expectBig = (0L until 40L)
-      .sortBy(i => ((i * 2654435761L) % 2147483647L, i)).take(10).toSet
+      .sortBy(i => (((i % 2147483647L) * 2654435761L) % 2147483647L, i)).take(10).toSet
     assert(byGroup("big") === expectBig)
     // deterministic across partitionings
     val again = Curation.capPerGroup(docs.repartition(7), cap = 10, groupCol = "group")
@@ -230,5 +230,26 @@ class CurationSpec extends SparkSpec {
     val docs = (0L until 5L).map(i => (i, "g")).toDF("doc_id", "group")
     val kept = Curation.capPerGroup(docs, cap = 5, groupCol = "group")
     assert(kept.count() === 5L)
+  }
+
+  test("hash keys survive 10^12-range ids (no ANSI int64 overflow)") {
+    // a raw id * 2654435761 multiply overflows int64 (and, under Spark's
+    // default ANSI mode, THROWS) once ids pass ~3.5e9 — exactly the id
+    // range of the 10^12-doc corpus these operators target. The pre-mod
+    // form must (a) not throw and (b) agree with exact BigInt arithmetic.
+    val ids = Seq(0L, 1L, 2147483646L, 2147483647L, 3500000000L,
+      1000000000000L, Long.MaxValue / 2, Long.MaxValue)
+    val out = ids.toDF("doc_id")
+      .select(col("doc_id"), Curation.hashBucket(col("doc_id")).as("b"),
+        Curation.rankHash(col("doc_id")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    ids.foreach { i =>
+      val m = BigInt(2147483647L)
+      val exp = (BigInt(i) % m) * BigInt(2654435761L) % m
+      assert(out(i) === (((exp % 1000).toLong, exp.toLong)), s"id $i")
+    }
+    // and the split/mix operators built on it run end-to-end at that range
+    val split = Curation.splitAssign(ids.toDF("doc_id")).collect()
+    assert(split.length === ids.size)
   }
 }
