@@ -134,20 +134,30 @@ final class WalkSampler(
     def stallThreshold: Long = math.max(1L,
       math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    val outEnc = Encoders.product[StepOut]
-    // Per-step wall is a ~2 s FLOOR from the sequential broadcast-job
-    // chain (frontier broadcast → picks → dead-end anti → teleport
-    // broadcast → collect), not data volume: WalkProbe measured it
+    val pickEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    // Per-step wall is dominated by a scheduling FLOOR (sequential jobs ×
+    // local-mode job latency), not data volume: WalkProbe measured it
     // invariant under shuffle width (32 → 8), AQE on/off, and across
-    // passes (so not codegen compilation either). It amortizes at scale —
-    // the data-proportional work per step is the single cached-table scan.
+    // passes (so not codegen compilation either). The loop therefore runs
+    // the MINIMUM job chain: ONE picks job per step (the only scan of the
+    // cached neighbor table) plus one tiny teleport join only on steps
+    // where some walker jumped or dead-ended. The former shape — a
+    // dead-end anti-join against broadcast(picks) feeding the teleport
+    // union — evaluated the picks subtree (cached-table scan + window
+    // sort) TWICE per step, sequentially, because the anti-join's pruned
+    // broadcast subtree cannot reuse the output branch's exchange. Dead
+    // ends need no join at all: a walker teleports iff it produced no
+    // pick (jumpers are filtered out of `stepping` before the join; a
+    // stepping walker with any candidate always picks — both pick rules
+    // select rn = 1, which exists whenever candidates do), so the
+    // teleporter set is frontier ∖ picked, derived on the driver from the
+    // ≤|walkers| collected rows. It amortizes at scale — the
+    // data-proportional work per step is the single cached-table scan.
     val tLoop = System.nanoTime()
 
     while (firstVisit.size < n && step < maxSteps) {
       step += 1
-      // broadcast hints are scoped to the joins that support them below
-      // (hinting the whole frontier here propagated to the LEFT side of the
-      // dead-end anti join, where build-left is unsupported — log spam)
       val f = spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur")
 
       val jumpCol = jumpProb match {
@@ -155,7 +165,6 @@ final class WalkSampler(
         case None => lit(false)
       }
       val stepping = f.filter(!jumpCol)
-      val jumping = f.filter(jumpCol)
 
       val cand = broadcast(stepping).join(nbrs, stepping("cur") === nbrs("src"))
         .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
@@ -182,22 +191,31 @@ final class WalkSampler(
             .select(col("walker"), col("src"), col("pred"), col("dst"))
         }
 
-      // dead ends (no outgoing edge) + jumpers teleport, recording no edge
-      val deadEnds = stepping.join(broadcast(picks.select("walker")), Seq("walker"), "left_anti")
-      val teleporters = jumping.select("walker", "cur").unionAll(deadEnds.select("walker", "cur"))
-      val allowed = tierCum(esc)
-      val teleports = broadcast(teleporters
-        .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
-          lit(allowed)) + 1))
-        .join(nodesIdx.select("id", "trn"), Seq("trn"))
-        .select(col("walker"), col("id").as("cur"))
+      // the step's ONE data-bearing job: ≤ |walkers| pick rows
+      val pickRows = picks.select(col("walker"), col("src"), col("pred"), col("dst"))
+        .as[(Long, String, String, String)](pickEnc).collect()
+      val pickedW = pickRows.iterator.map(_._1).toSet
 
-      val stepOut = picks.select(col("walker"), col("dst").as("next"),
-          col("src"), col("pred"), col("dst"), lit(true).as("viaEdge"))
-        .unionAll(teleports.select(col("walker"), col("cur").as("next"),
-          lit("").as("src"), lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
-        .as[StepOut](outEnc)
-        .collect()            // ≤ |walkers| rows — the only action per step
+      // dead ends (no outgoing edge) + jumpers teleport, recording no
+      // edge: exactly the frontier walkers that produced no pick. Their
+      // landing node is still drawn IN Spark (same detHash → rank-join
+      // against the cached node index as before — no driver-side hash
+      // mirror to drift), but only on steps that have any teleporter.
+      val teleporters = frontier.filterNot { case (w, _) => pickedW(w) }
+      val teleRows: Array[(Long, String)] =
+        if (teleporters.isEmpty) Array.empty
+        else {
+          val allowed = tierCum(esc)
+          val tdf = spark.createDataset(teleporters)(tupleEnc).toDF("walker", "cur")
+            .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
+              lit(allowed)) + 1)
+          broadcast(tdf).join(nodesIdx.select("id", "trn"), Seq("trn"))
+            .select(col("walker"), col("id"))
+            .as[(Long, String)](tupleEnc).collect()
+        }
+
+      val stepOut = (pickRows.map { case (w, s, p, d) => StepOut(w, d, s, p, d, viaEdge = true) } ++
+        teleRows.map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) })
         .sortBy(_.walker)
 
       frontier = stepOut.map(o => (o.walker, o.next)).toSeq
