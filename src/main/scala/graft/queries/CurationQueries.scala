@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Classifier, Curation, TextOps}
+import graft.text.{Classifier, Curation, Lm, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,7 +104,24 @@ object CurationQueries {
     "td_dup_spans" -> ((s, d) =>
       Curation.dupSpans(TrainingDataQueries.corpus(s, d), k = 8)),
     "td_dup_frac" -> ((s, d) =>
-      Curation.dupSpanFraction(TrainingDataQueries.corpus(s, d), k = 8))
+      Curation.dupSpanFraction(TrainingDataQueries.corpus(s, d), k = 8)),
+    // CCNet-style LM quality scoring, trained in-engine: Laplace bigram
+    // model over the corpus's own English slice (the trusted-reference
+    // stand-in), every doc scored by per-bigram cross-entropy under it
+    "td_lm_xent" -> ((s, d) => {
+      val base = docs(s, d)
+      Lm.crossEntropy(base, Lm.trainBigram(base.filter(col("lang") === "en")))
+    }),
+    // vocabulary induction: exact corpus-wide top-k unigrams with a
+    // total-order tie-break (count desc, token asc) — TakeOrdered, i.e.
+    // per-partition top-k merged on the driver, never a global sort.
+    // k = 20 < the fixture's 31-token vocabulary, so the cut (and the
+    // tie-break at its boundary) is binding at every tested sf
+    "td_vocab_topk" -> ((s, d) =>
+      Curation.wordNgramsAll(docs(s, d), 1)
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20))
   )
 
   /** Composite C4/Gopher-style retention pipeline over the dup-planted
@@ -335,6 +352,31 @@ object CurationQueries {
         |  FROM (SELECT doc_id, source,
         |          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |        FROM documents) t) c""".stripMargin,
+
+    "td_lm_xent" ->
+      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |rg2 AS (${Curation.wordNgramsSql("ref", 2)}),
+         |rb AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+         |         COUNT(*) AS cnt FROM rg2 GROUP BY 1, 2),
+         |rcx AS (SELECT w1, SUM(cnt) AS ctx FROM rb GROUP BY w1),
+         |rg1 AS (${Curation.wordNgramsSql("ref", 1)}),
+         |voc AS (SELECT COUNT(DISTINCT gram) + 1 AS v FROM rg1),
+         |dg2 AS (${Curation.wordNgramsSql("documents", 2)}),
+         |ds AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1,
+         |         string_split(gram, ' ')[2] AS w2 FROM dg2),
+         |sc AS (SELECT ds.doc_id, COUNT(*) AS n_bigrams,
+         |         SUM(ln(CAST(COALESCE(rb.cnt, 0) + 1 AS DOUBLE)
+         |           / CAST(COALESCE(rcx.ctx, 0) + voc.v AS DOUBLE))) AS s
+         |       FROM ds LEFT JOIN rb USING (w1, w2) LEFT JOIN rcx USING (w1)
+         |       CROSS JOIN voc GROUP BY ds.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  ROUND(COALESCE(-sc.s / sc.n_bigrams, 0.0), 4) AS xent
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "td_vocab_topk" ->
+      s"""WITH g1 AS (${Curation.wordNgramsSql("documents", 1)})
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g1
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
 
     "td_curation_filter" -> (s"WITH $corpusCte,\n${decontamBody("corpus")},\n$repBody\n" +
       """SELECT c.doc_id FROM corpus c
