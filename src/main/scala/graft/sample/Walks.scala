@@ -134,26 +134,27 @@ final class WalkSampler(
     def stallThreshold: Long = math.max(1L,
       math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    val pickEnc = Encoders.tuple(
-      Encoders.scalaLong, Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    val outEnc = Encoders.product[StepOut]
     // Per-step wall is dominated by a scheduling FLOOR (sequential jobs ×
     // local-mode job latency), not data volume: WalkProbe measured it
     // invariant under shuffle width (32 → 8), AQE on/off, and across
     // passes (so not codegen compilation either). The loop therefore runs
-    // the MINIMUM job chain: ONE picks job per step (the only scan of the
-    // cached neighbor table) plus one tiny teleport join only on steps
-    // where some walker jumped or dead-ended. The former shape — a
-    // dead-end anti-join against broadcast(picks) feeding the teleport
-    // union — evaluated the picks subtree (cached-table scan + window
-    // sort) TWICE per step, sequentially, because the anti-join's pruned
-    // broadcast subtree cannot reuse the output branch's exchange. Dead
-    // ends need no join at all: a walker teleports iff it produced no
-    // pick (jumpers are filtered out of `stepping` before the join; a
-    // stepping walker with any candidate always picks — both pick rules
-    // select rn = 1, which exists whenever candidates do), so the
-    // teleporter set is frontier ∖ picked, derived on the driver from the
-    // ≤|walkers| collected rows. It amortizes at scale — the
-    // data-proportional work per step is the single cached-table scan.
+    // the MINIMUM job chain: ONE job per step — picks unioned with the
+    // JUMPER teleports, which are known in-plan (the Bernoulli jump column
+    // is a pure function of (seed, step, walker); with jumpProb=None the
+    // jump branch constant-folds to an empty relation and vanishes) — plus
+    // one tiny teleport join only on steps where a walker DEAD-ENDED. The
+    // former shape anti-joined the frontier against broadcast(picks) to
+    // find dead ends, which evaluated the picks subtree (cached-table
+    // scan + window sort) TWICE per step, sequentially, because the
+    // anti-join's pruned broadcast subtree cannot reuse the output
+    // branch's exchange. Dead ends need no join at all: a walker dead-ends
+    // iff it neither jumped nor produced a pick (a stepping walker with
+    // any candidate always picks — both pick rules select rn = 1, which
+    // exists whenever candidates do), so the dead-end set is frontier ∖
+    // collected, derived on the driver from the ≤|walkers| rows of the
+    // step job. It amortizes at scale — the data-proportional work per
+    // step is the single cached-table scan.
     val tLoop = System.nanoTime()
 
     while (firstVisit.size < n && step < maxSteps) {
@@ -165,6 +166,7 @@ final class WalkSampler(
         case None => lit(false)
       }
       val stepping = f.filter(!jumpCol)
+      val jumping = f.filter(jumpCol)
 
       val cand = broadcast(stepping).join(nbrs, stepping("cur") === nbrs("src"))
         .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
@@ -191,32 +193,44 @@ final class WalkSampler(
             .select(col("walker"), col("src"), col("pred"), col("dst"))
         }
 
-      // the step's ONE data-bearing job: ≤ |walkers| pick rows
-      val pickRows = picks.select(col("walker"), col("src"), col("pred"), col("dst"))
-        .as[(Long, String, String, String)](pickEnc).collect()
-      val pickedW = pickRows.iterator.map(_._1).toSet
+      // jumpers teleport in the SAME job as the picks: their landing rank
+      // is a pure column of (seed, step, walker), so the rank-join against
+      // the cached node index rides the union (teleports record no edge)
+      val allowed = tierCum(esc)
+      val teleRank = pmod(Determinism.detHash(seed + 11 * step, col("walker")),
+        lit(allowed)) + 1
+      val jumpTele = broadcast(jumping.withColumn("trn", teleRank))
+        .join(nodesIdx.select("id", "trn"), Seq("trn"))
+        .select(col("walker"), col("id").as("next"), lit("").as("src"),
+          lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge"))
 
-      // dead ends (no outgoing edge) + jumpers teleport, recording no
-      // edge: exactly the frontier walkers that produced no pick. Their
-      // landing node is still drawn IN Spark (same detHash → rank-join
-      // against the cached node index as before — no driver-side hash
-      // mirror to drift), but only on steps that have any teleporter.
-      val teleporters = frontier.filterNot { case (w, _) => pickedW(w) }
-      val teleRows: Array[(Long, String)] =
-        if (teleporters.isEmpty) Array.empty
+      // the step's ONE data-bearing job: ≤ |walkers| rows
+      val firstRows = picks
+        .select(col("walker"), col("dst").as("next"), col("src"), col("pred"),
+          col("dst"), lit(true).as("viaEdge"))
+        .unionAll(jumpTele)
+        .as[StepOut](outEnc).collect()
+      val resolved = firstRows.iterator.map(_.walker).toSet
+
+      // dead ends (no outgoing edge) teleport too, recording no edge:
+      // exactly the frontier walkers still unresolved — neither jumped nor
+      // picked. Their landing is drawn IN Spark with the SAME rank formula
+      // (jumpers and dead-ends are disjoint walker sets, so the shared
+      // (seed + 11·step, walker) key never collides), but the job only
+      // exists on steps that have any dead end.
+      val deadEnds = frontier.filterNot { case (w, _) => resolved(w) }
+      val deadRows: Array[StepOut] =
+        if (deadEnds.isEmpty) Array.empty
         else {
-          val allowed = tierCum(esc)
-          val tdf = spark.createDataset(teleporters)(tupleEnc).toDF("walker", "cur")
-            .withColumn("trn", pmod(Determinism.detHash(seed + 11 * step, col("walker")),
-              lit(allowed)) + 1)
-          broadcast(tdf).join(nodesIdx.select("id", "trn"), Seq("trn"))
+          val tdf = spark.createDataset(deadEnds)(tupleEnc).toDF("walker", "cur")
+          broadcast(tdf.withColumn("trn", teleRank))
+            .join(nodesIdx.select("id", "trn"), Seq("trn"))
             .select(col("walker"), col("id"))
             .as[(Long, String)](tupleEnc).collect()
+            .map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) }
         }
 
-      val stepOut = (pickRows.map { case (w, s, p, d) => StepOut(w, d, s, p, d, viaEdge = true) } ++
-        teleRows.map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) })
-        .sortBy(_.walker)
+      val stepOut = (firstRows ++ deadRows).sortBy(_.walker)
 
       frontier = stepOut.map(o => (o.walker, o.next)).toSeq
       stepOut.foreach { o =>
