@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KgQueries.queries ++ CeQueries.queries ++ PipelineQueries.queries ++
       TrainingDataQueries.queries ++ CurationQueries.queries ++
-      SamplerQueries.queries ++ AccessorQueries.queries
+      BpeQueries.queries ++ SamplerQueries.queries ++ AccessorQueries.queries
 
   def oracleSql: Map[String, String] =
     KgQueries.oracleSql ++ CeQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TrainingDataQueries.oracleSql ++ CurationQueries.oracleSql ++
-      SamplerQueries.oracleSql ++ AccessorQueries.oracleSql
+      BpeQueries.oracleSql ++ SamplerQueries.oracleSql ++ AccessorQueries.oracleSql
 }
