@@ -137,7 +137,12 @@ object Bench {
       "td_curation" -> (s => graft.queries.CurationQueries
         .curationFilter(s, sfDir).count()),
       "td_sessionize" -> (s => graft.streaming.Sessions.sessionize(
-        s.read.parquet(s"$sfDir/events.parquet"), 30).count()))
+        s.read.parquet(s"$sfDir/events.parquet"), 30).count()),
+      // BPE train: one corpus-scale word-count pass + 8 vocabulary-scale
+      // merge iterations — the iteration cost is the driver-loop job floor,
+      // the data-proportional cost is the single corpus pass
+      "td_bpe_train8" -> (s => graft.text.Bpe
+        .train(s.read.parquet(s"$sfDir/documents.parquet"), 8).merges.size.toLong))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.ParquetTableIO
+import graft.pipeline.{KgPipeline, Lineage, Materialize}
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The deployment entry point the north rule names: the full KG
+  * construction pipeline (pages → extract → mentions → link → triples →
+  * materialized store) as one spark-submit job.
+  *
+  *   spark-submit --class graft.RunKg <jar> <dataDir> <storeDir> <ckDir>
+  *
+  * - `dataDir`: directory holding the web-page source (`documents.parquet`
+  *   per the input-table contract — see [[graft.pipeline.Pages]]).
+  * - `storeDir`: the materialized graph store (TableIO root). The landing
+  *   step is [[Materialize.merge]], so a re-run — crash replay, scheduler
+  *   retry, the same crawl segment submitted twice — appends NOTHING: the
+  *   run is idempotent end to end, not just per stage.
+  * - `ckDir`: per-stage checkpoints + lineage ([[Lineage.stage]]); a killed
+  *   run resumes from the last completed stage.
+  *
+  * Cluster topology (master, executor count/size) comes from spark-submit —
+  * the builder sets no master when one is already configured. A bare JVM
+  * run (tests, sandbox) falls back to local[SPARK_GRAFT_CPUS]. The final
+  * stdout line is one JSON object with per-stage lineage row counts, the
+  * merge delta, and final store sizes — the metrics surface a scheduler
+  * scrapes.
+  */
+object RunKg {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: RunKg <dataDir> <storeDir> <checkpointDir>")
+    val Array(dataDir, storeDir, ckDir) = args
+
+    val preexisting = SparkSession.getDefaultSession.nonEmpty
+    val builder = SparkSession.builder().config("spark.sql.session.timeZone", "UTC")
+    val spark =
+      if (preexisting || new SparkConf(true).contains("spark.master"))
+        builder.getOrCreate()
+      else {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+        builder.master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+      }
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val triples = KgPipeline.run(spark, dataDir, ckDir)
+      val stats = Materialize.merge(new ParquetTableIO(spark, storeDir), "kg", triples)
+      println(summaryJson(spark, storeDir, ckDir, stats))
+    } finally if (!preexisting) spark.stop()
+  }
+
+  /** one JSON line: lineage rows per stage, merge delta, store totals */
+  def summaryJson(spark: SparkSession, storeDir: String, ckDir: String,
+                  stats: Materialize.MergeStats): String = {
+    val io = new ParquetTableIO(spark, storeDir)
+    val stageRows = Lineage.read(spark, ckDir)
+      .groupBy("stage").agg(sum(col("rows")).as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stages = KgPipeline.stages
+      .map(s => s""""$s": ${stageRows.getOrElse(s, 0L)}""").mkString("{", ", ", "}")
+    s"""{"stages": $stages, "new_edges": ${stats.newEdges}, "new_nodes": ${stats.newNodes}, """ +
+      s""""store_edges": ${io.read("kg/edges").count()}, "store_nodes": ${io.read("kg/nodes").count()}}"""
+  }
+}

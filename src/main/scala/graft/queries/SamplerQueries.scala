@@ -43,6 +43,26 @@ object SamplerQueries {
       rnSampler(s, d, lpc = false).sample(50, 0.5).attrs
         .groupBy("node").agg(count(lit(1)).as("n_attrs"))),
     "smp_invariants" -> ((s, d) => invariants(s, d)),
+    // Sampler-quality surface (the sampling literature's standard check,
+    // e.g. Leskovec & Faloutsos KDD'06: how well a sample preserves the
+    // degree distribution): total-degree histogram of the induced sampled
+    // subgraph joined against the original's, one row per degree. Exactly
+    // reproducible because RandomNode's node set is SQL-portable. Two
+    // keyed aggregations per side — scales like a groupBy.
+    "smp_rn_degdist" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val sampled = rnSampler(s, d, lpc = false).sample(500)
+      def hist(edges: DataFrame) = edges
+        .select(col("src").as("id")).unionAll(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n"))
+      hist(kb.edges).withColumnRenamed("n", "n_orig")
+        .join(hist(sampled.edges).withColumnRenamed("n", "n_sample"),
+          Seq("deg"), "full_outer")
+        .select(col("deg"),
+          coalesce(col("n_orig"), lit(0L)).as("n_orig"),
+          coalesce(col("n_sample"), lit(0L)).as("n_sample"))
+    }),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -140,6 +160,23 @@ object SamplerQueries {
          |  GROUP BY n.id)
          |SELECT n.id FROM nodesk n JOIN tiers t ON t.id = n.id
          |ORDER BY t.tier, $lcgOrder, n.id LIMIT 50""".stripMargin, inCte = true),
+    "smp_rn_degdist" -> TpchKgSql.withKg(
+      s"""sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |se AS (SELECT src, pred, dst FROM edges
+         |       WHERE src IN (SELECT id FROM sample) AND dst IN (SELECT id FROM sample)),
+         |ho AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_orig FROM (
+         |         SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |           SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u
+         |         GROUP BY id) d GROUP BY deg),
+         |hs AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_sample FROM (
+         |         SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |           SELECT src AS id FROM se UNION ALL SELECT dst FROM se) u
+         |         GROUP BY id) d GROUP BY deg)
+         |SELECT COALESCE(ho.deg, hs.deg) AS deg,
+         |       COALESCE(n_orig, 0) AS n_orig,
+         |       COALESCE(n_sample, 0) AS n_sample
+         |FROM ho FULL OUTER JOIN hs ON ho.deg = hs.deg""".stripMargin,
+      inCte = true),
     "smp_rn_dpp_counts" -> TpchKgSql.withKg(
       s"""$sampleCte
          |SELECT node, n - CAST(FLOOR(0.5 * n) AS BIGINT) AS n_attrs FROM (
