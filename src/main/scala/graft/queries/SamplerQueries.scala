@@ -63,6 +63,14 @@ object SamplerQueries {
           coalesce(col("n_orig"), lit(0L)).as("n_orig"),
           coalesce(col("n_sample"), lit(0L)).as("n_sample"))
     }),
+    // DeepWalk corpus generation over the KG: 2 truncated walks of length 5
+    // from each of the 500 LCG-selected start nodes, every pick replayed by
+    // the oracle via the shared md5 hash (sample CTE = the smp_rn order)
+    "smp_deepwalk_corpus" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
+      DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed)
+    }),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -189,6 +197,10 @@ object SamplerQueries {
         graft.sample.Samplers.allNames
           .map(n => s"  ('$n', TRUE, TRUE, TRUE)").mkString(",\n") +
         "\n) t(sampler, count_ok, lp_ok, edges_ok)"),
+    "smp_deepwalk_corpus" -> TpchKgSql.withKg(
+      s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)}
+         |${DeepWalk.oracleSelect(steps = 5)}""".stripMargin, inCte = true),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
 }

@@ -1,0 +1,99 @@
+package graft.sample
+
+import graft.core.Kb
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fully-distributed random-walk corpus generation — the DeepWalk /
+  * node2vec preprocessing step (Perozzi et al. KDD 2014): `reps` truncated
+  * random walks of length `steps` from each start node, emitted as
+  * (walk_id, step, node) rows for a downstream skip-gram trainer.
+  *
+  * This is the north star's "iterative frontier-expansion join" shape with
+  * ZERO driver-side walk state — the complement of [[WalkSampler]], whose
+  * driver-resident positions/first-visit bookkeeping is deliberate
+  * (sequential-reference parity, B ≤ dozens of walkers). Here the frontier
+  * is |starts|·reps rows (≥ |V| in a full DeepWalk run), so every step is
+  * two distributed operators:
+  *
+  *   1. frontier ⋈ edges on cur = src — the only data-proportional cost;
+  *      hub-node skew on `src` is AQE-skew-splittable (the candidate
+  *      explosion is on the EDGE side, keyed by the frontier row's cur).
+  *   2. per-walk pick via `min(struct(h, pred, dst))` — a hash AGGREGATE
+  *      with map-side partial combine, not a window: the candidate stream
+  *      shrinks before the exchange and nothing ever sorts a partition.
+  *
+  * The pick hash is md5 over (seed, step, walk_id, pred, dst) — a pure
+  * function of data + seed (byte-identical at any parallelism, any resume)
+  * AND portable SQL (DuckDB's md5 produces the same hex string, so the
+  * oracle replays every pick exactly; xxhash64 has no DuckDB mirror —
+  * see [[graft.core.Determinism]]).
+  *
+  * Dead-end walks terminate (no row at later steps). Lineage is truncated
+  * with localCheckpoint every [[CheckpointEvery]] steps — walk length 40
+  * (the DeepWalk paper's default) must not build a 40-join plan.
+  */
+object DeepWalk {
+
+  val CheckpointEvery = 8
+
+  /** seeded portable pick hash for one step */
+  private def pickHash(seed: Long, step: Int) =
+    md5(concat_ws("|", lit(seed), lit(step), col("walk_id"), col("pred"), col("dst"))
+      .cast("binary"))
+
+  /** `starts`: one `id` column. Returns (walk_id, step, node), step 0 = the
+    * start node; a dead-ended walk simply has no rows past its last step. */
+  def corpus(kb: Kb, starts: DataFrame, reps: Int = 2, steps: Int = 5,
+             seed: Long = 42L): DataFrame = {
+    require(reps >= 1 && steps >= 0, s"reps=$reps steps=$steps")
+    val edges = kb.edges.select(col("src"), col("pred"), col("dst"))
+    var state = starts
+      .join(broadcast(kb.spark.range(0, reps).withColumnRenamed("id", "r")))
+      .select(concat(col("id"), lit("#"), col("r").cast("string")).as("walk_id"),
+        col("id").as("cur"))
+    var out = state.select(col("walk_id"), lit(0).as("step"), col("cur").as("node"))
+    var i = 1
+    while (i <= steps) {
+      val cand = state.join(edges, state("cur") === edges("src"))
+      state = cand
+        .groupBy(col("walk_id"))
+        .agg(min(struct(pickHash(seed, i).as("h"), col("pred"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("cur"))
+      if (i % CheckpointEvery == 0) state = state.localCheckpoint(true)
+      out = out.unionAll(
+        state.select(col("walk_id"), lit(i).as("step"), col("cur").as("node")))
+      i += 1
+    }
+    out
+  }
+
+  /** DuckDB replay over CTEs `edges` and `starts(id)`: the same per-step
+    * join and the same md5 pick (expressed as a ROW_NUMBER window — the
+    * oracle mirrors semantics, not the operator; min-of-struct and
+    * rn=1-over-the-same-order are the same total-order choice). Emitted as
+    * chained MATERIALIZED CTEs ending with per-step `s0..s$steps`. */
+  def oracleCtes(reps: Int, steps: Int, seed: Long): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.walk_id, e.pred, e.dst,
+         |         md5('$seed|$i|' || s.walk_id || '|' || e.pred || '|' || e.dst) AS h
+         |  FROM s${i - 1} s JOIN edges e ON e.src = s.cur),
+         |s$i AS MATERIALIZED (
+         |  SELECT walk_id, dst AS cur FROM (
+         |    SELECT walk_id, dst,
+         |           ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY h, pred, dst) AS rn
+         |    FROM c$i) r WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""s0 AS MATERIALIZED (
+       |  SELECT id || '#' || CAST(g.r AS VARCHAR) AS walk_id, id AS cur
+       |  FROM starts CROSS JOIN generate_series(0, ${reps - 1}) g(r)),
+       |$stepCtes""".stripMargin
+  }
+
+  /** the oracle's final SELECT: all steps unioned as (walk_id, step, node) */
+  def oracleSelect(steps: Int): String =
+    (0 to steps)
+      .map(i => s"SELECT walk_id, CAST($i AS INT) AS step, cur AS node FROM s$i")
+      .mkString("\nUNION ALL\n")
+}
