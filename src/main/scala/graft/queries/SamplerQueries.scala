@@ -71,6 +71,14 @@ object SamplerQueries {
       val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
       DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed)
     }),
+    // skip-gram (center, context, cnt) pairs within ±2 steps over the same
+    // walk corpus — the word2vec-style KG-embedding training input
+    "smp_skipgram_pairs" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
+      DeepWalk.skipGramPairs(
+        DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed), window = 2)
+    }),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -201,6 +209,15 @@ object SamplerQueries {
       s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
          |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)}
          |${DeepWalk.oracleSelect(steps = 5)}""".stripMargin, inCte = true),
+    "smp_skipgram_pairs" -> TpchKgSql.withKg(
+      s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)},
+         |corpus AS MATERIALIZED (
+         |${DeepWalk.oracleSelect(steps = 5)})
+         |SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM corpus a JOIN corpus b
+         |  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin, inCte = true),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
 }

@@ -68,6 +68,23 @@ object DeepWalk {
     out
   }
 
+  /** Skip-gram training pairs from a walk corpus: every (center, context)
+    * co-occurrence within ±`window` steps of the same walk, with its count
+    * — the input of a word2vec-style KG-embedding trainer. One
+    * walk_id-keyed self-join (co-partitioned: both sides shuffle on the
+    * same key once) + a map-side-combinable count aggregate; per-walk
+    * fan-out is bounded by walkLength·2window, so the join never squares
+    * anything corpus-sized. */
+  def skipGramPairs(corpus: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window=$window")
+    corpus.as("a").join(corpus.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("b.step") =!= col("a.step") &&
+          abs(col("b.step") - col("a.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** DuckDB replay over CTEs `edges` and `starts(id)`: the same per-step
     * join and the same md5 pick (expressed as a ROW_NUMBER window — the
     * oracle mirrors semantics, not the operator; min-of-struct and

@@ -80,6 +80,28 @@ class DeepWalkSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("skip-gram pairs: hand-checked counts and symmetry") {
+    // one fixed 3-step path per walk: chain a→b→c→d (deterministic: single
+    // out-edge everywhere)
+    val edges = Seq(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"))
+    val kb = tinyKb(edges)
+    val corpus = DeepWalk.corpus(kb, Seq("a").toDF("id"), reps = 1, steps = 3, seed = 1L)
+    val pairs = DeepWalk.skipGramPairs(corpus, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // walk = a b c d; window 2: a sees b,c; b sees a,c,d; c sees a,b,d; d sees b,c
+    val expected = Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "a") -> 1L, ("c", "b") -> 1L, ("c", "d") -> 1L,
+      ("d", "b") -> 1L, ("d", "c") -> 1L)
+    assert(pairs === expected)
+    // symmetry holds on any corpus: |step diff| is symmetric in (a, b)
+    val big = DeepWalk.skipGramPairs(
+      DeepWalk.corpus(HepatitisLikeKb.kb(s), Seq("p1", "p2", "p3").toDF("id"),
+        reps = 2, steps = 5, seed = 42L), window = 2)
+    val m = big.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    m.foreach { case ((c, x), n) => assert(m(x -> c) === n, s"asym $c/$x") }
+  }
+
   test("determinism across partitionings") {
     val kb = HepatitisLikeKb.kb(s)
     val starts = kb.nodes.orderBy(col("id")).limit(10)
