@@ -71,6 +71,14 @@ object SamplerQueries {
       val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
       DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed)
     }),
+    // node2vec second-order biased walks (return/in-out weights 1/4/16),
+    // every integer-inverse-CDF pick replayed by the oracle
+    "smp_node2vec_corpus" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
+      Node2Vec.corpus(kb, starts, reps = 2, steps = 5,
+        wReturn = 1, wNear = 4, wFar = 16, seed = Seed)
+    }),
     // skip-gram (center, context, cnt) pairs within ±2 steps over the same
     // walk corpus — the word2vec-style KG-embedding training input
     "smp_skipgram_pairs" -> ((s, d) => {
@@ -209,6 +217,10 @@ object SamplerQueries {
       s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
          |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)}
          |${DeepWalk.oracleSelect(steps = 5)}""".stripMargin, inCte = true),
+    "smp_node2vec_corpus" -> TpchKgSql.withKg(
+      s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |${Node2Vec.oracleCtes(reps = 2, steps = 5, wReturn = 1, wNear = 4, wFar = 16, seed = Seed)}
+         |${Node2Vec.oracleSelect(steps = 5)}""".stripMargin, inCte = true),
     "smp_skipgram_pairs" -> TpchKgSql.withKg(
       s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
          |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)},
