@@ -17,9 +17,49 @@ object KgQueries {
     "kg_abox_triples" -> ((s, d) => TpchKg.load(s, d).aboxTriples),
     "kg_tbox_triples" -> ((s, d) => TpchKg.load(s, d).tboxTriples),
     "kg_triples" -> ((s, d) => TpchKg.load(s, d).triples),
-    "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression))
+    "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression),
+    // graph-analytics metrics over the co-purchase projection (parts
+    // sharing an order): exact distributed triangle counting with
+    // degree-ordered orientation — the clustering-structure half of the
+    // sampler-quality story (degrees: smp_rn_degdist)
+    "kg_tri_counts" -> ((s, d) => graft.sample.GraphMetrics.triangleCounts(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    "kg_transitivity" -> ((s, d) => graft.sample.GraphMetrics.globalMetrics(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))))
+
+  /** DuckDB replay of GraphMetrics' orientation + wedge-close joins —
+    * shared CTE chain of the two triangle oracles. MATERIALIZED: und/deg/ore
+    * are each referenced 2-3× downstream (see the verify skill's CTE note). */
+  private def triCtes: String =
+    """cp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.dst AS u, b.dst AS v
+      |  FROM cp a JOIN cp b ON a.src = b.src AND a.dst < b.dst),
+      |deg AS MATERIALIZED (
+      |  SELECT id, COUNT(*) AS deg
+      |  FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und) t GROUP BY 1),
+      |ore AS MATERIALIZED (
+      |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v) THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v) THEN und.v ELSE und.u END AS b,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v) THEN dv.deg ELSE du.deg END AS bd
+      |  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM ore e1
+      |  JOIN ore e2 ON e1.a = e2.a AND (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |  JOIN ore e3 ON e3.a = e1.b AND e3.b = e2.b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "kg_tri_counts" -> TpchKgSql.withKg(
+      s"""$triCtes
+         |SELECT id, COUNT(*) AS tri_cnt
+         |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+         |GROUP BY 1""".stripMargin, inCte = true),
+    "kg_transitivity" -> TpchKgSql.withKg(
+      s"""$triCtes
+         |SELECT (SELECT COUNT(*) FROM tri) AS triangles,
+         |       (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS wedges""".stripMargin,
+      inCte = true),
     "kg_nodes" -> TpchKgSql.nodes,
     "kg_edges" -> TpchKgSql.edges,
     "kg_attrs" -> TpchKgSql.attrs,

@@ -1,0 +1,99 @@
+package graft.sample
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting / clustering metrics: hand-computed golden graphs
+  * (K4, path, bowtie-share), the co-occurrence projection, a brute-force
+  * parity sweep on a seeded random graph, and partitioning determinism. */
+class GraphMetricsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def und(edges: (String, String)*): DataFrame =
+    edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("u", "v")
+
+  test("K4: 4 triangles, every node in 3, transitivity 1") {
+    val g = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val counts = GraphMetrics.triangleCounts(g).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val gm = GraphMetrics.globalMetrics(g).collect()(0)
+    assert(gm.getLong(0) == 4L) // C(4,3)
+    assert(gm.getLong(1) == 12L) // 4 nodes × C(3,2)
+    assert(GraphMetrics.transitivity(g) == 1.0)
+  }
+
+  test("path graph: one wedge, zero triangles") {
+    val g = und(("a","b"),("b","c"))
+    assert(GraphMetrics.triangleRows(g).count() == 0L)
+    val gm = GraphMetrics.globalMetrics(g).collect()(0)
+    assert(gm.getLong(0) == 0L && gm.getLong(1) == 1L)
+    assert(GraphMetrics.transitivity(g) == 0.0)
+  }
+
+  test("two triangles sharing an edge: per-node counts and transitivity 3/4") {
+    val g = und(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"))
+    val counts = GraphMetrics.triangleCounts(g).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+    val gm = GraphMetrics.globalMetrics(g).collect()(0)
+    assert(gm.getLong(0) == 2L && gm.getLong(1) == 8L)
+    assert(GraphMetrics.transitivity(g) == 0.75)
+  }
+
+  test("cooccurrence projection: a 3-item basket becomes K3, cross-basket dedup") {
+    val edges = Seq(
+      ("o:1", "contains", "p:1"), ("o:1", "contains", "p:2"), ("o:1", "contains", "p:3"),
+      ("o:2", "contains", "p:1"), ("o:2", "contains", "p:2"), // duplicate pair
+      ("o:3", "suppliedBy", "s:1"), ("o:3", "suppliedBy", "s:2") // other predicate
+    ).toDF("src", "pred", "dst")
+    val g = GraphMetrics.cooccurrence(edges, "contains")
+    assert(g.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("p:1", "p:2"), ("p:1", "p:3"), ("p:2", "p:3")))
+    assert(GraphMetrics.triangleRows(g).count() == 1L)
+  }
+
+  /** O(n³) reference on a collected edge set. */
+  private def bruteTriangles(edges: Set[(String, String)]): Long = {
+    val adj = edges.flatMap(e => Seq(e, (e._2, e._1)))
+    val nodes = adj.map(_._1).toSeq.sorted
+    (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if adj((nodes(i), nodes(j))) && adj((nodes(j), nodes(k))) && adj((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+  }
+
+  test("seeded random graph: exact parity with the brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 120).map(_ => (s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      .filter(e => e._1 != e._2)
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val g = edges.toSeq.toDF("u", "v")
+    assert(GraphMetrics.triangleRows(g).count() == bruteTriangles(edges))
+    // per-node sums: every triangle contributes 3 participations
+    val perNode = GraphMetrics.triangleCounts(g).agg(sum("tri_cnt")).collect()(0).getLong(0)
+    assert(perNode == 3 * bruteTriangles(edges))
+  }
+
+  test("partitioning does not change any count") {
+    val g = und(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("d","e"),("c","e"))
+    val wide = g.repartition(7, xxhash64(col("u"), col("v")))
+    assert(GraphMetrics.triangleCounts(g).collect().toSet ==
+      GraphMetrics.triangleCounts(wide).collect().toSet)
+    assert(GraphMetrics.globalMetrics(g).collect().toSeq ==
+      GraphMetrics.globalMetrics(wide).collect().toSeq)
+  }
+
+  test("sampler-quality usage: transitivity of a sample is comparable to the original") {
+    val kb = graft.fixtures.HepatitisLikeKb.kb(s)
+    // "knows" has a hub (p1 knows 2..30) — the projection is non-trivial
+    val g = GraphMetrics.cooccurrence(kb.edges, "knows")
+    assert(g.count() > 0)
+    val t = GraphMetrics.transitivity(g)
+    assert(t >= 0.0 && t <= 1.0)
+  }
+}
