@@ -87,6 +87,15 @@ object SamplerQueries {
       DeepWalk.skipGramPairs(
         DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed), window = 2)
     }),
+    // PPMI association weights over the same pairs — the count-based
+    // KG-embedding input (exact num/den integers; the float log is
+    // downstream of the gate)
+    "smp_ppmi_pairs" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val starts = rnSampler(s, d, lpc = false).draw(500).sampledNodes
+      DeepWalk.ppmiPairs(DeepWalk.skipGramPairs(
+        DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed), window = 2))
+    }),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -230,6 +239,27 @@ object SamplerQueries {
          |FROM corpus a JOIN corpus b
          |  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
          |GROUP BY 1, 2""".stripMargin, inCte = true),
+    "smp_ppmi_pairs" -> TpchKgSql.withKg(
+      s"""starts AS MATERIALIZED (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |${DeepWalk.oracleCtes(reps = 2, steps = 5, seed = Seed)},
+         |corpus AS MATERIALIZED (
+         |${DeepWalk.oracleSelect(steps = 5)}),
+         |pairs AS MATERIALIZED (
+         |SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM corpus a JOIN corpus b
+         |  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM pairs),
+         |rs AS MATERIALIZED (SELECT center, CAST(SUM(cnt) AS BIGINT) AS center_sum FROM pairs GROUP BY 1),
+         |cs AS MATERIALIZED (SELECT context, CAST(SUM(cnt) AS BIGINT) AS context_sum FROM pairs GROUP BY 1)
+         |SELECT p.center, p.context, p.cnt,
+         |       CAST(p.cnt * t.total AS BIGINT) AS num,
+         |       CAST(r.center_sum * c.context_sum AS BIGINT) AS den
+         |FROM pairs p CROSS JOIN tot t
+         |JOIN rs r ON r.center = p.center
+         |JOIN cs c ON c.context = p.context
+         |WHERE p.cnt * t.total > r.center_sum * c.context_sum""".stripMargin,
+      inCte = true),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
 }

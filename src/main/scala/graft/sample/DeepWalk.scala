@@ -113,4 +113,33 @@ object DeepWalk {
     (0 to steps)
       .map(i => s"SELECT walk_id, CAST($i AS INT) AS step, cur AS node FROM s$i")
       .mkString("\nUNION ALL\n")
+
+  /** Positive-PMI association weights over skip-gram pairs — the classic
+    * count-based embedding input (Levy & Goldberg, "Neural Word Embedding
+    * as Implicit Matrix Factorization", NIPS'14: SGNS factorizes the
+    * shifted-PMI matrix, so the PPMI-weighted pair matrix is the spectral
+    * route to the same embedding DeepWalk's SGD trainer would learn).
+    *
+    * Exact integer arithmetic end to end: emits `num = cnt·total` and
+    * `den = center_sum·context_sum` with PMI > 0 ⟺ num > den; the float
+    * `log(num/den)` weight happens downstream of any gate, so the DuckDB
+    * oracle replays this hash-identically (no cross-engine libm hazard).
+    * Two keyed aggregations + two same-key joins + one broadcast scalar —
+    * scales like a groupBy. The pair table is consumed four times (total,
+    * both marginals, itself) → materialized once. Overflow note: num/den
+    * are int64 products; at corpus scales where cnt·total approaches 2⁶³
+    * (≳10⁹·10⁹ co-occurrences) move both to decimal(38,0) — the comparison
+    * is unaffected. */
+  def ppmiPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
+    val total = pairs.agg(sum(col("cnt")).as("total"))
+    val centerSums = pairs.groupBy("center").agg(sum(col("cnt")).as("center_sum"))
+    val contextSums = pairs.groupBy("context").agg(sum(col("cnt")).as("context_sum"))
+    pairs.join(centerSums, Seq("center")).join(contextSums, Seq("context"))
+      .crossJoin(broadcast(total))
+      .select(col("center"), col("context"), col("cnt"),
+        (col("cnt") * col("total")).as("num"),
+        (col("center_sum") * col("context_sum")).as("den"))
+      .filter(col("num") > col("den"))
+  }
 }

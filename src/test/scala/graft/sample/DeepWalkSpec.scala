@@ -110,4 +110,40 @@ class DeepWalkSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     assert(run(1) === run(11))
   }
+
+  test("ppmi: hand-computed num/den, positive-PMI filter") {
+    val pairs = Seq(("a", "b", 4L), ("a", "c", 1L), ("b", "a", 4L), ("c", "a", 1L))
+      .toDF("center", "context", "cnt")
+    val got = DeepWalk.ppmiPairs(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    // total = 10; center sums a=5 b=4 c=1; context sums b=4 a=5 c=1
+    assert(got == Map(
+      ("a", "b") -> (40L, 20L), // PMI = log 2 > 0
+      ("a", "c") -> (10L, 5L),
+      ("b", "a") -> (40L, 20L),
+      ("c", "a") -> (10L, 5L)))
+  }
+
+  test("ppmi: independent (uniform) co-occurrence has no positive-PMI pair") {
+    val pairs = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L))
+      .toDF("center", "context", "cnt")
+    assert(DeepWalk.ppmiPairs(pairs).count() == 0L) // every num = den = 4
+  }
+
+  test("ppmi over a real corpus: filter keeps exactly the num>den pairs") {
+    val corpus = DeepWalk.corpus(HepatitisLikeKb.kb(s),
+      Seq("p1", "p2", "p3").toDF("id"), reps = 2, steps = 5, seed = 42L)
+    val pairs = DeepWalk.skipGramPairs(corpus, window = 2)
+    val ppmi = DeepWalk.ppmiPairs(pairs).collect()
+    assert(ppmi.nonEmpty)
+    ppmi.foreach(r => assert(r.getLong(3) > r.getLong(4)))
+    // recompute one row's num/den by hand from the raw pair table
+    val m = pairs.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    val r0 = ppmi.head
+    val cs = m.collect { case ((c, _), n) if c == r0.getString(0) => n }.sum
+    val xs = m.collect { case ((_, x), n) if x == r0.getString(1) => n }.sum
+    assert(r0.getLong(3) == m((r0.getString(0), r0.getString(1))) * total)
+    assert(r0.getLong(4) == cs * xs)
+  }
 }
