@@ -200,12 +200,24 @@ object Canonicalize {
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which [[run]] solves on the driver instead of
+    * iterating distributed rounds. A dictionary-scale component graph (the
+    * alias catalog's few hundred edges) costs ~20 tiny barrier jobs through
+    * the star rounds — pure fixed overhead per pipeline run — while a
+    * union-find over a collected 64k-edge list is milliseconds. Same gate
+    * philosophy as the broadcast-vs-salted joins: size decides the
+    * strategy, results are identical by construction (parity-tested). */
+  val DriverMaxEdges: Long = 65536L
+
   /** edges(src, dst) undirected → (id, component = min id in component).
     * Only ids incident to an edge appear (callers union isolated nodes).
-    * Every round is localCheckpointed: the convergence check (count +
-    * exceptAll) and the next round each re-read the round's edge set, so an
-    * unmaterialized round would evaluate its star chain three times. */
-  def run(edges: DataFrame, maxIter: Int = 40, checkpointEvery: Int = 1): DataFrame = {
+    * Dictionary-scale inputs (≤ `driverMaxEdges` distinct edges) solve via
+    * driver union-find; above that, alternating star rounds. Every round is
+    * localCheckpointed: the convergence check (count + exceptAll) and the
+    * next round each re-read the round's edge set, so an unmaterialized
+    * round would evaluate its star chain three times. */
+  def run(edges: DataFrame, maxIter: Int = 40, checkpointEvery: Int = 1,
+          driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     def canon(e: DataFrame) = e
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -227,6 +239,7 @@ object ConnectedComponents {
 
     var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
       .localCheckpoint(true)
+    if (e.count() <= driverMaxEdges) return driverRun(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -243,5 +256,33 @@ object ConnectedComponents {
     val s = sym(e)
     s.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
+  }
+
+  /** Driver union-find over a collected dictionary-scale edge list —
+    * identical output contract to the star rounds ((id, min id in
+    * component), edge-incident ids only). */
+  private def driverRun(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val comp = parent.keys.toSeq.groupBy(find)
+    val rows = comp.valuesIterator.flatMap { ids =>
+      val m = ids.min
+      ids.map(id => (id, m))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("id", "component")
   }
 }

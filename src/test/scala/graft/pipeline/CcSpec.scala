@@ -23,29 +23,36 @@ class CcSpec extends SparkSpec {
     roots.map { case (k, r) => k -> minOf(r) }
   }
 
-  private def ccOf(edges: Seq[(String, String)]): Map[String, String] = {
+  /** both strategies: the size-gated driver union-find (default gate) and
+    * the distributed star rounds (gate forced off) */
+  private def ccBoth(edges: Seq[(String, String)]): (Map[String, String], Map[String, String]) = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("src", "dst"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (toMap(ConnectedComponents.run(edges.toDF("src", "dst"))),
+      toMap(ConnectedComponents.run(edges.toDF("src", "dst"), driverMaxEdges = 0L)))
   }
 
   test("2000-deep chain with shuffled labels (diameter >> any iteration cap)") {
     val rnd = new scala.util.Random(7)
     val labels = rnd.shuffle((0 until 2000).map(i => f"n$i%05d").toVector)
     val chain = labels.sliding(2).map(p => (p(0), p(1))).toSeq
-    val got = ccOf(chain)
+    val (gotDriver, gotStar) = ccBoth(chain)
     val expect = unionFind(chain)
-    assert(got === expect)
-    assert(got.values.toSet.size === 1) // single component
+    assert(gotDriver === expect)
+    assert(gotStar === expect)
+    assert(gotDriver.values.toSet.size === 1) // single component
   }
 
-  test("random graph + isolated pairs + bipartite blocks == union-find") {
+  test("random graph + isolated pairs + bipartite blocks == union-find, both paths") {
     val rnd = new scala.util.Random(13)
     val rand = (1 to 400).map(_ => (f"r${rnd.nextInt(300)}%03d", f"r${rnd.nextInt(300)}%03d"))
       .filter(e => e._1 != e._2)
     val pairs = (0 until 20).map(i => (s"pa$i", s"pb$i"))
     val bipartite = (0 until 50).map(i => (s"e$i", s"K:${i % 7}"))
     val edges = rand ++ pairs ++ bipartite
-    assert(ccOf(edges) === unionFind(edges))
+    val (gotDriver, gotStar) = ccBoth(edges)
+    assert(gotDriver === unionFind(edges))
+    assert(gotStar === unionFind(edges))
   }
 }
