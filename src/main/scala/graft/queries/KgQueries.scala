@@ -25,16 +25,27 @@ object KgQueries {
     "kg_tri_counts" -> ((s, d) => graft.sample.GraphMetrics.triangleCounts(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
     "kg_transitivity" -> ((s, d) => graft.sample.GraphMetrics.globalMetrics(
-      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))))
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    // synchronous label propagation (4 rounds) over the same projection —
+    // community structure, the third sampler-quality axis; every round
+    // replayed by the oracle
+    "kg_label_prop" -> ((s, d) => graft.sample.LabelProp.run(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
+      rounds = 4)))
+
+  /** DuckDB mirror of GraphMetrics.cooccurrence over the contains edges —
+    * the undirected co-purchase projection the graph-metric oracles share. */
+  private def projCtes: String =
+    """cp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.dst AS u, b.dst AS v
+      |  FROM cp a JOIN cp b ON a.src = b.src AND a.dst < b.dst)""".stripMargin
 
   /** DuckDB replay of GraphMetrics' orientation + wedge-close joins —
     * shared CTE chain of the two triangle oracles. MATERIALIZED: und/deg/ore
     * are each referenced 2-3× downstream (see the verify skill's CTE note). */
   private def triCtes: String =
-    """cp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
-      |und AS MATERIALIZED (
-      |  SELECT DISTINCT a.dst AS u, b.dst AS v
-      |  FROM cp a JOIN cp b ON a.src = b.src AND a.dst < b.dst),
+    s"""$projCtes,
       |deg AS MATERIALIZED (
       |  SELECT id, COUNT(*) AS deg
       |  FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und) t GROUP BY 1),
@@ -49,7 +60,27 @@ object KgQueries {
       |  JOIN ore e2 ON e1.a = e2.a AND (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
       |  JOIN ore e3 ON e3.a = e1.b AND e3.b = e2.b)""".stripMargin
 
+  /** DuckDB replay of LabelProp's synchronous rounds: identical total
+    * order in the pick (count DESC, label ASC). */
+  private def lpaCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT s.u AS id, l.lbl, COUNT(*) AS c,
+         |           ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM sym s JOIN l${i - 1} l ON l.id = s.v GROUP BY s.u, l.lbl) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+       |$roundCtes""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_label_prop" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${lpaCtes(4)}
+         |SELECT id, lbl FROM l4""".stripMargin, inCte = true),
     "kg_tri_counts" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT id, COUNT(*) AS tri_cnt
