@@ -49,22 +49,29 @@ object RunKg {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
+      // timed region = construction + landing only: the scaling-efficiency
+      // evidence compares THIS number across cluster sizes, so constant
+      // JVM/cluster spin-up (which spark-submit pays identically at any
+      // size) stays outside it
+      val t0 = System.nanoTime()
       val triples = KgPipeline.run(spark, dataDir, ckDir)
       val stats = Materialize.merge(new ParquetTableIO(spark, storeDir), "kg", triples)
-      println(summaryJson(spark, storeDir, ckDir, stats))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(summaryJson(spark, storeDir, ckDir, stats, sec))
     } finally if (!preexisting) spark.stop()
   }
 
-  /** one JSON line: lineage rows per stage, merge delta, store totals */
+  /** one JSON line: lineage rows per stage, merge delta, store totals,
+    * pipeline wall seconds (see main's timed-region note) */
   def summaryJson(spark: SparkSession, storeDir: String, ckDir: String,
-                  stats: Materialize.MergeStats): String = {
+                  stats: Materialize.MergeStats, pipelineSec: Double = 0.0): String = {
     val io = new ParquetTableIO(spark, storeDir)
-    val stageRows = Lineage.read(spark, ckDir)
-      .groupBy("stage").agg(sum(col("rows")).as("rows"))
+    val stageRows = Lineage.totals(spark, ckDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stages = KgPipeline.stages
       .map(s => s""""$s": ${stageRows.getOrElse(s, 0L)}""").mkString("{", ", ", "}")
     s"""{"stages": $stages, "new_edges": ${stats.newEdges}, "new_nodes": ${stats.newNodes}, """ +
-      s""""store_edges": ${io.read("kg/edges").count()}, "store_nodes": ${io.read("kg/nodes").count()}}"""
+      s""""store_edges": ${io.read("kg/edges").count()}, "store_nodes": ${io.read("kg/nodes").count()}, """ +
+      f""""pipeline_sec": $pipelineSec%.3f}"""
   }
 }

@@ -1,20 +1,35 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Per-stage checkpoint + lineage metrics (north_rule resumability):
   * every pipeline stage persists its output as a parquet checkpoint and
-  * appends per-file row counts + an order-independent content checksum to a
-  * lineage table. A completed stage (marker + checkpoint present) is
-  * never recomputed on resume — `stage()` short-circuits to a scan.
+  * appends lineage rows — per-file row counts plus a stage-total row
+  * carrying an order-independent content checksum. A completed stage
+  * (marker + checkpoint present) is never recomputed on resume —
+  * `stage()` short-circuits to a scan.
   *
   * The checksum is Σ xxhash64(row) over all columns — independent of
   * partitioning and row order, so it is stable across parallelism levels
-  * and makes cross-run output drift detectable.
+  * and makes cross-run output drift detectable. It is computed ON the
+  * write pass (`observe` / CollectMetrics piggybacks on the job that
+  * materializes the checkpoint): the stage output — which can carry the
+  * raw html column — is never re-read for metrics. Per-file rows come
+  * from a zero-data-column scan afterwards (parquet footer row counts,
+  * no page decode), so total lineage overhead is O(files), not O(data).
+  *
+  * Lineage table layout: one row per written file (`rows` populated,
+  * `checksum` null) + one `file = '_total_'` row per stage (total rows +
+  * the stage checksum). Σ per-file rows == the total row's rows — an
+  * integrity equation consumers can assert; aggregating consumers filter
+  * `file <> '_total_'`.
   */
 object Lineage {
+
+  /** marker value of the stage-total lineage row's `file` column */
+  val TotalFile = "_total_"
 
   def stagePath(baseDir: String, name: String) = s"$baseDir/stage=$name"
   def lineagePath(baseDir: String) = s"$baseDir/lineage"
@@ -30,30 +45,50 @@ object Lineage {
     if (isDone(baseDir, name)) {
       spark.read.parquet(path)
     } else {
-      build.write.mode("overwrite").parquet(path)
+      val src = build
+      val cols = src.columns.map(col)
+      val obs = Observation(s"lineage_${name}_${System.nanoTime()}")
+      // per-row term bounded < 1e9 so the ANSI-mode sum cannot overflow
+      // int64 before ~9e9 rows per stage; coalesce covers empty stages
+      val metrics = Seq(count(lit(1)).as("rows"),
+        coalesce(sum(pmod(xxhash64(cols: _*), lit(1000000007L))), lit(0L))
+          .as("checksum"))
+      src.observe(obs, metrics.head, metrics.tail: _*)
+        .write.mode("overwrite").parquet(path)
+      val m = obs.get
       val out = spark.read.parquet(path)
-      record(spark, baseDir, name, out)
+      record(spark, baseDir, name, out,
+        m("rows").asInstanceOf[Long], m("checksum").asInstanceOf[Long])
       Files.createDirectories(Paths.get(path))
       Files.write(marker(baseDir, name), Array.emptyByteArray)
       out
     }
   }
 
-  /** Append per-file (≈ per written partition) lineage metrics. */
-  def record(spark: SparkSession, baseDir: String, name: String, out: DataFrame): Unit = {
-    val cols = out.columns.map(col)
-    out.withColumn("__file", input_file_name())
-      .groupBy(col("__file"))
-      .agg(count(lit(1)).as("rows"),
-        // per-row term bounded < 1e9 so the ANSI-mode sum cannot overflow
-        // int64 before ~9e9 rows per file
-        sum(pmod(xxhash64(cols: _*), lit(1000000007L))).as("checksum"))
-      .select(lit(name).as("stage"), col("__file").as("file"),
-        col("rows"), col("checksum"),
-        lit(java.time.Instant.now().toString).as("recorded_at"))
+  /** Append the stage's lineage rows: per-file row counts (footer-cheap —
+    * the projection is empty, so the scan decodes no pages) + the
+    * `_total_` row carrying the write-pass checksum. */
+  def record(spark: SparkSession, baseDir: String, name: String, out: DataFrame,
+             totalRows: Long, checksum: Long): Unit = {
+    val ts = java.time.Instant.now().toString
+    val perFile = out.select(input_file_name().as("file"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"))
+      .select(lit(name).as("stage"), col("file"), col("rows"),
+        lit(null).cast("long").as("checksum"), lit(ts).as("recorded_at"))
+    val total = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          name, TotalFile, totalRows, checksum, ts)),
+        perFile.schema)
+    perFile.unionAll(total)
       .write.mode("append").parquet(lineagePath(baseDir))
   }
 
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(lineagePath(baseDir))
+
+  /** Per-stage totals from the `_total_` rows (rows + content checksum). */
+  def totals(spark: SparkSession, baseDir: String): DataFrame =
+    read(spark, baseDir).filter(col("file") === TotalFile)
+      .select(col("stage"), col("rows"), col("checksum"))
 }

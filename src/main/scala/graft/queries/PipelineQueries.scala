@@ -40,8 +40,18 @@ object PipelineQueries {
     "fe_triples" -> ((s, d) => KgPipeline.run(s, d, ck(d), "triples")),
     "fe_lineage_counts" -> ((s, d) => {
       KgPipeline.run(s, d, ck(d), "triples") // ensure all stages ran
-      Lineage.read(s, ck(d)).groupBy("stage")
-        .agg(sum(col("rows")).as("total_rows"))
+      // stage totals from the _total_ lineage rows; ALSO assert the lineage
+      // integrity equation (Σ per-file rows == total row) in-query, so a
+      // drifting write-pass checksum path cannot silently pass the gate
+      val perFile = Lineage.read(s, ck(d))
+        .filter(col("file") =!= Lineage.TotalFile)
+        .groupBy("stage").agg(sum(col("rows")).as("file_rows"))
+      // the filter IS the assertion: an inconsistent stage loses its row
+      // and the oracle's row-count match fails
+      Lineage.totals(s, ck(d))
+        .join(perFile, Seq("stage"))
+        .filter(col("rows") === col("file_rows"))
+        .select(col("stage"), col("rows").as("total_rows"))
     }),
     "fe_media_meta" -> ((s, d) => Media(KgPipeline.run(s, d, ck(d), "pages")).toDF()),
     // REAL image decode through the same typed-mapPartitions stage:
