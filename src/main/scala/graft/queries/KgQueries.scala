@@ -31,7 +31,19 @@ object KgQueries {
     // replayed by the oracle
     "kg_label_prop" -> ((s, d) => graft.sample.LabelProp.run(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
-      rounds = 4)))
+      rounds = 4)),
+    // degree assortativity as exact integer moments (Newman PRL'02); the
+    // float Pearson division/sqrt is strictly downstream
+    "kg_assortativity" -> ((s, d) => graft.sample.GraphMetrics.degreeMomentRow(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    // connected components of the projection — at sf0.01 the edge set is
+    // above the driver gate, so this row oracles the DISTRIBUTED
+    // alternating-star path directly (the oracle replays the star rounds;
+    // they are idempotent at fixpoint, so a fixed 8-round unroll equals
+    // the converged engine output)
+    "kg_components" -> ((s, d) => graft.pipeline.ConnectedComponents.run(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains")
+        .withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))))
 
   /** DuckDB mirror of GraphMetrics.cooccurrence over the contains edges —
     * the undirected co-purchase projection the graph-metric oracles share. */
@@ -76,7 +88,49 @@ object KgQueries {
        |$roundCtes""".stripMargin
   }
 
+  /** DuckDB replay of ConnectedComponents' alternating large-star /
+    * small-star rounds (Kiveris et al. SoCC'14), unrolled to a fixed
+    * `rounds` — idempotent once converged, so round-R output equals the
+    * engine's asserted fixpoint whenever the engine converges in ≤ R
+    * rounds (it converges in 3-4 on this graph; a deeper run would
+    * hash-mismatch LOUDLY, not silently pass). e0 = the canonical u<v
+    * projection itself. */
+  private def starCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT u, v FROM e${i - 1} UNION ALL SELECT v AS u, u AS v FROM e${i - 1}),
+         |m$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM s$i GROUP BY u),
+         |ls$i AS MATERIALIZED (
+         |  SELECT DISTINCT least(s.v, m.m) AS u, greatest(s.v, m.m) AS v
+         |  FROM s$i s JOIN m$i m ON m.u = s.u WHERE s.v > s.u AND s.v <> m.m),
+         |t$i AS MATERIALIZED (SELECT u, v FROM ls$i UNION ALL SELECT v AS u, u AS v FROM ls$i),
+         |n$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM t$i GROUP BY u),
+         |e$i AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+         |    SELECT s.v AS a, n.m AS b FROM t$i s JOIN n$i n ON n.u = s.u WHERE s.v < s.u
+         |    UNION ALL SELECT u AS a, m AS b FROM n$i) x WHERE a <> b)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$roundCtes,
+       |fs AS (SELECT u, v FROM e$rounds UNION ALL SELECT v AS u, u AS v FROM e$rounds)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_assortativity" -> TpchKgSql.withKg(
+      s"""$triCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+         |       CAST(SUM(dj.deg) AS BIGINT) AS sum_j,
+         |       CAST(SUM(dk.deg) AS BIGINT) AS sum_k,
+         |       CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+         |       CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sum_jj,
+         |       CAST(SUM(dk.deg * dk.deg) AS BIGINT) AS sum_kk
+         |FROM (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und) s
+         |JOIN deg dj ON dj.id = s.u
+         |JOIN deg dk ON dk.id = s.v""".stripMargin, inCte = true),
+    "kg_components" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${starCtes(8)}
+         |SELECT u AS id, least(u, MIN(v)) AS component FROM fs GROUP BY u""".stripMargin,
+      inCte = true),
     "kg_label_prop" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${lpaCtes(4)}

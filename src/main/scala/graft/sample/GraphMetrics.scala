@@ -109,4 +109,37 @@ object GraphMetrics {
     val w = r.getLong(1)
     if (w == 0L) 0.0 else 3.0 * r.getLong(0) / w
   }
+
+  /** Exact integer moments for degree assortativity (Newman, "Assortative
+    * Mixing in Networks", PRL 89, 2002): over the 2m ORDERED endpoint
+    * pairs of the undirected edge set, with j = deg(src), k = deg(dst),
+    * emits (pairs, Σj, Σk, Σjk, Σjj, Σkk) — everything the Pearson
+    * coefficient r = (mΣjk − ΣjΣk) / √((mΣjj − Σj²)(mΣkk − Σk²)) needs,
+    * with the float division/sqrt strictly downstream of the gate. Σj = Σk
+    * by symmetry; both are emitted so the oracle equality checks the
+    * symmetry too. One degree join per endpoint + a single aggregate. */
+  def degreeMomentRow(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val deg = degrees(und)
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "j"), Seq("u"))
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "k"), Seq("v"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("j")).as("sum_j"), sum(col("k")).as("sum_k"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j") * col("j")).as("sum_jj"),
+        sum(col("k") * col("k")).as("sum_kk"))
+  }
+
+  /** Degree assortativity r as a Double (spec-level; the oracle gates the
+    * integer moments above). */
+  def assortativity(und: DataFrame): Double = {
+    val r = degreeMomentRow(und).collect()(0)
+    val (m, sj, sk, sjk, sjj, skk) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+      r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble, r.getLong(5).toDouble)
+    val den = math.sqrt((m * sjj - sj * sj) * (m * skk - sk * sk))
+    if (den == 0.0) 0.0 else (m * sjk - sj * sk) / den
+  }
 }

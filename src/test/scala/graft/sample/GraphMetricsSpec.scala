@@ -88,6 +88,22 @@ class GraphMetricsSpec extends SparkSpec {
       GraphMetrics.globalMetrics(wide).collect().toSeq)
   }
 
+  test("assortativity: star graph moments by hand, r = -1") {
+    val g = und(("h","a"),("h","b"),("h","c"))
+    val r = GraphMetrics.degreeMomentRow(g).collect()(0)
+    // 6 ordered pairs; degrees h=3, leaves=1: j values {3,3,3,1,1,1}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 12L, 12L)))
+    assert(r.getLong(3) == 18L) // Σjk = 6 × (3·1)
+    assert(r.getLong(4) == 30L && r.getLong(5) == 30L) // Σjj = 3·9 + 3·1
+    assert(math.abs(GraphMetrics.assortativity(g) - (-1.0)) < 1e-12)
+  }
+
+  test("assortativity: regular graph is degenerate (r = 0 by convention)") {
+    // 4-cycle: every degree 2 — zero variance
+    val g = und(("a","b"),("b","c"),("c","d"),("d","a"))
+    assert(GraphMetrics.assortativity(g) == 0.0)
+  }
+
   test("sampler-quality usage: transitivity of a sample is comparable to the original") {
     val kb = graft.fixtures.HepatitisLikeKb.kb(s)
     // "knows" has a hub (p1 knows 2..30) — the projection is non-trivial
