@@ -36,6 +36,13 @@ object KgQueries {
     // float Pearson division/sqrt is strictly downstream
     "kg_assortativity" -> ((s, d) => graft.sample.GraphMetrics.degreeMomentRow(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    // 80-core of the projection — k chosen so the peel genuinely cascades
+    // (6 rounds at sf0.01 AND sf0.1) while a non-trivial core survives
+    // (1857/2000 nodes at sf0.01); the oracle unrolls the idempotent
+    // rounds with 2x margin
+    "kg_kcore" -> ((s, d) => graft.sample.GraphMetrics.kCore(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
+      k = 80)),
     // connected components of the projection — at sf0.01 the edge set is
     // above the driver gate, so this row oracles the DISTRIBUTED
     // alternating-star path directly (the oracle replays the star rounds;
@@ -114,7 +121,33 @@ object KgQueries {
        |fs AS (SELECT u, v FROM e$rounds UNION ALL SELECT v AS u, u AS v FROM e$rounds)""".stripMargin
   }
 
+  /** DuckDB replay of the k-core peel, fixed `rounds` unroll (idempotent
+    * at fixpoint — same argument as [[starCtes]]; a deeper-than-R engine
+    * peel hash-mismatches loudly). */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""kd$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, COUNT(*) AS deg FROM (
+         |      SELECT u AS id FROM k${i - 1} UNION ALL SELECT v FROM k${i - 1}) t
+         |    GROUP BY id) d WHERE deg >= $k),
+         |k$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM k${i - 1} e
+         |  WHERE EXISTS (SELECT 1 FROM kd$i a WHERE a.id = e.u)
+         |    AND EXISTS (SELECT 1 FROM kd$i b WHERE b.id = e.v))""".stripMargin
+    }.mkString(",\n")
+    s"""k0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$roundCtes""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_kcore" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${kcoreCtes(k = 80, rounds = 12)}
+         |SELECT id, deg FROM (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS id FROM k12 UNION ALL SELECT v FROM k12) t GROUP BY id) d
+         |WHERE deg >= 80""".stripMargin, inCte = true),
     "kg_assortativity" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS pairs,

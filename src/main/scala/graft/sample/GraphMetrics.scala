@@ -133,6 +133,38 @@ object GraphMetrics {
         sum(col("k") * col("k")).as("sum_kk"))
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (iterative peel — the distributed-round form of Batagelj & Zaveršnik's
+    * algorithm; Seidman, "Network structure and minimum degree", Social
+    * Networks 1983). Per round: one degree aggregate + two semi-join prunes
+    * of the edge set; converged when no edge is removed (⟺ every incident
+    * node already has deg ≥ k — peeling is idempotent at the fixpoint,
+    * which is what lets the oracle replay it as a fixed unroll). Rounds are
+    * O(peel depth); each is shuffle-linear in the surviving edges. Returns
+    * `(id, deg)` — core members with their in-core degree. */
+  def kCore(und0: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k=$k")
+    var und = und0.localCheckpoint(true)
+    var n = und.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(s"k-core peel not converged after $maxRounds rounds")
+      val keep = degrees(und).filter(col("deg") >= k).select("id")
+      val pruned = und
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val m = pruned.count()
+      done = m == n
+      n = m
+      und = pruned
+    }
+    degrees(und).filter(col("deg") >= k)
+  }
+
   /** Degree assortativity r as a Double (spec-level; the oracle gates the
     * integer moments above). */
   def assortativity(und: DataFrame): Double = {

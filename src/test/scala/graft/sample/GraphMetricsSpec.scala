@@ -104,6 +104,26 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.assortativity(g) == 0.0)
   }
 
+  test("k-core: chain peels away, K4 survives as its own 3-core, cascade works") {
+    // K4 on a..d plus a pendant chain d-e-f: 3-core = K4 exactly; the
+    // chain must cascade (f drops, THEN e drops)
+    val g = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f"))
+    val core = GraphMetrics.kCore(g, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 1-core keeps everything; 5-core of K4 is empty
+    assert(GraphMetrics.kCore(g, k = 1).count() == 6L)
+    assert(GraphMetrics.kCore(g, k = 5).count() == 0L)
+  }
+
+  test("k-core: partitioning invariance") {
+    val g = und(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("d","e"))
+    val wide = g.repartition(5, xxhash64(col("v")))
+    assert(GraphMetrics.kCore(g, 2).collect().toSet ==
+      GraphMetrics.kCore(wide, 2).collect().toSet)
+  }
+
   test("sampler-quality usage: transitivity of a sample is comparable to the original") {
     val kb = graft.fixtures.HepatitisLikeKb.kb(s)
     // "knows" has a hub (p1 knows 2..30) — the projection is non-trivial
