@@ -239,7 +239,8 @@ object ConnectedComponents {
 
     var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
       .localCheckpoint(true)
-    if (e.count() <= driverMaxEdges) return driverRun(e)
+    if (e.count() <= driverMaxEdges && driverOrdering(e).isDefined)
+      return driverRun(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -258,14 +259,28 @@ object ConnectedComponents {
       .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
   }
 
+  /** The driver path is type-generic over any id type whose `min` matches
+    * the star rounds' least/greatest semantics; None → stay distributed. */
+  private def driverOrdering(e: DataFrame): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    e.schema.fields(0).dataType match {
+      case StringType => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case LongType => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case _ => None
+    }
+  }
+
   /** Driver union-find over a collected dictionary-scale edge list —
     * identical output contract to the star rounds ((id, min id in
-    * component), edge-incident ids only). */
+    * component), edge-incident ids only, same id type). */
   private def driverRun(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
-    val parent = scala.collection.mutable.Map.empty[String, String]
-    def find(x: String): String = {
+    val ord = driverOrdering(e).get
+    val idType = e.schema.fields(0).dataType
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -278,11 +293,14 @@ object ConnectedComponents {
       if (ra != rb) parent(ra) = rb
     }
     val comp = parent.keys.toSeq.groupBy(find)
-    val rows = comp.valuesIterator.flatMap { ids =>
-      val m = ids.min
-      ids.map(id => (id, m))
-    }.toSeq
-    import spark.implicits._
-    rows.toDF("id", "component")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(comp.valuesIterator.flatMap { ids =>
+        val m = ids.min(ord)
+        ids.map(id => org.apache.spark.sql.Row(id, m))
+      }.toSeq: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -44,6 +44,19 @@ class CcSpec extends SparkSpec {
     assert(gotDriver.values.toSet.size === 1) // single component
   }
 
+  test("Long-id graph (dedup cluster shape): both paths agree and keep the type") {
+    import spark.implicits._
+    val edges = Seq((5L, 2L), (2L, 9L), (100L, 101L), (9L, 5L))
+    val driver = ConnectedComponents.run(edges.toDF("src", "dst"))
+    val star = ConnectedComponents.run(edges.toDF("src", "dst"), driverMaxEdges = 0L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 100L -> 100L, 101L -> 100L)
+    assert(m(driver) === expect)
+    assert(m(star) === expect)
+    assert(driver.schema("id").dataType === org.apache.spark.sql.types.LongType)
+  }
+
   test("random graph + isolated pairs + bipartite blocks == union-find, both paths") {
     val rnd = new scala.util.Random(13)
     val rand = (1 to 400).map(_ => (f"r${rnd.nextInt(300)}%03d", f"r${rnd.nextInt(300)}%03d"))
