@@ -78,6 +78,11 @@ object TrainingDataQueries {
         TextOps.tokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))),
     "td_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    // BM25 feature surface (retrieval-based curation): exact-integer
+    // postings/df/doclen/corpus constants for a fixed query; the float
+    // idf/score math is downstream (RetrievalSpec pins it)
+    "td_bm25_features" -> ((s, d) => graft.text.Retrieval.bm25Features(
+      docs(s, d), Seq("spark", "table", "join", "vector"))),
     "td_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))),
     "td_ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 0L to 9L, 5)),
@@ -297,6 +302,19 @@ object TrainingDataQueries {
          |  WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END AS predicted
          |FROM sc""".stripMargin
     },
+    "td_bm25_features" ->
+      """WITH tt AS MATERIALIZED (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |p AS MATERIALIZED (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tt
+        |  WHERE term IN ('spark', 'table', 'join', 'vector') GROUP BY 1, 2),
+        |dfp AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM p GROUP BY 1),
+        |lens AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doclen FROM tt GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(doclen) AS BIGINT) AS len_sum FROM lens)
+        |SELECT p.term, p.doc_id, p.tf, dfp.df, lens.doclen, c.n_docs, c.len_sum
+        |FROM p JOIN dfp USING (term) JOIN lens USING (doc_id) CROSS JOIN c""".stripMargin,
     "td_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |  CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) + 1 AS n_tokens,
