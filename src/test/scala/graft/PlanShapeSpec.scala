@@ -104,4 +104,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!overPlan.contains("SortMergeJoin"),
       "array-laden rows must never sort in the fallback either")
   }
+
+  test("BM25: the query-term and df/const attachments broadcast; postings never sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val f = graft.text.Retrieval.bm25Features(docs, Seq("spark", "table"))
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms / df / constants must broadcast into the postings stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-sized postings stream must never sort-merge:\n$plan")
+  }
+
+  test("triangle counting: equi-joins only, no cartesian, aggregates partial") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val und = graft.sample.GraphMetrics.cooccurrence(kb.edges, "contains")
+    val plan = graft.sample.GraphMetrics.triangleCounts(und)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge/close joins must stay equi-joins:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-node counts must map-side combine:\n$plan")
+  }
 }
