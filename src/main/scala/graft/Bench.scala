@@ -191,7 +191,18 @@ object Bench {
         val kb = graft.sources.TpchKg.load(s, sfDir)
         val starts = kb.nodes.orderBy(xxhash64(col("id"))).limit(1000)
         graft.sample.DeepWalk.corpus(kb, starts, reps = 2, steps = 10).count()
-      }))
+      }),
+      // SemDeDup: broadcast k-means assignment + cid-keyed shuffle-hash
+      // within-cluster pair stage — the semantic-dedup scale shape
+      "td_semdedup" -> (s => graft.sim.Ann.semDedup(
+        graft.queries.TrainingDataQueries.embCorpus(s, sfDir), tau = 0.99).count()),
+      // link-prediction features over the bipartite contains graph:
+      // hub-capped wedge equi-join + map-side-combined pair aggregate —
+      // the Σ deg² operator whose cap keeps it linear-ish under skew
+      "kg_linkpred" -> (s => graft.sample.GraphMetrics.linkPredFeatures(
+        graft.sample.GraphMetrics.undirected(
+          graft.sources.TpchKg.load(s, sfDir).edges, "contains"),
+        maxZDeg = 32, minSupport = 2).count()))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 

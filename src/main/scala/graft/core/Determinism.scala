@@ -49,4 +49,20 @@ object Determinism {
     val k = s"((CAST($keyExpr AS BIGINT) % $LcgM + $LcgM) % $LcgM)"
     s"(($k * $LcgA + $seed) % $LcgM + $LcgM) % $LcgM"
   }
+
+  /** Portable 48-bit integer from a STRING key: the first 12 hex chars of
+    * md5 read base-16 — the draw family Node2Vec established for keys that
+    * aren't numeric (md5 hex strings are byte-identical in Spark and
+    * DuckDB; [[lcg]] covers numeric keys). */
+  def md5Int(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[md5Int]]: positional hex-digit sum over
+    * md5($keyExpr) (DuckDB has no base-16 conv). */
+  def md5IntDuck(keyExpr: String): String = {
+    val h = s"md5($keyExpr)"
+    (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * CAST(${math.pow(16, 12 - i).toLong} AS BIGINT)")
+      .mkString("(", " + ", ")")
+  }
 }

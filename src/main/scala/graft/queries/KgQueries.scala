@@ -50,7 +50,20 @@ object KgQueries {
     // the converged engine output)
     "kg_components" -> ((s, d) => graft.pipeline.ConnectedComponents.run(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains")
-        .withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))))
+        .withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))),
+    // exact neighborhood function |B(v, r)| for r = 1..2 over the
+    // BIPARTITE contains graph (sparser than the projection — the reach
+    // set stays linear-ish at gate scale); the HLL scale path (hyperBall)
+    // is spec-gated against this exact form
+    "kg_reach" -> ((s, d) => graft.sample.GraphMetrics.neighborhoodExact(
+      graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
+      maxR = 2)),
+    // link-prediction candidate features over the same bipartite graph:
+    // common-neighbor count + Resource-Allocation index in exact integer
+    // micro-units (Zhou-Lü-Zhang EPJ B'09), hub-capped wedges
+    "kg_linkpred" -> ((s, d) => graft.sample.GraphMetrics.linkPredFeatures(
+      graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
+      maxZDeg = 32, minSupport = 2)))
 
   /** DuckDB mirror of GraphMetrics.cooccurrence over the contains edges —
     * the undirected co-purchase projection the graph-metric oracles share. */
@@ -140,7 +153,40 @@ object KgQueries {
        |$roundCtes""".stripMargin
   }
 
+  /** DuckDB mirror of GraphMetrics.undirected over the contains edges —
+    * the canonical bipartite graph kg_reach / kg_linkpred share. */
+  private def bipartiteCtes: String =
+    """bund AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM edges WHERE pred = 'contains' AND src <> dst),
+      |bsym AS MATERIALIZED (SELECT u, v FROM bund UNION ALL SELECT v AS u, u AS v FROM bund)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "kg_reach" -> TpchKgSql.withKg(
+      s"""$bipartiteCtes,
+         |r1 AS MATERIALIZED (SELECT u AS id, v AS w FROM bsym),
+         |r2 AS MATERIALIZED (
+         |  SELECT id, w FROM r1
+         |  UNION
+         |  SELECT r.id, s.v AS w FROM r1 r JOIN bsym s ON s.u = r.w WHERE s.v <> r.id)
+         |SELECT id, 1 AS r, CAST(COUNT(*) AS BIGINT) AS reach_cnt FROM r1 GROUP BY id
+         |UNION ALL
+         |SELECT id, 2 AS r, CAST(COUNT(*) AS BIGINT) FROM r2 GROUP BY id""".stripMargin,
+      inCte = true),
+    "kg_linkpred" -> TpchKgSql.withKg(
+      s"""$bipartiteCtes,
+         |bdeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM bsym GROUP BY u),
+         |zok AS MATERIALIZED (
+         |  SELECT s.u AS z, s.v AS n, d.deg AS zdeg
+         |  FROM bsym s JOIN bdeg d ON d.id = s.u WHERE d.deg <= 32),
+         |lp0 AS MATERIALIZED (
+         |  SELECT a.n AS u, b.n AS w, COUNT(*) AS cn, SUM(1000000 // a.zdeg) AS ra
+         |  FROM zok a JOIN zok b ON a.z = b.z AND a.n < b.n
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT u, w, CAST(cn AS BIGINT) AS cn, CAST(ra AS BIGINT) AS ra_micros
+         |FROM lp0
+         |WHERE NOT EXISTS (SELECT 1 FROM bund e WHERE e.u = lp0.u AND e.v = lp0.w)""".stripMargin,
+      inCte = true),
     "kg_kcore" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${kcoreCtes(k = 80, rounds = 12)}

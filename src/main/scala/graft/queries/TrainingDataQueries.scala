@@ -106,6 +106,15 @@ object TrainingDataQueries {
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
     "td_dedup_emb_clusters" -> ((s, d) =>
       Ann.nearDupClusters(embCorpus(s, d), 0.999)),
+    // SemDeDup (Abbas et al. arXiv:2303.09540): k-means blocking +
+    // within-cluster ε-ball pruning; kept ∈ {0,1} oracle-checked per vector
+    "td_semdedup" -> ((s, d) => Ann.semDedup(embCorpus(s, d), tau = 0.99)),
+    // DSIR (Xie et al. NeurIPS'23) hashed n-gram importance features:
+    // exact-integer per-doc bucket counts + global target/raw totals
+    // (target sample = doc_id % 5 = 0); the log-ratio weight is
+    // downstream (DsirSpec)
+    "td_dsir_features" -> ((s, d) => graft.text.Dsir.featureSurface(
+      docs(s, d), col("doc_id") % 5 === 0)),
     // winnowing fingerprints (window-min selection, rightmost-min tiebreak)
     // over the codegen KGramHashes rolling hash — full DuckDB oracle
     "td_winnow_fp" -> ((s, d) => TextOps.winnow(docs(s, d), k = 8, w = 4)),
@@ -417,7 +426,65 @@ object TrainingDataQueries {
          |SELECT c.vec_id,
          |  CAST(COALESCE(LEAST(c.vec_id, MIN(r.v)), c.vec_id) AS BIGINT) AS keeper
          |FROM ec c LEFT JOIN reach r ON r.u = c.vec_id
-         |GROUP BY c.vec_id""".stripMargin)
+         |GROUP BY c.vec_id""".stripMargin,
+    // SemDeDup replay: the ivf assignment CTE chain over the PLANTED
+    // corpus, then the pairwise drop rule (drop x iff a cluster-mate y
+    // with cos ≥ τ sits farther from the centroid, ties to lower id)
+    "td_semdedup" ->
+      s"""WITH $embCte, ${evCte("ec")},
+         |cent AS (SELECT vec_id AS cid FROM ec
+         |  ORDER BY ${graft.core.Determinism.lcgDuck("vec_id", 97L)}, vec_id LIMIT 16),
+         |norms AS MATERIALIZED (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+         |cdots AS (
+         |  SELECT a.vec_id, b.vec_id AS cid, SUM(a.x * b.x) AS dot
+         |  FROM ev a JOIN ev b ON b.i = a.i
+         |  WHERE b.vec_id IN (SELECT cid FROM cent)
+         |  GROUP BY a.vec_id, b.vec_id),
+         |csims AS (
+         |  SELECT c.vec_id, c.cid, ROUND(c.dot / (na.nrm * nc.nrm), 6) AS csim
+         |  FROM cdots c JOIN norms na ON na.vec_id = c.vec_id
+         |  JOIN norms nc ON nc.vec_id = c.cid),
+         |assign AS MATERIALIZED (SELECT vec_id, cid, csim FROM (
+         |  SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |  FROM csims) a WHERE rn = 1),
+         |cand AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+         |  WHERE y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)),
+         |pdots AS (
+         |  SELECT c.a, c.b, SUM(ea.x * eb.x) AS dot FROM cand c
+         |  JOIN ev ea ON ea.vec_id = c.a JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+         |  GROUP BY c.a, c.b),
+         |dropped AS (
+         |  SELECT DISTINCT p.a AS vec_id FROM pdots p
+         |  JOIN norms na ON na.vec_id = p.a JOIN norms nb ON nb.vec_id = p.b
+         |  WHERE ROUND(p.dot / (na.nrm * nb.nrm), 6) >= 0.99)
+         |SELECT a.vec_id, a.cid, a.csim,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+    // DSIR feature replay: same single-space unigram+bigram grams, same
+    // md5 48-bit bucket (md5Int is non-negative, plain % suffices)
+    "td_dsir_features" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(ts) AS gram FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram FROM toks
+         |  CROSS JOIN generate_series(1, 128) g(i) WHERE i <= len(ts) - 1),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST((${graft.core.Determinism.md5IntDuck("gram")}) % 512 AS INT) AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM grams GROUP BY 1, 2),
+         |tot AS MATERIALIZED (
+         |  SELECT bucket,
+         |    SUM(CASE WHEN doc_id % 5 = 0 THEN cnt ELSE 0 END) AS tgt_cnt,
+         |    SUM(cnt) AS raw_cnt
+         |  FROM feats GROUP BY bucket)
+         |SELECT f.doc_id, f.bucket, CAST(f.cnt AS BIGINT) AS cnt,
+         |  CAST(t.tgt_cnt AS BIGINT) AS tgt_cnt, CAST(t.raw_cnt AS BIGINT) AS raw_cnt
+         |FROM feats f JOIN tot t ON t.bucket = f.bucket""".stripMargin)
 
   private lazy val embPairsCtes =
     s"""proj AS (

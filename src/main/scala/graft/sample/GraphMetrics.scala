@@ -40,6 +40,15 @@ object GraphMetrics {
     pairs.distinct()
   }
 
+  /** Canonical undirected `(u, v)` u<v edge set of one predicate's
+    * directed edge list — self-loops dropped, duplicates collapsed. The
+    * bipartite `contains` graph itself (orders ↔ parts), as opposed to
+    * [[cooccurrence]]'s one-sided projection of it. */
+  def undirected(edges: DataFrame, pred: String): DataFrame =
+    edges.filter(col("pred") === pred && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+
   /** Undirected degree per node of a `(u, v)` u<v edge set. */
   def degrees(und: DataFrame): DataFrame =
     und.select(col("u").as("id"))
@@ -163,6 +172,137 @@ object GraphMetrics {
       und = pruned
     }
     degrees(und).filter(col("deg") >= k)
+  }
+
+  /** Exact neighborhood function (Palmer, Gibbons & Faloutsos, "ANF: a
+    * fast and scalable tool for data mining in massive graphs", KDD'02 —
+    * the exact quantity their sketch approximates): for every node v and
+    * radius r = 1..R, `reach_cnt` = |{w ≠ v : dist(v, w) ≤ r}| over the
+    * undirected `(u, v)` u<v edge set. Per round one equi-join of the
+    * current reach set against the symmetrized edges + a distinct — the
+    * reach set is materialized once per round (localCheckpoint, the CC
+    * rounds' bounded-lineage trade). Exact distinct state is O(Σ|B(v,r)|)
+    * rows — the gate-scale, oracle-replayable form (a fixed unroll of the
+    * same recurrence); at 100 TB the state itself is the bottleneck, which
+    * is what [[hyperBall]] solves with O(|V|·2^logm) mergeable registers. */
+  def neighborhoodExact(und0: DataFrame, maxR: Int): DataFrame = {
+    require(maxR >= 1, s"maxR=$maxR")
+    val und = und0.localCheckpoint(true)
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var reach = sym.select(col("u").as("id"), col("v").as("w")).localCheckpoint(true)
+    var out = reach.groupBy("id")
+      .agg(count(lit(1)).as("reach_cnt")).withColumn("r", lit(1))
+    for (r <- 2 to maxR) {
+      reach = reach.unionAll(
+          reach.join(sym.withColumnRenamed("u", "w"), Seq("w"))
+            .filter(col("v") =!= col("id"))
+            .select(col("id"), col("v").as("w")))
+        .distinct().localCheckpoint(true)
+      out = out.unionAll(reach.groupBy("id")
+        .agg(count(lit(1)).as("reach_cnt")).withColumn("r", lit(r)))
+    }
+    out.select(col("id"), col("r"), col("reach_cnt"))
+  }
+
+  /** HyperBall (Boldi & Vigna, "In-core computation of geometric
+    * centralities with HyperBall", ICDM'13 workshops): the neighborhood
+    * function via HyperLogLog registers instead of exact reach sets — the
+    * 100-TB path. State is O(|V|) rows of 2^logm byte-sized registers; a
+    * round is one join + a per-(node, register) MAX — fully mergeable, no
+    * distinct over a quadratic reach set. Register init is the standard
+    * HLL split of a 64-bit hash (xxhash64 over the node id): low `logm`
+    * bits pick the register, ρ = leading-zero rank of the remaining bits.
+    * Returns (id, r, est) with the HLL estimate (linear-counting
+    * small-range correction included); GraphMetricsSpec bounds the
+    * relative error against [[neighborhoodExact]]. Estimates INCLUDE the
+    * node itself (|B(v,r)| with v ∈ B — the ANF convention), so exact
+    * comparisons add 1 to `reach_cnt`. */
+  def hyperBall(und0: DataFrame, maxR: Int, logm: Int = 6, seed: Long = 7L): DataFrame = {
+    require(maxR >= 1 && logm >= 4 && logm <= 12, s"maxR=$maxR logm=$logm")
+    val m = 1 << logm
+    val und = und0.localCheckpoint(true)
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("u").as("id")).distinct()
+    // one register row per node: j = low logm hash bits, rho = rank of the
+    // leftmost 1-bit of the remaining w = 64 − logm bits (w + 1 if all
+    // zero). floor(log2) comes from bin()-string length — exact integer
+    // arithmetic, no libm rounding at power-of-two boundaries.
+    val w = 64 - logm
+    val h = graft.core.Determinism.detHash(seed, col("id"))
+    val rest = shiftrightunsigned(h, logm)
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w) - (length(bin(rest)) - 1)).cast("int")
+    val alpha = m match { // standard HLL bias constants
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // per node: raw = α·m²/Σ2^(−M_j), with 2^0 contributed by each of the
+    // m − nz ABSENT registers (register value 0); small-range correction
+    // m·ln(m/zeros) when raw ≤ 2.5m and zero registers remain
+    def estimate(rg: DataFrame, r: Int): DataFrame = {
+      val s = col("s") + (lit(m) - col("nz"))
+      val raw = lit(alpha * m * m) / s
+      rg.groupBy("id")
+        .agg(sum(pow(lit(2.0), -col("rho").cast("double"))).as("s"),
+          count(lit(1)).as("nz"))
+        .select(col("id"), lit(r).as("r"),
+          when(raw <= 2.5 * m && col("nz") < m,
+            round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("nz"))), 3))
+            .otherwise(round(raw, 3)).as("est"))
+    }
+    // round r: pull every neighbor's registers, keep per-(id, j) max
+    var cur = nodes.select(col("id"), pmod(h, lit(m.toLong)).cast("int").as("j"), rho.as("rho"))
+      .localCheckpoint(true)
+    (1 to maxR).map { r =>
+      cur = cur.unionAll(
+          cur.join(sym.withColumnRenamed("u", "w").withColumnRenamed("v", "id2"),
+              col("id") === col("w"))
+            .select(col("id2").as("id"), col("j"), col("rho")))
+        .groupBy("id", "j").agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      estimate(cur, r)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Link-prediction features over non-adjacent pairs (the KG-completion
+    * candidate surface): for every pair (u, w), u < w, NOT an edge, with
+    * at least `minSupport` common neighbors — `cn` = common-neighbor count
+    * and `ra_micros` = Σ_z floor(10⁶ / deg(z)) over common neighbors z,
+    * the Resource Allocation index (Zhou, Lü & Zhang, "Predicting missing
+    * links via local information", EPJ B 71, 2009) as an EXACT INTEGER in
+    * micro-units, so the oracle replays it hash-identically (the float
+    * division is downstream, like transitivity). Adamic-Adar's 1/ln deg is
+    * deliberately not the gate surface — cross-engine libm.
+    *
+    * Scale shape: wedge pairs through a hub z cost C(deg z, 2) — the
+    * last-reducer hazard — so z is degree-capped at `maxZDeg` (the
+    * standard mitigation; capped-out hubs contribute no evidence, which
+    * RA already discounts by 1/deg). `minSupport` prunes the quadratic
+    * one-shared-neighbor tail before it is ever materialized as output.
+    * Joins are key-equi on z; the edge anti-join removes existing edges. */
+  def linkPredFeatures(und0: DataFrame, maxZDeg: Int = 32,
+                       minSupport: Int = 2): DataFrame = {
+    require(maxZDeg >= 1 && minSupport >= 1, s"maxZDeg=$maxZDeg minSupport=$minSupport")
+    val und = und0.localCheckpoint(true)
+    val deg = degrees(und)
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val zok = sym.join(deg.withColumnRenamed("id", "u"), Seq("u"))
+      .filter(col("deg") <= maxZDeg)
+      .select(col("u").as("z"), col("v").as("n"), col("deg").as("zdeg"))
+    val pairs = zok.select(col("z"), col("n").as("u"), col("zdeg"))
+      .join(zok.select(col("z"), col("n").as("w")), Seq("z"))
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div zdeg")).as("ra_micros"))
+      .filter(col("cn") >= minSupport)
+    pairs.join(und.withColumnRenamed("v", "w"), Seq("u", "w"), "left_anti")
+      .select(col("u"), col("w"), col("cn"), col("ra_micros"))
   }
 
   /** Degree assortativity r as a Double (spec-level; the oracle gates the

@@ -242,6 +242,54 @@ object Ann {
   def ivfAppend(cents: DataFrame, newVectors: DataFrame, kassign: Int = 1): DataFrame =
     assignTo(newVectors, cents, kassign)
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup = k-means clustering as the BLOCKING stage, then
+    * ε-ball pruning strictly within each cluster. Returns one row per
+    * vector — (vec_id, cid, csim, kept) with csim = round(cos(v,
+    * centroid), 6) and kept ∈ {0, 1} — so `kept = 1` is the dedup filter
+    * and the flag surface is oracle-checkable end to end.
+    *
+    * Keeper rule (the paper's §2.2 choice, made into a deterministic total
+    * order): within a cluster, a vector x is DROPPED iff some cluster-mate
+    * y has cos(x, y) ≥ `tau` and y sits FARTHER from the centroid —
+    * csim_y < csim_x, ties broken by lower vec_id. The paper keeps the
+    * low-centroid-similarity member of each duplicate group to preserve
+    * diversity; phrasing it pairwise keeps the op one self-join (no
+    * iterative group resolution) and makes every drop independently
+    * re-checkable.
+    *
+    * Scale shape: centroids are driver-scale and broadcast; assignment is
+    * one linear pass; the pair stage is keyed on `cid` (shuffle-hash — the
+    * per-cluster Σ sz² cost is the paper's own within-cluster comparison,
+    * bounded by choosing nlist ∝ N so clusters stay O(N/nlist)); nothing
+    * is windowed over the full table, nothing collects. */
+  def semDedup(embeddings: DataFrame, nlist: Int = 16, tau: Double = 0.99,
+               seed: Long = 97L, lloyd: Int = 0): DataFrame = {
+    val cents = ivfCentroidsLloyd(embeddings, nlist, seed, lloyd)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine(col("embedding"), col("ce")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").localCheckpoint(true)
+    val lhs = assign.select(col("cid"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("csim").as("ca"))
+    val rhs = assign.select(col("cid"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("csim").as("cb"))
+    val dropped = lhs.join(rhs.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("a") =!= col("b") &&
+        (col("cb") < col("ca") || (col("cb") === col("ca") && col("b") < col("a"))))
+      .filter(round(cosine(col("ea"), col("eb")), 6) >= tau)
+      .select(col("a").as("vec_id")).distinct()
+    // the dropped set is corpus-proportional at high dup rates — never
+    // broadcast; shuffle-hash keeps the flag attachment sort-free
+    assign.select(col("vec_id"), col("cid"), col("csim"))
+      .join(dropped.withColumn("d", lit(1)).hint("shuffle_hash"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("csim"),
+        when(col("d").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   /** near-duplicate vector pairs: same key in ANY band, cosine-verified ≥
     * threshold. (a, b, sim) with a < b. Candidate generation is the banded
     * bucket join above; the verify joins candidates to the embedding table

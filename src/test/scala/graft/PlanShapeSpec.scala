@@ -125,4 +125,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"per-node counts must map-side combine:\n$plan")
   }
+
+  test("SemDeDup: cid-keyed shuffle-hash pair stage; embedding rows never sort") {
+    val e = graft.queries.TrainingDataQueries.embCorpus(spark, sf)
+    val plan = graft.sim.Ann.semDedup(e, tau = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the within-cluster pair join must build a hash table keyed on cid:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"embedding-array rows must never ride a sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairs must be blocked by cluster, never all-pairs:\n$plan")
+  }
+
+  test("link-pred features: equi-joins only, counts map-side combine") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val und = graft.sample.GraphMetrics.undirected(kb.edges, "contains")
+    val plan = graft.sample.GraphMetrics.linkPredFeatures(und)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge pairing must stay an equi-join on z:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair aggregation must map-side combine:\n$plan")
+  }
+
+  test("DSIR: bucket totals broadcast back; the gram stream aggregates partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val surf = graft.text.Dsir.featureSurface(docs, col("doc_id") % 5 === 0)
+    val plan = surf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the buckets-sized totals table must broadcast into the feature rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-sized feature stream must never sort-merge:\n$plan")
+  }
 }

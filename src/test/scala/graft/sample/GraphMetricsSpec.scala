@@ -132,4 +132,67 @@ class GraphMetricsSpec extends SparkSpec {
     val t = GraphMetrics.transitivity(g)
     assert(t >= 0.0 && t <= 1.0)
   }
+
+  test("neighborhoodExact: path a-b-c-d hand-traced at every radius") {
+    val g = und(("a","b"),("b","c"),("c","d"))
+    val nf = GraphMetrics.neighborhoodExact(g, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(nf(("a",1)) == 1 && nf(("a",2)) == 2 && nf(("a",3)) == 3)
+    assert(nf(("b",1)) == 2 && nf(("b",2)) == 3 && nf(("b",3)) == 3)
+    assert(nf(("c",1)) == 2 && nf(("c",2)) == 3 && nf(("c",3)) == 3)
+    assert(nf(("d",1)) == 1 && nf(("d",2)) == 2 && nf(("d",3)) == 3)
+    // saturated: radius beyond the diameter adds nothing
+    assert(nf.size == 12)
+  }
+
+  test("neighborhoodExact: partitioning invariance") {
+    val g = und(("a","b"),("b","c"),("c","d"),("d","a"),("b","d"))
+    val wide = g.repartition(7, xxhash64(col("u")))
+    assert(GraphMetrics.neighborhoodExact(g, 2).collect().toSet ==
+      GraphMetrics.neighborhoodExact(wide, 2).collect().toSet)
+  }
+
+  test("hyperBall tracks the exact neighborhood function within HLL error") {
+    val edges = graft.sources.TpchKg.load(s, "/root/testdata/sf0.001").edges
+    val g = GraphMetrics.undirected(edges, "contains").localCheckpoint(true)
+    val exact = GraphMetrics.neighborhoodExact(g, 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val est = GraphMetrics.hyperBall(g, 2, logm = 6).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    // hyperBall counts include the node itself (ANF convention): compare
+    // against exact + 1; m = 64 registers in the linear-counting regime
+    // give well under 15% mean relative error
+    val relErrs = exact.toSeq.map { case (k, cnt) =>
+      math.abs(est(k) - (cnt + 1)) / (cnt + 1).toDouble
+    }
+    val mean = relErrs.sum / relErrs.size
+    assert(mean < 0.15, f"mean relative error $mean%.3f")
+    // estimates are monotone in r for every node, like the exact counts
+    exact.keys.filter(_._2 == 1).foreach { case (id, _) =>
+      assert(est((id, 2)) >= est((id, 1)) - 1e-9)
+    }
+  }
+
+  test("linkPredFeatures: square graph — the two diagonals, hand-traced") {
+    val g = und(("a","b"),("b","c"),("c","d"),("d","a"))
+    val lp = GraphMetrics.linkPredFeatures(g, maxZDeg = 32, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // (a,c) via b and d, (b,d) via a and c; every z has degree 2
+    assert(lp.toSet == Set(("a","c",2L,1000000L), ("b","d",2L,1000000L)))
+  }
+
+  test("linkPredFeatures: existing edges excluded, hub cap silences capped wedges") {
+    // star h-x1..x5 plus edge x1-x2: with minSupport=1 the (x_i, x_j)
+    // pairs via h remain except the (x1, x2) edge; ra = floor(1e6/5)
+    val star = und(("h","x1"),("h","x2"),("h","x3"),("h","x4"),("h","x5"),("x1","x2"))
+    val lp1 = GraphMetrics.linkPredFeatures(star, maxZDeg = 32, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(lp1.length == 9) // C(5,2) − the x1-x2 edge
+    assert(lp1.forall(t => t._3 == 1L && t._4 == 200000L))
+    assert(!lp1.exists(t => t._1 == "x1" && t._2 == "x2"))
+    // capping the hub out (deg 5 > 2) removes all its wedge evidence
+    assert(GraphMetrics.linkPredFeatures(star, maxZDeg = 2, minSupport = 1)
+      .collect().isEmpty)
+  }
 }
