@@ -102,6 +102,25 @@ object TrainingDataQueries {
       Ann.ivfTopKIndexed(e, io.read("ivf/centroids"), io.read("ivf/assign"), q, 5)
     }),
     "td_ann_lsh_bucket" -> ((s, d) => Ann.lshBucket(emb(s, d))),
+    // product quantization (Jégou et al. TPAMI'11): per-subspace argmin
+    // codes + the ADC search that never re-reads raw embeddings — both
+    // fully oracle-replayed (LCG-seeded codebooks, round-6 argmin/rank)
+    "td_pq_codes" -> ((s, d) => graft.sim.Pq.encode(emb(s, d))),
+    "td_pq_adc" -> ((s, d) => {
+      val e = emb(s, d)
+      val books = graft.sim.Pq.codebooks(e)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      graft.sim.Pq.adcTopK(graft.sim.Pq.encodeWith(e, books), books, q, 5)
+    }),
+    "td_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val books = graft.sim.Pq.codebooks(e, m = 16)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      graft.sim.Pq.adcTopKRerank(graft.sim.Pq.encodeWith(e, books, m = 16),
+        books, q, e, 5, shortlist = 50, m = 16)
+    }),
     "td_dedup_embedding" -> ((s, d) =>
       Ann.nearDupPairs(embCorpus(s, d), 0.999).select("a", "b")),
     "td_dedup_emb_clusters" -> ((s, d) =>
@@ -206,6 +225,55 @@ object TrainingDataQueries {
        |    SUM(CASE WHEN ${Ann.planeSignDuck()} THEN x ELSE -x END) AS s
        |  FROM ev CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id, j) proj
        |GROUP BY vec_id""".stripMargin
+
+  /** PQ replay (Jégou et al. TPAMI'11 shapes, Pq.scala conventions):
+    * codebooks = the 16 LCG-lowest vectors' subvectors (code = rank in
+    * that order), codes = per-(vec, sub) argmin round-6 L2. Shared by
+    * `td_pq_codes` / `td_pq_adc` (m = 8) and `td_pq_rerank` (m = 16). */
+  private def pqCtes(m: Int): String = {
+    val sd = 64 / m
+    s"""${evCte("embeddings")},
+       |cent AS MATERIALIZED (
+       |  SELECT vec_id, CAST(row_number() OVER (
+       |    ORDER BY ${graft.core.Determinism.lcgDuck("vec_id", 97L)}, vec_id) - 1 AS INT) AS code
+       |  FROM embeddings
+       |  ORDER BY ${graft.core.Determinism.lcgDuck("vec_id", 97L)}, vec_id LIMIT 16),
+       |parts AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i // $sd AS INT) AS sub, CAST(i % $sd AS INT) AS j, x FROM ev),
+       |cb AS MATERIALIZED (
+       |  SELECT p.sub, c.code, p.j, p.x AS cx
+       |  FROM parts p JOIN cent c ON c.vec_id = p.vec_id),
+       |d2 AS (
+       |  SELECT p.vec_id, p.sub, b.code,
+       |    ROUND(SUM((p.x - b.cx) * (p.x - b.cx)), 6) AS d2
+       |  FROM parts p JOIN cb b ON b.sub = p.sub AND b.j = p.j
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |    FROM d2) a WHERE rn = 1)""".stripMargin
+  }
+
+  /** the ADC scoring chain over [[pqCtes]], ending in a `sc`/`qn` pair the
+    * callers rank from */
+  private val pqAdcCtes: String =
+    """qp AS (SELECT vec_id AS q, sub, j, x FROM parts WHERE vec_id < 10),
+      |lut AS (
+      |  SELECT qp.q, cb.sub, cb.code, SUM(qp.x * cb.cx) AS pdot
+      |  FROM qp JOIN cb ON cb.sub = qp.sub AND cb.j = qp.j GROUP BY 1, 2, 3),
+      |qn AS (SELECT q, SQRT(SUM(x * x)) AS qn FROM qp GROUP BY q),
+      |cnorm2 AS (SELECT sub, code, SUM(cx * cx) AS cn2 FROM cb GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT l.q, c.vec_id AS neighbor, SUM(l.pdot) AS dot, SUM(n.cn2) AS rn2
+      |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      |  JOIN cnorm2 n ON n.sub = c.sub AND n.code = c.code
+      |  WHERE c.vec_id <> l.q
+      |  GROUP BY 1, 2),
+      |adc AS (
+      |  SELECT sc.q, neighbor, CAST(row_number() OVER (PARTITION BY sc.q
+      |    ORDER BY ROUND(dot / (qn.qn * SQRT(rn2)), 6) DESC, neighbor) AS INT) AS adc_rank
+      |  FROM sc JOIN qn ON qn.q = sc.q)""".stripMargin
 
   /** IVF search: LCG-seeded centroids, max-cosine assignment, nprobe=4 of
     * nlist=16 lists probed per query. Shared by `td_ann_ivf` (inline build)
@@ -369,6 +437,29 @@ object TrainingDataQueries {
     // contract, so one oracle serves both rows.
     "td_ann_ivf" -> ivfOracleSql,
     "td_ann_ivf_indexed" -> ivfOracleSql,
+    "td_pq_codes" -> s"WITH ${pqCtes(8)}\nSELECT vec_id, sub, code FROM codes",
+    "td_pq_adc" ->
+      s"""WITH ${pqCtes(8)},
+         |$pqAdcCtes
+         |SELECT q, adc_rank, neighbor FROM adc WHERE adc_rank <= 5""".stripMargin,
+    // ADC shortlist-50 + exact-cosine re-rank at m=16 — the recall lever
+    // (codes propose, raw embeddings score only |Q|·50 rows)
+    "td_pq_rerank" ->
+      s"""WITH ${pqCtes(16)},
+         |$pqAdcCtes,
+         |short AS MATERIALIZED (SELECT q, neighbor FROM adc WHERE adc_rank <= 50),
+         |norms AS MATERIALIZED (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+         |rd AS (
+         |  SELECT s.q, s.neighbor, SUM(ea.x * eb.x) AS dot FROM short s
+         |  JOIN ev ea ON ea.vec_id = s.q
+         |  JOIN ev eb ON eb.vec_id = s.neighbor AND eb.i = ea.i
+         |  GROUP BY 1, 2)
+         |SELECT q, rerank, neighbor FROM (
+         |  SELECT rd.q, neighbor, CAST(row_number() OVER (PARTITION BY rd.q
+         |    ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, neighbor) AS INT) AS rerank
+         |  FROM rd JOIN norms nq ON nq.vec_id = rd.q
+         |  JOIN norms nn ON nn.vec_id = rd.neighbor) t
+         |WHERE rerank <= 5""".stripMargin,
     // sessionization: new session iff ts > prev_ts + gap — Spark's
     // session_window merges TOUCHING windows (an event at exactly
     // prev + gap joins the session; verified empirically in
