@@ -104,6 +104,25 @@ object SamplerQueries {
         (count(lit(1)) === n).as("count_ok"),
         (sum(col("pr")) <= n.toDouble).as("mass_leaky"),
         (min(col("pr")) > 0.0).as("positive"))
+    }),
+    // personalized PageRank (Jeh-Widom): teleport to 5 md5-lowest seeds
+    // (string-keyed portable order — node ids don't LCG);
+    // property row — total mass leaks to ≤ 1, seeds all positive, and the
+    // seed set's mass SHARE strictly exceeds the uniform |S|/n share (the
+    // locality that distinguishes PPR from global PageRank)
+    "smp_ppr_props" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val n = kb.nodes.count()
+      val seeds = kb.nodes
+        .orderBy(Determinism.md5Int(col("id")), col("id")).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      val ppr = PageRank.personalized(kb, seeds, iterations = 15)
+      ppr.agg(
+        (count(lit(1)) === n).as("count_ok"),
+        (sum(col("pr")) <= 1.0 + 1e-9).as("mass_leaky"),
+        (min(when(col("id").isin(seeds: _*), col("pr"))) > 0.0).as("seeds_positive"),
+        (sum(when(col("id").isin(seeds: _*), col("pr")).otherwise(lit(0.0))) / sum(col("pr"))
+          > seeds.size.toDouble / n).as("seed_share_exceeds_uniform"))
     }))
 
   /** Run ALL 20 registry samplers (Samplers.allNames — the reference's full
@@ -261,5 +280,8 @@ object SamplerQueries {
          |WHERE p.cnt * t.total > r.center_sum * c.context_sum""".stripMargin,
       inCte = true),
     "smp_pagerank_props" ->
-      "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive")
+      "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive",
+    "smp_ppr_props" ->
+      ("SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS seeds_positive, " +
+        "TRUE AS seed_share_exceeds_uniform"))
 }

@@ -268,6 +268,22 @@ object GraphMetrics {
     }.reduce(_ unionAll _)
   }
 
+  /** Effective diameter from a neighborhood-function table — (id, r,
+    * reach) rows from [[neighborhoodExact]] (`reach_cnt`) or [[hyperBall]]
+    * (`est`): the smallest r whose total reachable-pair count covers
+    * `frac` of the count at the deepest radius computed (the standard
+    * 90%-effective-diameter of the ANF literature, over whatever horizon
+    * the caller ran). One maxR-row aggregate — driver-scale. */
+  def effectiveDiameter(nf: DataFrame, frac: Double = 0.9): Int = {
+    val reach = nf.columns.intersect(Seq("reach_cnt", "est")).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"expected a reach_cnt or est column, got ${nf.columns.mkString(",")}"))
+    val perR = nf.groupBy("r").agg(sum(col(reach)).cast("double").as("pairs"))
+      .collect().map(row => (row.getInt(0), row.getDouble(1))).sortBy(_._1)
+    val target = frac * perR.last._2
+    perR.find(_._2 >= target).map(_._1).getOrElse(perR.last._1)
+  }
+
   /** Link-prediction features over non-adjacent pairs (the KG-completion
     * candidate surface): for every pair (u, w), u < w, NOT an edge, with
     * at least `minSupport` common neighbors — `cn` = common-neighbor count

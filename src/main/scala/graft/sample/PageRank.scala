@@ -124,4 +124,41 @@ object PageRank {
     adj.unpersist(); adjIter.unpersist(); dstNodes.unpersist()
     out
   }
+
+  /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
+    * search", WWW'03 — the random surfer teleports to the SEED set, not
+    * uniformly): pr(v) = d·s(v) + (1−d)·Σ_{u→v} pr(u)/outdeg(u) with
+    * s(v) = 1/|seeds| on seeds, 0 elsewhere; init = s. Mass leaks through
+    * dangling nodes exactly like [[compute]] (Σ pr ≤ 1), and nodes the
+    * seeds cannot reach stay at 0 — the locality that makes PPR the
+    * standard seed-biased sampling/expansion score over a KG.
+    *
+    * Scale shape: same per-sweep cost as [[compute]] — the adjacency is
+    * cached hash-partitioned on `src` and co-partitions with each sweep's
+    * output, so only the mass aggregation shuffles; the teleport vector
+    * is a broadcast IN-list (seed sets are user-scale, not graph-scale). */
+  def personalized(kb: Kb, seeds: Seq[String], d: Double = 0.15,
+                   iterations: Int = 30, checkpointEvery: Int = 10): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val tele = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    val outdeg = kb.edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = kb.edges.select("src", "dst").join(outdeg, Seq("src"))
+      .repartition(col("src")).cache()
+    val base = kb.nodes.select(col("id"), tele.as("s")).localCheckpoint(true)
+    var ranks = base.select(col("id"), col("s").as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val mass = adj.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      val next = base.join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"), (lit(d) * col("s") +
+          lit(1 - d) * coalesce(col("mass"), lit(0.0))).as("pr"))
+      i += 1
+      ranks = if (i % checkpointEvery == 0 || i == iterations)
+        next.localCheckpoint(true) else next
+    }
+    adj.unpersist()
+    ranks
+  }
 }

@@ -174,6 +174,17 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("effectiveDiameter from the exact table and the HLL table") {
+    val g = und(("a","b"),("b","c"),("c","d"))
+    val nf = GraphMetrics.neighborhoodExact(g, 3)
+    // pair totals by radius: 6, 10, 12 → 90% of 12 needs r=3, 80% r=2
+    assert(GraphMetrics.effectiveDiameter(nf, 0.9) == 3)
+    assert(GraphMetrics.effectiveDiameter(nf, 0.8) == 2)
+    val hb = GraphMetrics.hyperBall(g, 3)
+    val d = GraphMetrics.effectiveDiameter(hb, 0.9)
+    assert(d >= 1 && d <= 3)
+  }
+
   test("linkPredFeatures: square graph — the two diagonals, hand-traced") {
     val g = und(("a","b"),("b","c"),("c","d"),("d","a"))
     val lp = GraphMetrics.linkPredFeatures(g, maxZDeg = 32, minSupport = 2)

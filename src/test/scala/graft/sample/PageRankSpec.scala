@@ -60,4 +60,51 @@ class PageRankSpec extends SparkSpec {
       assert(spark.conf.get(key) === "true")
     } finally spark.conf.set(key, before)
   }
+
+  /** naive personalized Jacobi reference: pr = d·s + (1−d)·in-mass */
+  private def naivePpr(kb: graft.core.Kb, seeds: Seq[String], d: Double,
+                       iters: Int): Map[String, Double] = {
+    val outdeg = kb.edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = kb.edges.select("src", "dst").join(outdeg, Seq("src"))
+    val s = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    var ranks: DataFrame = kb.nodes.select(col("id"), s.as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      ranks = kb.nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"), (lit(d) * s + lit(1 - d) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("personalized PageRank matches the naive Jacobi reference") {
+    val kb = HepatitisLikeKb.kb(spark).cache()
+    val seeds = Seq("p1", "p2")
+    for (iters <- Seq(1, 3)) {
+      val fast = PageRank.personalized(kb, seeds, iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val slow = naivePpr(kb, seeds, 0.15, iters)
+      assert(fast.keySet === slow.keySet)
+      fast.foreach { case (id, v) =>
+        assert(math.abs(v - slow(id)) < 1e-12, s"$id at iters=$iters: $v vs ${slow(id)}")
+      }
+    }
+  }
+
+  test("PPR locality: nodes the seed cannot reach hold exactly 0; mass leaks to ≤ 1") {
+    val kb = graft.fixtures.FamilyKb.kb(spark).cache()
+    val ppr = PageRank.personalized(kb, Seq("m1"), iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m1's forward closure: m1's children and their descendants; f1/f5/f6
+    // and the isolated x2..x4 are unreachable
+    Seq("f1", "f5", "f6", "x2", "x3", "x4").foreach { id =>
+      assert(ppr(id) == 0.0, s"$id unreachable from m1 but pr=${ppr(id)}")
+    }
+    assert(ppr("m1") > 0.0 && ppr("m2") > 0.0 && ppr("f2") > 0.0)
+    assert(ppr.values.sum <= 1.0 + 1e-12)
+    // seed share strictly exceeds the uniform share — the locality property
+    assert(ppr("m1") / ppr.values.sum > 1.0 / kb.nodes.count())
+  }
 }
