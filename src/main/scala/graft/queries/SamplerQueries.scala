@@ -96,6 +96,12 @@ object SamplerQueries {
       DeepWalk.ppmiPairs(DeepWalk.skipGramPairs(
         DeepWalk.corpus(kb, starts, reps = 2, steps = 5, seed = Seed), window = 2))
     }),
+    // filtered KGE negative sampling (Bordes et al. NeurIPS'13 corruption
+    // protocol): per edge and draw i<2, corrupt head/tail by md5 parity
+    // with an md5-rank-indexed uniform node draw, minus true triples —
+    // every draw oracle-replayed byte-identically
+    "smp_kge_negatives" -> ((s, d) =>
+      KgeNegatives.negatives(TpchKg.load(s, d), k = 2, seed = Seed)),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -279,6 +285,28 @@ object SamplerQueries {
          |JOIN cs c ON c.context = p.context
          |WHERE p.cnt * t.total > r.center_sum * c.context_sum""".stripMargin,
       inCte = true),
+    "smp_kge_negatives" -> TpchKgSql.withKg({
+      val keyC = "'42|c|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+      val keyD = "'42|d|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+      s"""nidx AS MATERIALIZED (
+         |  SELECT id, row_number() OVER (
+         |    ORDER BY ${Determinism.md5IntDuck("id")}, id) - 1 AS draw FROM nodes),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |draws AS MATERIALIZED (
+         |  SELECT e.src, e.pred, e.dst, g.i,
+         |    (${Determinism.md5IntDuck(keyC)}) % 2 AS corrupt_head,
+         |    (${Determinism.md5IntDuck(keyD)}) % nn.n AS draw
+         |  FROM edges e CROSS JOIN generate_series(0, 1) g(i) CROSS JOIN nn),
+         |neg AS MATERIALIZED (
+         |  SELECT d.src, d.pred, d.dst, CAST(d.i AS INT) AS i,
+         |    CASE WHEN d.corrupt_head = 1 THEN x.id ELSE d.src END AS neg_src,
+         |    CASE WHEN d.corrupt_head = 1 THEN d.dst ELSE x.id END AS neg_dst
+         |  FROM draws d JOIN nidx x ON x.draw = d.draw)
+         |SELECT src, pred, dst, i, neg_src, neg_dst FROM neg
+         |WHERE (neg_src <> src OR neg_dst <> dst)
+         |  AND NOT EXISTS (SELECT 1 FROM edges t
+         |    WHERE t.src = neg.neg_src AND t.pred = neg.pred AND t.dst = neg.neg_dst)""".stripMargin
+    }, inCte = true),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive",
     "smp_ppr_props" ->
