@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Basic-graph-pattern matching over the (src, pred, dst) edge table — the
+  * SPARQL BGP / conjunctive-query core (Pérez, Arenas & Gutierrez,
+  * "Semantics and complexity of SPARQL", TODS 2009) as pure Catalyst
+  * equi-joins. An atom is a (s, p, o) triple of terms; a term starting
+  * with '?' is a variable, anything else a constant. The result has one
+  * column per variable (named without the '?', in order of first
+  * appearance) under SPARQL's bag semantics — no implicit distinct.
+  *
+  * Plan shape: each atom is one scan of the edge table with its constant
+  * positions pushed down as filters (Catalyst pushes them into the
+  * parquet scan); atoms fold left-to-right into equi-joins on the shared
+  * variables, so ATOM ORDER IS THE JOIN ORDER — at scale, order atoms
+  * most-selective-first (the constant-bearing ones) and let AQE pick the
+  * physical join per size. A repeated variable inside one atom becomes a
+  * same-scan filter; a disconnected pattern is a deliberate cartesian
+  * product (SPARQL semantics) — connect patterns unless that is meant.
+  */
+object Bgp {
+
+  def matchPattern(edges: DataFrame, atoms: Seq[(String, String, String)]): DataFrame = {
+    require(atoms.nonEmpty, "empty pattern")
+    def isVar(t: String) = t.startsWith("?")
+    def vn(t: String) = t.stripPrefix("?")
+
+    def atomDf(a: (String, String, String)): (DataFrame, Seq[String]) = {
+      val (s, p, o) = a
+      var df = edges.select(col("src"), col("pred"), col("dst"))
+      if (!isVar(s)) df = df.filter(col("src") === s)
+      if (!isVar(p)) df = df.filter(col("pred") === p)
+      if (!isVar(o)) df = df.filter(col("dst") === o)
+      if (isVar(s) && isVar(p) && vn(s) == vn(p)) df = df.filter(col("src") === col("pred"))
+      if (isVar(s) && isVar(o) && vn(s) == vn(o)) df = df.filter(col("src") === col("dst"))
+      if (isVar(p) && isVar(o) && vn(p) == vn(o)) df = df.filter(col("pred") === col("dst"))
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      if (isVar(s)) cols.getOrElseUpdate(vn(s), col("src"))
+      if (isVar(p)) cols.getOrElseUpdate(vn(p), col("pred"))
+      if (isVar(o)) cols.getOrElseUpdate(vn(o), col("dst"))
+      require(cols.nonEmpty, s"atom $a binds no variable")
+      (df.select(cols.map { case (n, c) => c.as(n) }.toSeq: _*), cols.keys.toSeq)
+    }
+
+    val (headDf, headVars) = atomDf(atoms.head)
+    var acc = headDf
+    var bound = headVars
+    atoms.tail.foreach { a =>
+      val (df, vars) = atomDf(a)
+      val shared = vars.filter(bound.contains)
+      acc = if (shared.nonEmpty) acc.join(df, shared) else acc.crossJoin(df)
+      bound = bound ++ vars.filterNot(bound.contains)
+    }
+    // using-column joins put the keys first — restore first-appearance order
+    acc.select(bound.map(col): _*)
+  }
+}

@@ -63,7 +63,16 @@ object KgQueries {
     // micro-units (Zhou-Lü-Zhang EPJ B'09), hub-capped wedges
     "kg_linkpred" -> ((s, d) => graft.sample.GraphMetrics.linkPredFeatures(
       graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
-      maxZDeg = 32, minSupport = 2)))
+      maxZDeg = 32, minSupport = 2)),
+    // BGP conjunctive query with a repeated join variable (?n appears in
+    // two atoms — the co-nationality constraint): orders in region r:2
+    // whose customer shares a nation with one of the order's suppliers
+    "kg_bgp" -> ((s, d) => graft.core.Bgp.matchPattern(TpchKg.load(s, d).edges, Seq(
+      ("?o", "placedBy", "?c"),
+      ("?c", "inNation", "?n"),
+      ("?n", "inRegion", "r:2"),
+      ("?o", "suppliedBy", "?s"),
+      ("?s", "inNation", "?n")))))
 
   /** DuckDB mirror of GraphMetrics.cooccurrence over the contains edges —
     * the undirected co-purchase projection the graph-metric oracles share. */
@@ -187,6 +196,14 @@ object KgQueries {
          |FROM lp0
          |WHERE NOT EXISTS (SELECT 1 FROM bund e WHERE e.u = lp0.u AND e.v = lp0.w)""".stripMargin,
       inCte = true),
+    "kg_bgp" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |JOIN edges r ON r.pred = 'inRegion' AND r.src = b.dst AND r.dst = 'r:2'
+        |JOIN edges d ON d.pred = 'suppliedBy' AND d.src = a.src
+        |JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst AND e.dst = b.dst
+        |WHERE a.pred = 'placedBy'""".stripMargin),
     "kg_kcore" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${kcoreCtes(k = 80, rounds = 12)}

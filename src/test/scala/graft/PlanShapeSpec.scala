@@ -149,6 +149,19 @@ class PlanShapeSpec extends SparkSpec {
       s"pair aggregation must map-side combine:\n$plan")
   }
 
+  test("BGP: a connected pattern plans equi-joins only, never a cartesian") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val df = graft.core.Bgp.matchPattern(kb.edges, Seq(
+      ("?o", "placedBy", "?c"), ("?c", "inNation", "?n"),
+      ("?n", "inRegion", "r:2"), ("?o", "suppliedBy", "?s"),
+      ("?s", "inNation", "?n")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"shared-variable joins must stay equi-joins:\n$plan")
+    assert(plan.contains("placedBy") && plan.contains("inRegion"),
+      s"constant atom positions must appear as pushed filters:\n$plan")
+  }
+
   test("DSIR: bucket totals broadcast back; the gram stream aggregates partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val surf = graft.text.Dsir.featureSurface(docs, col("doc_id") % 5 === 0)

@@ -1,0 +1,54 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** BGP matching: hand-traced joins on a literal edge set, variable
+  * predicates, repeated variables inside one atom, bag semantics, and the
+  * disconnected-pattern cartesian contract. */
+class BgpSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private lazy val edges = Seq(
+    ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+    ("c", "likes", "a"), ("c", "likes", "c"), ("d", "knows", "d")
+  ).toDF("src", "pred", "dst")
+
+  private def rows(atoms: (String, String, String)*): Set[Seq[String]] =
+    Bgp.matchPattern(edges, atoms).collect()
+      .map(r => (0 until r.length).map(r.getString)).toSet
+
+  test("two-hop chain with shared variable") {
+    // ?x knows ?y, ?y knows ?z → a-b-c only (d-d-d via self loop too)
+    assert(rows(("?x", "knows", "?y"), ("?y", "knows", "?z")) ==
+      Set(Seq("a", "b", "c"), Seq("d", "d", "d")))
+  }
+
+  test("constant positions filter; variable predicate binds a column") {
+    assert(rows(("c", "?p", "?o")) == Set(Seq("likes", "a"), Seq("likes", "c")))
+    assert(rows(("?x", "likes", "a")) == Set(Seq("c")))
+  }
+
+  test("repeated variable inside one atom is a same-row filter") {
+    assert(rows(("?x", "knows", "?x")) == Set(Seq("d")))
+    assert(rows(("?x", "likes", "?x")) == Set(Seq("c")))
+  }
+
+  test("triangle pattern: repeated variables across three atoms") {
+    assert(rows(("?x", "knows", "?y"), ("?y", "knows", "?z"), ("?x", "knows", "?z")) ==
+      Set(Seq("a", "b", "c"), Seq("d", "d", "d")))
+  }
+
+  test("bag semantics: duplicate edges duplicate solutions") {
+    val dup = edges.unionAll(Seq(("a", "knows", "b")).toDF("src", "pred", "dst"))
+    val got = Bgp.matchPattern(dup, Seq(("a", "knows", "?y"))).collect().map(_.getString(0))
+    assert(got.sorted.toSeq == Seq("b", "b", "c"))
+  }
+
+  test("disconnected pattern is a cartesian product") {
+    val n = Bgp.matchPattern(edges,
+      Seq(("?x", "likes", "?y"), ("?u", "knows", "d"))).count()
+    assert(n == 2L) // 2 likes-rows × 1 knows-d row
+  }
+}
