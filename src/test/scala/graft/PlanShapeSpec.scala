@@ -158,8 +158,14 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"shared-variable joins must stay equi-joins:\n$plan")
-    assert(plan.contains("placedBy") && plan.contains("inRegion"),
-      s"constant atom positions must appear as pushed filters:\n$plan")
+    // the constant pred positions must do better than a pushed filter:
+    // Catalyst constant-folds pred = '...' against the union-all edge view
+    // and PRUNES every non-matching branch, so each atom reads only its
+    // base table (the pred literals disappear from the plan entirely)
+    assert(plan.contains("orders.parquet") && plan.contains("nation.parquet"),
+      s"constant atoms must prune the edge union to base-table scans:\n$plan")
+    assert(!plan.contains("'placedBy'") && !plan.contains("= placedBy"),
+      s"the pred constant survived as a runtime filter instead of pruning:\n$plan")
   }
 
   test("DSIR: bucket totals broadcast back; the gram stream aggregates partial") {
