@@ -125,6 +125,24 @@ object ExplainAudit {
           sum(coalesce(col("p"), lit(0L))).as("tp"),
           sum(coalesce(col("n"), lit(0L))).as("fp"))
     }
+    // SemDeDup: broadcast k-means assignment, cid-keyed shuffle-hash pair
+    // stage, sort-free flag attachment
+    show("semdedup")(graft.sim.Ann.semDedup(
+      graft.queries.TrainingDataQueries.embCorpus(spark, dir), tau = 0.99))
+    // PQ ADC: the code stream joins only broadcast lookup tables
+    show("pq_adc") {
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val books = graft.sim.Pq.codebooks(e)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      graft.sim.Pq.adcTopK(graft.sim.Pq.encodeWith(e, books), books, q, 5)
+    }
+    // BGP: constant atoms prune the union-all edge view to base-table scans
+    show("bgp")(graft.core.Bgp.matchPattern(kb.edges, Seq(
+      ("?o", "placedBy", "?c"), ("?c", "inNation", "?n"),
+      ("?n", "inRegion", "r:2"), ("?o", "suppliedBy", "?s"),
+      ("?s", "inNation", "?n"))))
     spark.stop()
   }
 }
