@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SPARQL 1.1 property-path evaluation over the (src, pred, dst) edge
+  * table — the navigational companion of [[Bgp]] (Pérez, Arenas &
+  * Gutierrez, "nSPARQL: a navigational language for RDF", JWS 2010; the
+  * W3C path algebra). Closure-free operators follow the spec's BAG
+  * semantics (a path expression without `+`/`*` is equivalent to the BGP
+  * with the intermediate variables projected out, duplicates retained);
+  * the transitive closure is DISTINCT-pairs by spec and is offered in its
+  * scale-sane bound-subject form: reachability FROM a seed set, not the
+  * all-pairs closure (which is O(|V|^2) output and never what a 100-TB
+  * query means).
+  *
+  * Plan shapes: `pairs` folds to scans-with-pushed-predicate-filters
+  * joined on the chain variable — exactly the BGP shape, so AQE picks the
+  * physical join per size. `closureFrom` is semi-naive BFS (the Datalog
+  * evaluation strategy): the step relation is materialized ONCE
+  * (localCheckpoint), each round is one keyed equi-join (frontier ⋈ step)
+  * + one anti-join against the reach set, both map-side prunable; rounds
+  * = graph eccentricity from the seeds, the same bound as the CC/k-core
+  * loops. Lineage is truncated per round so paper-length closures keep a
+  * flat plan.
+  */
+sealed trait PathExpr
+object PathExpr {
+  /** One predicate hop. */
+  final case class Pred(p: String) extends PathExpr
+  /** Inverse path (`^e`). */
+  final case class Inv(e: PathExpr) extends PathExpr
+  /** Sequence (`a/b`). */
+  final case class PSeq(a: PathExpr, b: PathExpr) extends PathExpr
+  /** Alternation (`a|b`). */
+  final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+}
+
+object Paths {
+  import PathExpr._
+
+  /** (s, o) pairs of the closure-free path `e` — bag semantics. Inverse
+    * is pushed down to the leaves (^(a/b) = ^b/^a, ^(a|b) = ^a|^b) so an
+    * inverted sequence still plans as forward equi-joins over
+    * predicate-filtered scans. */
+  def pairs(edges: DataFrame, e: PathExpr): DataFrame = e match {
+    case Pred(p) =>
+      edges.filter(col("pred") === p).select(col("src").as("s"), col("dst").as("o"))
+    case Inv(Pred(p)) =>
+      edges.filter(col("pred") === p).select(col("dst").as("s"), col("src").as("o"))
+    case Inv(Inv(x))    => pairs(edges, x)
+    case Inv(PSeq(a, b)) => pairs(edges, PSeq(Inv(b), Inv(a)))
+    case Inv(Alt(a, b))  => pairs(edges, Alt(Inv(a), Inv(b)))
+    case PSeq(a, b) =>
+      val pa = pairs(edges, a).withColumnRenamed("o", "m")
+      val pb = pairs(edges, b).withColumnRenamed("s", "m")
+      pa.join(pb, "m").select(col("s"), col("o"))
+    case Alt(a, b) =>
+      pairs(edges, a).unionAll(pairs(edges, b))
+  }
+
+  /** Nodes reachable from `sources` via 1..n applications of `e` (SPARQL
+    * `e+` with the subject side bound to a seed set), with the BFS level
+    * of FIRST reach as `dist` — distinct semantics per spec. The step
+    * relation is deduplicated before the loop (closure output is a set,
+    * and the dedup bounds every round's join fan-out by |step|, not the
+    * bag multiplicity). Raises if the frontier has not emptied after
+    * `maxRounds` — a closure that has not converged is a wrong answer,
+    * not a slow one. */
+  def closureFrom(
+      edges: DataFrame,
+      e: PathExpr,
+      sources: Seq[String],
+      maxRounds: Int = 64): DataFrame = {
+    require(sources.nonEmpty, "closureFrom needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val step = pairs(edges, e).distinct().localCheckpoint(true)
+    try {
+      val seed = sources.toDF("node")
+      var frontier = step.join(broadcast(seed), step("s") === seed("node"))
+        .select(step("o").as("node")).distinct()
+        .withColumn("dist", lit(1)).localCheckpoint(true)
+      var reach = frontier
+      var round = 1
+      var done = frontier.isEmpty
+      while (!done) {
+        round += 1
+        require(round <= maxRounds, s"closure did not converge in $maxRounds rounds")
+        val next = step.join(frontier, step("s") === frontier("node"))
+          .select(step("o").as("node")).distinct()
+        val fresh = next.join(reach, Seq("node"), "left_anti")
+          .withColumn("dist", lit(round)).localCheckpoint(true)
+        if (fresh.isEmpty) done = true
+        else {
+          reach = reach.unionAll(fresh).localCheckpoint(true)
+          frontier = fresh
+        }
+      }
+      reach
+    } finally step.unpersist()
+  }
+}

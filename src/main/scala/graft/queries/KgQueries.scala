@@ -72,7 +72,46 @@ object KgQueries {
       ("?c", "inNation", "?n"),
       ("?n", "inRegion", "r:2"),
       ("?o", "suppliedBy", "?s"),
-      ("?s", "inNation", "?n")))))
+      ("?s", "inNation", "?n")))),
+    // property path with every closure-free operator load-bearing:
+    // ^contains (inverse) / (placedBy|suppliedBy) (alternation) /
+    // inNation / inRegion (sequence) — part ↦ region of everyone touching
+    // an order that contains it, BAG semantics (duplicates retained)
+    "kg_path_alt" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Paths.pairs(TpchKg.load(s, d).edges,
+        PSeq(Inv(Pred("contains")),
+          PSeq(Alt(Pred("placedBy"), Pred("suppliedBy")),
+            PSeq(Pred("inNation"), Pred("inRegion")))))
+    }),
+    // transitive closure (SPARQL `e+`, bound subject): co-purchase
+    // reachability from part p:1 with BFS first-reach level — semi-naive
+    // rounds, oracle unrolls the idempotent rounds with 2x margin
+    "kg_path_closure" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Paths.closureFrom(TpchKg.load(s, d).edges,
+        PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"))
+    }),
+    // SHACL-lite validation report: cardinality (both directions of
+    // `contains`), value-class, datatype, and numeric-range constraints;
+    // the >3-parts orders, >40-orders parts and negative acctbal rows are
+    // the load-bearing violations, OrderCust/OrderDate are the green path
+    "kg_shacl" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.core.Shapes.validate(kb.edges, kb.types, kb.attrs,
+        propShapes = Seq(
+          graft.core.PropertyShape("OrderParts", "Order", "contains",
+            minCount = 1, maxCount = Some(3)),
+          graft.core.PropertyShape("PartOrdered", "Part", "^contains",
+            minCount = 1, maxCount = Some(40)),
+          graft.core.PropertyShape("OrderCust", "Order", "placedBy",
+            minCount = 1, maxCount = Some(1), valueClass = Some("Customer"))),
+        attrShapes = Seq(
+          graft.core.AttrShape("CustBal", "Customer", "acctbal",
+            datatype = Some("xsd:double"), minInclusive = Some(0.0)),
+          graft.core.AttrShape("OrderDate", "Order", "orderdate",
+            datatype = Some("xsd:date"))))
+    }))
 
   /** DuckDB mirror of GraphMetrics.cooccurrence over the contains edges —
     * the undirected co-purchase projection the graph-metric oracles share. */
@@ -170,7 +209,89 @@ object KgQueries {
       |  FROM edges WHERE pred = 'contains' AND src <> dst),
       |bsym AS MATERIALIZED (SELECT u, v FROM bund UNION ALL SELECT v AS u, u AS v FROM bund)""".stripMargin
 
+  /** DuckDB replay of the co-purchase closure's semi-naive BFS, unrolled
+    * to a fixed `rounds` (reach sets are cumulative, so MIN(lvl) = the
+    * BFS first-reach level; idempotent at fixpoint — same argument as
+    * [[starCtes]], a deeper engine run hash-mismatches loudly). */
+  private def pathClosureCtes(rounds: Int): String = {
+    val roundCtes = (2 to rounds).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT node FROM pc${i - 1}
+         |  UNION
+         |  SELECT st.o FROM pc${i - 1} p JOIN cpstep st ON st.s = p.node)""".stripMargin
+    }.mkString(",\n")
+    val lvls = (1 to rounds)
+      .map(i => s"SELECT node, $i AS lvl FROM pc$i").mkString("\n  UNION ALL ")
+    s"""cpstep AS MATERIALIZED (
+       |  SELECT DISTINCT a.dst AS s, b.dst AS o
+       |  FROM edges a JOIN edges b ON a.src = b.src
+       |  WHERE a.pred = 'contains' AND b.pred = 'contains'),
+       |pc1 AS MATERIALIZED (SELECT DISTINCT o AS node FROM cpstep WHERE s = 'p:1'),
+       |$roundCtes,
+       |lvl AS (
+       |  $lvls)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_path_alt" -> TpchKgSql.withKg(
+      """SELECT c.dst AS s, r.dst AS o
+        |FROM edges c
+        |JOIN (SELECT src, dst FROM edges WHERE pred = 'placedBy'
+        |      UNION ALL SELECT src, dst FROM edges WHERE pred = 'suppliedBy') a
+        |  ON a.src = c.src
+        |JOIN edges n ON n.pred = 'inNation' AND n.src = a.dst
+        |JOIN edges r ON r.pred = 'inRegion' AND r.src = n.dst
+        |WHERE c.pred = 'contains'""".stripMargin),
+    "kg_path_closure" -> TpchKgSql.withKg(
+      s"""${pathClosureCtes(8)}
+         |SELECT node, CAST(MIN(lvl) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin,
+      inCte = true),
+    "kg_shacl" -> TpchKgSql.withKg(
+      """opn AS MATERIALIZED (
+        |  SELECT t.node AS focus, COALESCE(c.n, 0) AS n
+        |  FROM types t LEFT JOIN (
+        |    SELECT src AS focus, COUNT(*) AS n FROM edges WHERE pred = 'contains' GROUP BY 1) c
+        |    ON c.focus = t.node
+        |  WHERE t.cls = 'Order'),
+        |pon AS MATERIALIZED (
+        |  SELECT t.node AS focus, COALESCE(c.n, 0) AS n
+        |  FROM types t LEFT JOIN (
+        |    SELECT dst AS focus, COUNT(*) AS n FROM edges WHERE pred = 'contains' GROUP BY 1) c
+        |    ON c.focus = t.node
+        |  WHERE t.cls = 'Part'),
+        |ocn AS MATERIALIZED (
+        |  SELECT t.node AS focus, COALESCE(c.n, 0) AS n
+        |  FROM types t LEFT JOIN (
+        |    SELECT src AS focus, COUNT(*) AS n FROM edges WHERE pred = 'placedBy' GROUP BY 1) c
+        |    ON c.focus = t.node
+        |  WHERE t.cls = 'Order')
+        |SELECT focus, 'OrderParts' AS shape_id, 'minCount' AS component, CAST(n AS VARCHAR) AS detail FROM opn WHERE n < 1
+        |UNION ALL SELECT focus, 'OrderParts', 'maxCount', CAST(n AS VARCHAR) FROM opn WHERE n > 3
+        |UNION ALL SELECT focus, 'PartOrdered', 'minCount', CAST(n AS VARCHAR) FROM pon WHERE n < 1
+        |UNION ALL SELECT focus, 'PartOrdered', 'maxCount', CAST(n AS VARCHAR) FROM pon WHERE n > 40
+        |UNION ALL SELECT focus, 'OrderCust', 'minCount', CAST(n AS VARCHAR) FROM ocn WHERE n < 1
+        |UNION ALL SELECT focus, 'OrderCust', 'maxCount', CAST(n AS VARCHAR) FROM ocn WHERE n > 1
+        |UNION ALL SELECT e.src, 'OrderCust', 'class', e.dst
+        |  FROM edges e
+        |  WHERE e.pred = 'placedBy'
+        |    AND EXISTS (SELECT 1 FROM types t WHERE t.node = e.src AND t.cls = 'Order')
+        |    AND NOT EXISTS (SELECT 1 FROM types t WHERE t.node = e.dst AND t.cls = 'Customer')
+        |UNION ALL SELECT a.node, 'CustBal', 'datatype', a.lexical
+        |  FROM attrs a
+        |  WHERE a.prop = 'acctbal'
+        |    AND EXISTS (SELECT 1 FROM types t WHERE t.node = a.node AND t.cls = 'Customer')
+        |    AND (a.dtype <> 'xsd:double' OR TRY_CAST(a.lexical AS DOUBLE) IS NULL)
+        |UNION ALL SELECT a.node, 'CustBal', 'minInclusive', a.lexical
+        |  FROM attrs a
+        |  WHERE a.prop = 'acctbal'
+        |    AND EXISTS (SELECT 1 FROM types t WHERE t.node = a.node AND t.cls = 'Customer')
+        |    AND TRY_CAST(a.lexical AS DOUBLE) < 0.0
+        |UNION ALL SELECT a.node, 'OrderDate', 'datatype', a.lexical
+        |  FROM attrs a
+        |  WHERE a.prop = 'orderdate'
+        |    AND EXISTS (SELECT 1 FROM types t WHERE t.node = a.node AND t.cls = 'Order')
+        |    AND (a.dtype <> 'xsd:date' OR TRY_CAST(a.lexical AS DATE) IS NULL)""".stripMargin,
+      inCte = true),
     "kg_reach" -> TpchKgSql.withKg(
       s"""$bipartiteCtes,
          |r1 AS MATERIALIZED (SELECT u AS id, v AS w FROM bsym),

@@ -141,7 +141,34 @@ object TrainingDataQueries {
     // session_window aggregation runs under readStream + watermark —
     // StreamingSpec proves batch/stream parity)
     "td_sessionize" -> ((s, d) => graft.streaming.Sessions.sessionize(
-      s.read.parquet(s"$d/events.parquet"), 30)))
+      s.read.parquet(s"$d/events.parquet"), 30)),
+    // backward as-of join: every click gains the user's newest
+    // at-or-before view (union-tag window plan, never a range join);
+    // carried view columns pass through untouched, the lag is exact
+    // integer micros — no float hazard anywhere
+    "td_asof" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      graft.streaming.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        key = "user_id", ts = "ts", id = "event_id",
+        carry = Seq("event_id" -> "view_id", "value" -> "view_value", "ts" -> "view_ts"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("view_id"), col("view_value"),
+          // parquet reads as TIMESTAMP_NTZ; session tz is UTC, so the
+          // cast is a pure reinterpretation and the micros are exact
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("view_ts").cast("timestamp"))).as("lag_us"))
+    }),
+    // SCD type-2 validity intervals from the event log: one row per
+    // event_type run per user, valid_to null on the current state
+    // (timestamps formatted to the shared 6-digit lexical form)
+    "td_scd2" -> ((s, d) => graft.streaming.Temporal.scd2(
+      s.read.parquet(s"$d/events.parquet"),
+      key = "user_id", ts = "ts", id = "event_id", state = "event_type")
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))))
 
   private val corpusCte =
     """corpus AS (
@@ -479,6 +506,36 @@ object TrainingDataQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // as-of: identical union-tag total order (ts, tag, event_id) — view
+    // rows sort before clicks at an equal instant, so at-or-before
+    // includes ties exactly like the engine's window
+    "td_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |m AS (
+        |  SELECT user_id, ts, event_id, tag,
+        |         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER w AS view_id,
+        |         last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER w AS view_value,
+        |         last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER w AS view_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id AS click_id, user_id, view_id, view_value,
+        |       CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS lag_us
+        |FROM m WHERE tag = 1""".stripMargin,
+    "td_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events) t
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        |FROM c""".stripMargin,
     // winnowing: same k-gram polynomial (Σ cp·31^j mod P, direct form of
     // the Spark side's rolling mod) + same h·2³²+(2³²−1−i) window-min key
     "td_winnow_fp" -> {

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal event-log operators Spark has no built-in for: backward as-of
+  * join and SCD type-2 interval construction — the two joins every
+  * event-sourced feature pipeline needs at 100 TB (attach the latest
+  * dimension/state row at event time; turn a change log into validity
+  * intervals).
+  *
+  * Both are implemented as the UNION-TAG window plan, not a range join:
+  * tag the two streams, union, one hash shuffle on the key, one sort per
+  * partition, and a running `last(..., ignoreNulls)` carries the newest
+  * right-side row forward to each left row. That is O(n log n) per key
+  * group with NO candidate-pair blow-up — a theta/range join of the same
+  * semantics explodes quadratically on hot keys, which is exactly what a
+  * per-user event log has. The windows are all PARTITIONed (never a
+  * global window); a single pathological key is the usual window-skew
+  * story — pre-split by a time bucket and re-merge if one key exceeds a
+  * partition.
+  *
+  * Determinism: the order within a key is the TOTAL order (ts, tag, id) —
+  * right rows sort before left rows at equal ts (so at-or-before includes
+  * the same instant, DuckDB/pandas backward-ASOF semantics), and the id
+  * column breaks exact-ts collisions between two right rows the same way
+  * in any engine.
+  */
+object Temporal {
+
+  /** Backward as-of join: each `left` row gains the newest `right` row
+    * with the same `key` and `right.ts <= left.ts` (ties included).
+    * `carry` lists (rightColumn, outputName) pairs to attach; all of them
+    * are null when no right row precedes. `id` must exist on BOTH sides
+    * and be unique per side (the tie-break). Output: every left column,
+    * then the carried columns. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      id: String,
+      carry: Seq[(String, String)]): DataFrame = {
+    require(carry.nonEmpty, "carry at least one right column")
+    val carryStruct = struct(carry.map { case (c, n) => col(c).as(n) }: _*)
+    val carryType: StructType = right.select(carryStruct).schema.head.dataType.asInstanceOf[StructType]
+    val rowStruct = struct(left.columns.map(col): _*)
+    val rowType: StructType = left.select(rowStruct).schema.head.dataType.asInstanceOf[StructType]
+
+    val rt = right.select(
+      col(key).as("__key"), col(ts).as("__ts"), lit(0).as("__tag"),
+      col(id).cast("long").as("__ord"),
+      carryStruct.as("__carry"), lit(null).cast(rowType).as("__row"))
+    val lt = left.select(
+      col(key).as("__key"), col(ts).as("__ts"), lit(1).as("__tag"),
+      col(id).cast("long").as("__ord"),
+      lit(null).cast(carryType).as("__carry"), rowStruct.as("__row"))
+
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__tag"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.unionByName(rt)
+      .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__row.*") +: carry.map { case (_, n) => col(s"__m.$n").as(n) }: _*)
+  }
+
+  /** SCD type-2 intervals from a change log: one row per state RUN —
+    * (key, state, valid_from, valid_to), `valid_to` null for the current
+    * state, consecutive duplicate states collapsed. The classic
+    * dimension-table build from an event stream. */
+  def scd2(
+      log: DataFrame,
+      key: String,
+      ts: String,
+      id: String,
+      state: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(id))
+    val changes = log
+      .withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(state))
+    changes
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(state).as("state"),
+        col(ts).as("valid_from"), col("valid_to"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.core.PathExpr._
+
+class PathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (String, String, String)*) =
+    rows.toDF("src", "pred", "dst")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def pairBag(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    df.collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, v) => k -> v.length.toLong }
+
+  test("Pred / Inv leaves") {
+    val e = edges(("a", "p", "b"), ("b", "q", "c"))
+    assert(pairSet(Paths.pairs(e, Pred("p"))) === Set(("a", "b")))
+    assert(pairSet(Paths.pairs(e, Inv(Pred("p")))) === Set(("b", "a")))
+  }
+
+  test("sequence composes through the mid variable, bag semantics") {
+    // two distinct mids a→m1→z, a→m2→z: (a,z) must appear TWICE
+    val e = edges(("a", "p", "m1"), ("a", "p", "m2"), ("m1", "p", "z"), ("m2", "p", "z"))
+    val got = pairBag(Paths.pairs(e, PSeq(Pred("p"), Pred("p"))))
+    assert(got === Map(("a", "z") -> 2L))
+  }
+
+  test("alternation is bag union") {
+    val e = edges(("a", "p", "b"), ("a", "q", "b"), ("a", "r", "c"))
+    val got = pairBag(Paths.pairs(e, Alt(Pred("p"), Pred("q"))))
+    assert(got === Map(("a", "b") -> 2L))
+  }
+
+  test("inverse pushes through sequence and alternation (^(a/b) = ^b/^a)") {
+    val e = edges(("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"))
+    val fwd = pairSet(Paths.pairs(e, PSeq(Pred("p"), Pred("q"))))
+    val inv = pairSet(Paths.pairs(e, Inv(PSeq(Pred("p"), Pred("q")))))
+    assert(inv === fwd.map(_.swap))
+    val invAlt = pairSet(Paths.pairs(e, Inv(Alt(Pred("q"), Pred("r")))))
+    assert(invAlt === Set(("c", "b"), ("c", "a")))
+    assert(pairSet(Paths.pairs(e, Inv(Inv(Pred("p"))))) === Set(("a", "b")))
+  }
+
+  test("closureFrom: BFS first-reach levels on a chain") {
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"))
+    val got = Paths.closureFrom(e, Pred("p"), Seq("a"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got === Map("b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("closureFrom: cycle reaches the seed itself at the cycle length") {
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"))
+    val got = Paths.closureFrom(e, Pred("p"), Seq("a"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got === Map("b" -> 1, "c" -> 2, "a" -> 3))
+  }
+
+  test("closureFrom: multi-seed min level and step dedup") {
+    // bag step (two parallel p edges a→b) must not duplicate reach rows
+    val e = edges(("a", "p", "b"), ("a", "q", "b"), ("b", "p", "c"), ("x", "p", "c"))
+    val df = Paths.closureFrom(e, Alt(Pred("p"), Pred("q")), Seq("a", "x"))
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.length === rows.distinct.length)
+    assert(rows.toMap === Map("b" -> 1, "c" -> 1))
+  }
+
+  test("closureFrom raises past maxRounds instead of silently truncating") {
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"))
+    intercept[IllegalArgumentException] {
+      Paths.closureFrom(e, Pred("p"), Seq("a"), maxRounds = 2)
+    }
+  }
+
+  test("closureFrom is invariant under input partitioning") {
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"), ("c", "p", "d"))
+    val one = Paths.closureFrom(e, Pred("p"), Seq("a"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val two = Paths.closureFrom(e.repartition(7), Pred("p"), Seq("a"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(one === two)
+  }
+}

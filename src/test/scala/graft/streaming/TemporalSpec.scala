@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // (event_id, ts, user_id, event_type, value)
+  private val ev = Seq(
+    (1L, "2024-01-01 00:00:01", 7L, "view", 1.0),
+    (2L, "2024-01-01 00:00:05", 7L, "click", 0.0),
+    (3L, "2024-01-01 00:00:05", 7L, "view", 2.0), // same instant as a later click
+    (4L, "2024-01-01 00:00:09", 7L, "click", 0.0),
+    (5L, "2024-01-01 00:00:02", 8L, "click", 0.0), // no prior view for user 8
+    (6L, "2024-01-01 00:00:03", 8L, "view", 3.0),
+    (7L, "2024-01-01 00:00:04", 8L, "click", 0.0))
+    .map { case (id, t, u, et, v) => (id, ts(t), u, et, v) }
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def asof() = Temporal.asofJoin(
+    ev.filter($"event_type" === "click"),
+    ev.filter($"event_type" === "view"),
+    key = "user_id", ts = "ts", id = "event_id",
+    carry = Seq("event_id" -> "view_id", "value" -> "view_value"))
+
+  test("asofJoin picks the newest at-or-before view, ties included") {
+    val got = asof().select("event_id", "view_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(got === Map(
+      2L -> Some(3L), // view 3 shares click 2's instant: at-or-before includes it
+      4L -> Some(3L), // the 00:00:05 view is the newest preceding one
+      5L -> None,     // nothing precedes
+      7L -> Some(6L)))
+  }
+
+  test("asofJoin: a view at the click's exact instant matches (at-or-before)") {
+    val sameInstant = Temporal.asofJoin(
+      Seq((10L, ts("2024-01-01 00:00:05"), 7L)).toDF("event_id", "ts", "user_id"),
+      ev.filter($"event_type" === "view"),
+      key = "user_id", ts = "ts", id = "event_id",
+      carry = Seq("event_id" -> "view_id"))
+    assert(sameInstant.collect().map(_.getAs[Long]("view_id")).toSeq === Seq(3L))
+  }
+
+  test("asofJoin carries nulls for all columns when unmatched") {
+    val r = asof().filter($"event_id" === 5L).collect().head
+    assert(r.isNullAt(r.fieldIndex("view_id")) && r.isNullAt(r.fieldIndex("view_value")))
+  }
+
+  test("asofJoin preserves every left column and is partition-invariant") {
+    val a = asof().collect().map(_.toString).sorted.toSeq
+    val b = Temporal.asofJoin(
+      ev.filter($"event_type" === "click").repartition(5),
+      ev.filter($"event_type" === "view").repartition(3),
+      "user_id", "ts", "event_id",
+      Seq("event_id" -> "view_id", "value" -> "view_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(asof().columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "view_id", "view_value"))
+  }
+
+  test("scd2 collapses runs and closes intervals with the next change") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:01", 7L, "a"),
+      (2L, "2024-01-01 00:00:02", 7L, "a"), // duplicate state: collapsed
+      (3L, "2024-01-01 00:00:03", 7L, "b"),
+      (4L, "2024-01-01 00:00:04", 7L, "a"), // a again: a NEW run
+      (5L, "2024-01-01 00:00:05", 9L, "x"))
+      .map { case (id, t, u, st) => (id, ts(t), u, st) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.scd2(log, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString))).toSet
+    assert(got === Set(
+      (7L, "a", "2024-01-01 00:00:01.0", Some("2024-01-01 00:00:03.0")),
+      (7L, "b", "2024-01-01 00:00:03.0", Some("2024-01-01 00:00:04.0")),
+      (7L, "a", "2024-01-01 00:00:04.0", None),
+      (9L, "x", "2024-01-01 00:00:05.0", None)))
+  }
+}
