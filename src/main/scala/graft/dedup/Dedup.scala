@@ -43,6 +43,29 @@ object Dedup {
       .filter(size(col("sig")) > 0)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
 
+  /** Corpus-overlap estimation (Broder '97 resemblance, merge property):
+    * MinHash signatures merge by MIN, so a whole corpus's signature is the
+    * per-index MIN over its documents' signatures — ONE map-side-combinable
+    * aggregate over (key, j); the corpora are never joined row-to-row.
+    * agree_cnt/k is an unbiased estimate of the Jaccard of the two
+    * corpora's SHINGLE SETS — the corpus-level contamination/overlap
+    * number a mixture designer wants before blending sources. The
+    * pairwise join runs over |keys|·NumHashes rows (tiny by construction
+    * at any corpus scale); the gate surface stays exact-integer. */
+  def corpusOverlap(docs: DataFrame, keyCol: String): DataFrame = {
+    val csig = docs
+      .select(col(keyCol).as("key_a"),
+        graft.expr.MinHash.minhashSig(col("text"), NumHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("key_a"), posexplode(col("sig")).as(Seq("j", "mh")))
+      .groupBy("key_a", "j").agg(min(col("mh")).as("cmh"))
+    val b = csig.select(col("key_a").as("key_b"), col("j"), col("cmh").as("cmh_b"))
+    csig.join(b, Seq("j")).filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("cmh") === col("cmh_b"), 1L).otherwise(0L)).as("agree_cnt"))
+  }
+
   /** LSH band keys: (doc_id, band, key), key = band's signature rows joined
     * in j order. */
   def lshBands(corpus: DataFrame): DataFrame =

@@ -160,6 +160,19 @@ object TrainingDataQueries {
           (unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("view_ts").cast("timestamp"))).as("lag_us"))
     }),
+    // trailing 24h per-event activity features: strictly-before RANGE
+    // frame over integer micros (training-safe — the row never sees
+    // itself); DECIMAL sum keeps the exact surface order-independent,
+    // the double cast is strictly downstream
+    "td_rolling" -> ((s, d) => graft.streaming.Temporal.rollingFeatures(
+      s.read.parquet(s"$d/events.parquet"),
+      key = "user_id", ts = "ts", valueCol = "value", windowMicros = 86400000000L)
+      .select(col("event_id"), col("user_id"), col("trail_cnt"),
+        col("trail_sum").cast("double").as("trail_sum"))),
+    // corpus-level MinHash overlap between the language slices:
+    // signatures merge by MIN, so the Jaccard estimate between two whole
+    // corpora costs one aggregate — the corpora are never joined
+    "td_corpus_overlap" -> ((s, d) => Dedup.corpusOverlap(docs(s, d), "lang")),
     // SCD type-2 validity intervals from the event log: one row per
     // event_type run per user, valid_to null on the current state
     // (timestamps formatted to the shared 6-digit lexical form)
@@ -524,6 +537,24 @@ object TrainingDataQueries {
         |SELECT event_id AS click_id, user_id, view_id, view_value,
         |       CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS lag_us
         |FROM m WHERE tag = 1""".stripMargin,
+    "td_rolling" ->
+      """SELECT event_id, user_id,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "td_corpus_overlap" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents), $shCte, $mhCte,
+         |cs AS (
+         |  SELECT d.lang AS key_a, m.j, MIN(m.mh) AS cmh
+         |  FROM mh m JOIN documents d ON d.doc_id = m.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a.key_a, b.key_a AS key_b,
+         |       CAST(COUNT(*) AS BIGINT) AS k,
+         |       CAST(SUM(CASE WHEN a.cmh = b.cmh THEN 1 ELSE 0 END) AS BIGINT) AS agree_cnt
+         |FROM cs a JOIN cs b ON a.j = b.j AND a.key_a < b.key_a
+         |GROUP BY 1, 2""".stripMargin,
     "td_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id FROM (

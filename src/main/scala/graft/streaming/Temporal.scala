@@ -67,6 +67,29 @@ object Temporal {
       .select(col("__row.*") +: carry.map { case (_, n) => col(s"__m.$n").as(n) }: _*)
   }
 
+  /** Trailing-window per-event features: count and EXACT DECIMAL sum of
+    * the key's rows in (ts − window, ts) — strictly before the row's own
+    * instant, so the feature can never leak the row it describes
+    * (training-safe by construction). RANGE frame over integer micros:
+    * one hash shuffle on the key, one sort per partition, the frame scan
+    * is the streaming two-pointer Spark's window exec already does.
+    * DECIMAL, not double, keeps the sum order-independent — cast to
+    * double strictly downstream if a float is wanted. */
+  def rollingFeatures(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      valueCol: String,
+      windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("__us"))
+      .rangeBetween(-windowMicros, -1L)
+    events
+      .withColumn("__us", unix_micros(col(ts).cast("timestamp")))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum(col(valueCol).cast("decimal(18,2)")).over(w))
+      .drop("__us")
+  }
+
   /** SCD type-2 intervals from a change log: one row per state RUN —
     * (key, state, valid_from, valid_to), `valid_to` null for the current
     * state, consecutive duplicate states collapsed. The classic

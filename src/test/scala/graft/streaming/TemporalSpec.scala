@@ -63,6 +63,36 @@ class TemporalSpec extends SparkSpec {
       Seq("event_id", "ts", "user_id", "event_type", "value", "view_id", "view_value"))
   }
 
+  test("rollingFeatures: strictly-before trailing frame, exact decimal sum") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, 1.10),
+      (2L, "2024-01-01 10:00:00", 7L, 2.20),
+      (3L, "2024-01-02 09:00:00", 7L, 4.40), // 24h window: sees e2, NOT e1 (exactly 33h/23h back)
+      (4L, "2024-01-01 00:00:00", 9L, 8.00)) // other user, same instant as e1
+      .map { case (id, t, u, v) => (id, ts(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Temporal.rollingFeatures(log, "user_id", "ts", "value", 86400000000L)
+      .select($"event_id", $"trail_cnt", $"trail_sum".cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got === Set(
+      (1L, 0L, None),             // nothing precedes; the row never sees itself
+      (2L, 1L, Some(1.10)),       // e1, 10h back
+      (3L, 1L, Some(2.20)),       // e2 at 23h back; e1 at 33h is out
+      (4L, 0L, None)))            // user 9's first event
+  }
+
+  test("rollingFeatures: events at the same instant exclude each other") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:05", 7L, 1.0),
+      (2L, "2024-01-01 00:00:05", 7L, 2.0))
+      .map { case (id, t, u, v) => (id, ts(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Temporal.rollingFeatures(log, "user_id", "ts", "value", 86400000000L)
+      .select($"event_id", $"trail_cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 0L), (2L, 0L)))
+  }
+
   test("scd2 collapses runs and closes intervals with the next change") {
     val log = Seq(
       (1L, "2024-01-01 00:00:01", 7L, "a"),
