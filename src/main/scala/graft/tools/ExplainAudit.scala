@@ -143,6 +143,26 @@ object ExplainAudit {
       ("?o", "placedBy", "?c"), ("?c", "inNation", "?n"),
       ("?n", "inRegion", "r:2"), ("?o", "suppliedBy", "?s"),
       ("?s", "inNation", "?n"))))
+    // property path: Pred leaves prune the union the same way; the
+    // sequence is pure equi-joins on the chain variable
+    show("path_alt") {
+      import graft.core.PathExpr._
+      graft.core.Paths.pairs(kb.edges,
+        PSeq(Inv(Pred("contains")),
+          PSeq(Alt(Pred("placedBy"), Pred("suppliedBy")),
+            PSeq(Pred("inNation"), Pred("inRegion")))))
+    }
+    // as-of join: union-tag window plan — ONE keyed exchange, ONE window,
+    // zero join operators
+    show("asof") {
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      graft.streaming.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        key = "user_id", ts = "ts", id = "event_id",
+        carry = Seq("event_id" -> "view_id", "value" -> "view_value"))
+    }
     spark.stop()
   }
 }

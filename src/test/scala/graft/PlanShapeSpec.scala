@@ -168,6 +168,54 @@ class PlanShapeSpec extends SparkSpec {
       s"the pred constant survived as a runtime filter instead of pruning:\n$plan")
   }
 
+  test("property path: pred constants prune the edge union; equi-joins only") {
+    import graft.core.PathExpr._
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val df = graft.core.Paths.pairs(kb.edges,
+      PSeq(Inv(Pred("contains")),
+        PSeq(Alt(Pred("placedBy"), Pred("suppliedBy")),
+          PSeq(Pred("inNation"), Pred("inRegion")))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"path sequence joins must stay equi-joins:\n$plan")
+    // same contract as the BGP guard: each Pred leaf constant-folds the
+    // union-all edge view down to its base-table scans
+    assert(plan.contains("lineitem.parquet") && plan.contains("nation.parquet"),
+      s"Pred leaves must prune the edge union to base-table scans:\n$plan")
+    assert(!plan.contains("= contains") && !plan.contains("'inRegion'"),
+      s"a pred constant survived as a runtime filter instead of pruning:\n$plan")
+  }
+
+  test("as-of join: ONE keyed exchange + window, no join operator at all") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val df = graft.streaming.Temporal.asofJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"),
+      key = "user_id", ts = "ts", id = "event_id",
+      carry = Seq("event_id" -> "view_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the union-tag formulation must never plan a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one keyed shuffle may exist:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window")) == 1,
+      s"exactly one window pass may exist:\n$plan")
+  }
+
+  test("SHACL validation: keyed joins and partial aggregation, no cartesian") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val df = graft.core.Shapes.validate(kb.edges, kb.types, kb.attrs,
+      propShapes = Seq(graft.core.PropertyShape("OP", "Order", "contains",
+        minCount = 1, maxCount = Some(3), valueClass = Some("Part"))),
+      attrShapes = Seq(graft.core.AttrShape("CB", "Customer", "acctbal",
+        datatype = Some("xsd:double"), minInclusive = Some(0.0))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"shape checks must stay keyed joins:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"cardinality counts must map-side combine:\n$plan")
+  }
+
   test("DSIR: bucket totals broadcast back; the gram stream aggregates partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val surf = graft.text.Dsir.featureSurface(docs, col("doc_id") % 5 === 0)
