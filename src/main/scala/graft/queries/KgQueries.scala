@@ -92,6 +92,22 @@ object KgQueries {
       graft.core.Paths.closureFrom(TpchKg.load(s, d).edges,
         PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"))
     }),
+    // frequent co-purchase pairs (the market-basket length-2 miner):
+    // baskets capped before the quadratic fan-out, support threshold at
+    // the aggregate — all orders are under the cap here, so the cap is
+    // exercised-but-silent (GraphMetricsSpec makes it load-bearing)
+    "kg_freq_pairs" -> ((s, d) => graft.sample.GraphMetrics.frequentPairs(
+      TpchKg.load(s, d).edges, "contains", minSupport = 2L)),
+    // characteristic sets (Neumann-Moerkotte): subjects partitioned by
+    // their exact predicate set, with subject and edge counts per set —
+    // the star-join cardinality statistic
+    "kg_char_sets" -> ((s, d) => graft.core.KgStats.characteristicSets(
+      TpchKg.load(s, d).edges)),
+    // lexical datatype inference over attrs — schema discovery recovers
+    // the declared tags (urgent→boolean, psize→long, prices→double,
+    // orderdate→date, mixed/textual props degrade to string)
+    "kg_infer_schema" -> ((s, d) => graft.core.KgStats.inferDatatypes(
+      TpchKg.load(s, d).attrs)),
     // SHACL-lite validation report: cardinality (both directions of
     // `contains`), value-class, datatype, and numeric-range constraints;
     // the >3-parts orders, >40-orders parts and negative acctbal rows are
@@ -245,6 +261,36 @@ object KgQueries {
     "kg_path_closure" -> TpchKgSql.withKg(
       s"""${pathClosureCtes(8)}
          |SELECT node, CAST(MIN(lvl) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin,
+      inCte = true),
+    "kg_char_sets" -> TpchKgSql.withKg(
+      """cs AS MATERIALIZED (
+        |  SELECT src, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
+        |         CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src)
+        |SELECT char_set, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |       CAST(SUM(deg) AS BIGINT) AS n_edges
+        |FROM cs GROUP BY 1""".stripMargin,
+      inCte = true),
+    "kg_infer_schema" -> TpchKgSql.withKg(
+      """SELECT prop, CAST(COUNT(lexical) AS BIGINT) AS n_values,
+        |  CAST(SUM(CASE WHEN regexp_matches(lexical, '^[+-]?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(SUM(CASE WHEN regexp_matches(lexical, '^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+        |  CAST(SUM(CASE WHEN regexp_matches(lexical, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+        |  CAST(SUM(CASE WHEN lexical IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+        |  CASE WHEN COUNT(lexical) = 0 THEN 'xsd:string'
+        |       WHEN SUM(CASE WHEN lexical IN ('true', 'false') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:boolean'
+        |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[+-]?[0-9]+$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:long'
+        |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:double'
+        |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:date'
+        |       ELSE 'xsd:string' END AS inferred
+        |FROM attrs GROUP BY prop""".stripMargin),
+    "kg_freq_pairs" -> TpchKgSql.withKg(
+      """fcp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
+        |fok AS MATERIALIZED (SELECT src FROM fcp GROUP BY src HAVING COUNT(*) <= 1024),
+        |fb AS MATERIALIZED (SELECT fcp.src, fcp.dst FROM fcp JOIN fok ON fok.src = fcp.src)
+        |SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM fb a JOIN fb b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
       inCte = true),
     "kg_shacl" -> TpchKgSql.withKg(
       """opn AS MATERIALIZED (

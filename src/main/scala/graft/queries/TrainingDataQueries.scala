@@ -173,6 +173,15 @@ object TrainingDataQueries {
     // signatures merge by MIN, so the Jaccard estimate between two whole
     // corpora costs one aggregate — the corpora are never joined
     "td_corpus_overlap" -> ((s, d) => Dedup.corpusOverlap(docs(s, d), "lang")),
+    // one-pass column profile of the raw drop (exact distincts, native-
+    // typed min/max rendered to string) — the ANALYZE before training
+    "td_profile" -> ((s, d) => graft.core.Profile.profile(
+      docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))),
+    // exact grouped percentile_disc ladder over doc length per language —
+    // the distribution half of the ANALYZE; integer-percent rank math so
+    // the picked rank is engine-portable (no float ceil)
+    "td_quantiles" -> ((s, d) => graft.core.Profile.quantilesDisc(
+      docs(s, d), "n_chars", Seq("lang"), Seq(25, 50, 75, 95), "doc_id")),
     // SCD type-2 validity intervals from the event log: one row per
     // event_type run per user, valid_to null on the current state
     // (timestamps formatted to the shared 6-digit lexical form)
@@ -544,6 +553,22 @@ object TrainingDataQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "td_quantiles" ->
+      """WITH ranked AS MATERIALIZED (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, CAST(p.pct AS INT) AS pct, n_chars AS q_value
+        |FROM ranked, (VALUES (25), (50), (75), (95)) p(pct)
+        |WHERE rn = (CAST(p.pct AS BIGINT) * n + 99) // 100""".stripMargin,
+    "td_profile" -> Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL "),
     "td_corpus_overlap" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents), $shCte, $mhCte,
          |cs AS (

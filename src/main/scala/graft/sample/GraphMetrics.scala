@@ -40,6 +40,32 @@ object GraphMetrics {
     pairs.distinct()
   }
 
+  /** Frequent co-occurring pairs with minimum support — the market-basket
+    * pair miner (the length-2 case of Apriori/FP-growth, which covers
+    * most production "frequently bought/linked together" features). Same
+    * wedge join as [[cooccurrence]] but COUNTING baskets per pair instead
+    * of collapsing them, with the support threshold pruning the long tail
+    * at the aggregate. `maxBasketSize` drops baskets above the cap BEFORE
+    * the quadratic fan-out (a 10⁶-item basket contributes 5·10¹¹ pairs
+    * and zero signal — the standard hub mitigation, same story as
+    * linkPredFeatures' maxZDeg). */
+  def frequentPairs(
+      edges: DataFrame,
+      pred: String,
+      minSupport: Long,
+      maxBasketSize: Int = 1024): DataFrame = {
+    val e = edges.filter(col("pred") === pred)
+      .select(col("src"), col("dst")).distinct()
+    val ok = e.groupBy("src").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBasketSize).select(col("src"))
+    val bounded = e.join(ok, Seq("src"), "left_semi")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** Canonical undirected `(u, v)` u<v edge set of one predicate's
     * directed edge list — self-loops dropped, duplicates collapsed. The
     * bipartite `contains` graph itself (orders ↔ parts), as opposed to

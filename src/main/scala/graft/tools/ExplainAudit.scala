@@ -152,6 +152,15 @@ object ExplainAudit {
           PSeq(Alt(Pred("placedBy"), Pred("suppliedBy")),
             PSeq(Pred("inNation"), Pred("inRegion")))))
     }
+    // characteristic sets / datatype inference: pure two-level (resp.
+    // one-level) partial aggregates — no join anywhere
+    show("char_sets")(graft.core.KgStats.characteristicSets(kb.edges))
+    show("infer_schema")(graft.core.KgStats.inferDatatypes(kb.attrs))
+    // grouped exact quantiles: ONE keyed exchange, both windows on the
+    // same sort, the percent ladder inline (no per-quantile pass)
+    show("quantiles")(graft.core.Profile.quantilesDisc(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "n_chars", Seq("lang"), Seq(25, 50, 75, 95), "doc_id"))
     // as-of join: union-tag window plan — ONE keyed exchange, ONE window,
     // zero join operators
     show("asof") {

@@ -216,6 +216,38 @@ class PlanShapeSpec extends SparkSpec {
       s"cardinality counts must map-side combine:\n$plan")
   }
 
+  test("column profile: ONE scan feeds the whole aggregate (Expand, no re-scan)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val agg = docs.agg(
+      count(col("doc_id")), count_distinct(col("doc_id")),
+      count_distinct(col("lang")), count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    // multi-count_distinct compiles to one Expand over one scan
+    assert(plan.contains("Expand"), s"expected the Expand strategy:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"the profile aggregate must read the input exactly once:\n$plan")
+  }
+
+  test("characteristic sets + datatype inference: partial aggregation, no join") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    for (df <- Seq(graft.core.KgStats.characteristicSets(kb.edges),
+                   graft.core.KgStats.inferDatatypes(kb.attrs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"stats are pure aggregates:\n$plan")
+      assert(plan.contains("partial"), s"aggregates must map-side combine:\n$plan")
+    }
+  }
+
+  test("grouped quantiles: ONE keyed exchange, both windows share the sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.core.Profile.quantilesDisc(
+      docs, "n_chars", Seq("lang"), Seq(25, 50, 75, 95), "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the percent ladder must be inline:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n$plan")
+  }
+
   test("DSIR: bucket totals broadcast back; the gram stream aggregates partial") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val surf = graft.text.Dsir.featureSurface(docs, col("doc_id") % 5 === 0)

@@ -206,4 +206,43 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.linkPredFeatures(star, maxZDeg = 2, minSupport = 1)
       .collect().isEmpty)
   }
+
+  test("frequentPairs: brute-force parity on a seeded random basket set") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).flatMap { b =>
+      // baskets of size 0-6 with possible repeats (distinct() must collapse)
+      Seq.fill(rnd.nextInt(7))((s"b$b", s"i${rnd.nextInt(15)}"))
+    }
+    val got = GraphMetrics.frequentPairs(
+        edges.toDF("src", "dst").withColumn("pred", lit("p")),
+        "p", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = edges.distinct.groupBy(_._1).values.toSeq
+      .flatMap { basket =>
+        val items = basket.map(_._2).distinct.sorted
+        for (i <- items.indices; j <- i + 1 until items.size)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    assert(got === expected)
+  }
+
+  test("frequentPairs: support counts baskets, threshold and cap load-bearing") {
+    // baskets: o1{p1,p2,p3}, o2{p1,p2}, o3{p1,p2}, o4{p3,p4}
+    val edges = Seq(
+      ("o1","p1"),("o1","p2"),("o1","p3"),
+      ("o2","p1"),("o2","p2"),
+      ("o3","p1"),("o3","p2"),
+      ("o4","p3"),("o4","p4"))
+      .toDF("src", "dst").withColumn("pred", lit("contains"))
+    val fp = GraphMetrics.frequentPairs(edges, "contains", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fp === Map(("p1", "p2") -> 3L)) // (p1,p3)/(p2,p3)/(p3,p4) have support 1
+    // basket cap: dropping o1 (size 3 > 2) removes its contribution only
+    val capped = GraphMetrics.frequentPairs(edges, "contains",
+      minSupport = 2L, maxBasketSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped === Map(("p1", "p2") -> 2L))
+  }
 }
