@@ -29,6 +29,40 @@ object Determinism {
   def detRand(seed: Long, keys: Column*): Column =
     (pmod(detHash(seed, keys: _*), lit(1000000007L)).cast("double")) / lit(1000000007.0)
 
+  // ---- driver-side (JVM) mirrors of the xxhash64 family ----------------
+  // Spark's xxhash64(c1, c2, ...) folds XXH64 over the children starting
+  // from seed 42: h = 42; h = hash(c1, h); h = hash(c2, h); ... The
+  // mirrors below replay that fold exactly (LongType → XXH64.hashLong,
+  // StringType/UTF8_BINARY → XXH64.hashUTF8String), so a draw a sampler
+  // loop makes on the DRIVER (frontier state is driver-side anyway) is
+  // byte-equal to the in-plan column — DeterminismSpec fuzzes the parity.
+  // This is what lets the walk loop pre-compute teleport landing ranks and
+  // frontier buckets and push them as isin() pruning filters into the
+  // cached-table scans instead of probing the whole O(|V|) cache per step.
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val XxSeed = 42L
+
+  /** JVM mirror of xxhash64(lit(x)) for a single STRING key. */
+  def xxhashJvm(key: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(key), XxSeed)
+
+  /** JVM mirror of [[detHash]](seed, col) for a single LONG key column. */
+  def detHashJvm(seed: Long, key: Long): Long =
+    XXH64.hashLong(key, XXH64.hashLong(seed, XxSeed))
+
+  /** JVM mirror of [[detHash]](seed, col) for a single STRING key column. */
+  def detHashJvm(seed: Long, key: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(key), XXH64.hashLong(seed, XxSeed))
+
+  /** Non-negative remainder, mirroring SQL pmod on longs. */
+  def pmodJvm(v: Long, m: Long): Long = { val r = v % m; if (r < 0) r + m else r }
+
+  /** JVM mirror of [[detRand]] for a single LONG key column. */
+  def detRandJvm(seed: Long, key: Long): Double =
+    pmodJvm(detHashJvm(seed, key), 1000000007L).toDouble / 1000000007.0
+
   /** Geometric(p) sample (support 1,2,...) from a deterministic uniform:
     * floor(log(1-u)/log(1-p)) + 1 — used by ForestFire burn counts
     * (reference classic_samplers.py:379 np.random.geometric). */

@@ -76,4 +76,50 @@ object KgStats {
           .when(col("n_date") === col("n_values"), "xsd:date")
           .otherwise("xsd:string"))
   }
+
+  /** Weisfeiler–Leman color refinement over the typed multigraph — the
+    * structural node signature KG canonicalization uses to find entities
+    * whose local neighborhoods are isomorphic (1-WL distinguishes exactly
+    * what the standard graph-isomorphism heuristic distinguishes; see
+    * Shervashidze et al., JMLR'11 WL kernels). Round 0 colors a node by
+    * its sorted class set; each round re-colors by the node's previous
+    * color plus a direction-tagged digest of its (pred, neighbor-color)
+    * edge SET in both directions.
+    *
+    * The per-round neighbor digest is a `bit_xor` of 48-bit md5 message
+    * hashes — commutative, so the aggregate is map-side-partial and a
+    * 10⁸-degree hub holds 8 bytes of state, not a collected list; XOR over
+    * 48-bit values cannot overflow; and the result is independent of edge
+    * order and partitioning by construction. XOR is set-semantics (a
+    * duplicate (pred, color) message cancels), matching the edge table's
+    * distinct-triple invariant — callers with a true multigraph should
+    * distinct() first or count-tag messages. Each round costs two keyed
+    * joins (fetch endpoint colors) + one partial aggregate; colors stay
+    * md5 hex strings so every intermediate is engine-portable.
+    */
+  def wlColors(edges: DataFrame, types: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .unionAll(types.select(col("node"))).distinct()
+    val classSets = types.groupBy(col("node"))
+      .agg(concat_ws("|", sort_array(collect_set(col("cls")))).as("cs"))
+    var colors = nodes.join(classSets, Seq("node"), "left")
+      .select(col("node"), md5(coalesce(col("cs"), lit("")).cast("binary")).as("color"))
+    for (_ <- 1 to rounds) {
+      val c = colors.localCheckpoint(true)
+      val e = edges
+        .join(c.withColumnRenamed("node", "src").withColumnRenamed("color", "src_color"), Seq("src"))
+        .join(c.withColumnRenamed("node", "dst").withColumnRenamed("color", "dst_color"), Seq("dst"))
+      val msgs = e.select(col("src").as("node"),
+          Determinism.md5Int(concat(lit("o|"), col("pred"), lit("|"), col("dst_color"))).as("h"))
+        .unionAll(e.select(col("dst").as("node"),
+          Determinism.md5Int(concat(lit("i|"), col("pred"), lit("|"), col("src_color"))).as("h")))
+      val sig = msgs.groupBy(col("node")).agg(expr("bit_xor(h)").as("x"))
+      colors = c.join(sig, Seq("node"), "left")
+        .select(col("node"), md5(concat(col("color"), lit(":"),
+          coalesce(col("x"), lit(0L)).cast("string")).cast("binary")).as("color"))
+    }
+    colors
+  }
 }

@@ -62,21 +62,23 @@ object Canonicalize {
     val rows = mapRows.getOrElse(map.count())
     if (rows <= broadcastMaxRows) df.join(broadcast(m), Seq(key))
     else {
-      // deterministic row salt from the non-key columns (identical rows
-      // collide, which only affects balance, never results); the salt
-      // column name is made fresh so a caller column can't be clobbered.
-      // A fact table with NO non-key columns would hash an empty struct —
-      // one constant salt bucket, silently disabling the mitigation — so
-      // that shape salts on spark_partition_id instead: rows of a head key
-      // spread across however many input partitions carry it (input
-      // partitions are size-bounded, so per-bucket volume is too), and the
-      // salt still never affects results, only balance
+      // per-row salt: hash of the non-key columns MIXED with a per-partition
+      // row counter (monotonically_increasing_id = partition_id·2³³ + row
+      // index — deterministic given the stage's partitioning, recomputed
+      // identically on task retry). The counter guarantees no input shape
+      // degenerates: zero non-key columns, constant non-key columns
+      // (ADVICE r4), or a head key's duplicates landing in one partition
+      // all still spread ~uniformly over the buckets. The salt only ever
+      // affects balance, never results — the map side is replicated to
+      // every bucket. The salt column name is made fresh so a caller
+      // column can't be clobbered.
       var saltCol = "__salt"
       while (df.columns.contains(saltCol)) saltCol += "_"
       val others = df.columns.filterNot(_ == key).map(col)
-      val saltExpr =
-        if (others.nonEmpty) pmod(xxhash64(struct(others.toIndexedSeq: _*)), lit(saltBuckets))
-        else pmod(spark_partition_id().cast("long"), lit(saltBuckets))
+      val saltExpr = pmod(
+        xxhash64(struct((others.toIndexedSeq :+
+          monotonically_increasing_id().as("__rid")): _*)),
+        lit(saltBuckets))
       val salted = df.withColumn(saltCol, saltExpr.cast("int"))
       val replicated = m.withColumn(saltCol,
         explode(array((0 until saltBuckets).map(lit): _*)))
@@ -136,6 +138,50 @@ object Canonicalize {
       .join(mapped.select(col("entity_id")), Seq("entity_id"), "left_anti")
       .select(col("entity_id"), col("entity_id").as("canonical"))
     mapped.unionAll(singletons)
+  }
+
+  /** Sorted-neighborhood candidate matching (Hernández & Stolfo, SIGMOD'95
+    * merge/purge) — the third blocking family next to [[normKey]] (exact
+    * key) and [[fuzzyCanonicalMap]] (MinHash-LSH): sort all surface forms,
+    * compare each to its next `window` neighbors in the total (name, id)
+    * order, keep pairs within `maxDist` edit distance. O(n·w) candidates
+    * by construction — no block ever goes quadratic, which is the failure
+    * mode of prefix/key blocking on a 10⁹-name catalog where half the
+    * names share one token.
+    *
+    * Scale shape: the global sort rank comes from [[graft.core.Ranks
+    * .rankByBucketedOrder]] (bounded order-preserving buckets + partitioned
+    * windows — never a single-partition global window); the neighbor pairs
+    * are ONE equi-join of the ranked table to itself on `rank = rank + j`
+    * (j exploded 1..window), so the candidate stream is co-partitioned and
+    * the `levenshtein` filter is row-local codegen. The result is a pure
+    * function of the (name, id) order — partitioning-invariant.
+    *
+    * `bucket` must be order-preserving over `nameCol` (default: first two
+    * ASCII bytes — correct for any ASCII-clean surface forms; swap for a
+    * locale-aware key before sorting non-ASCII names). Output: (u, v,
+    * name_u, name_v, dist), u the lower-ranked id. */
+  def sortedNeighborPairs(
+      entities: DataFrame,
+      idCol: String,
+      nameCol: String,
+      window: Int = 3,
+      maxDist: Int = 2): DataFrame = {
+    require(window >= 1 && maxDist >= 0, "window >= 1, maxDist >= 0")
+    val bucket = (ascii(substring(col("name"), 1, 1)) * 256 +
+      coalesce(ascii(substring(col("name"), 2, 1)), lit(0))).cast("long")
+    val ranked = graft.core.Ranks.rankByBucketedOrder(
+        entities.select(col(idCol).as("id"), col(nameCol).as("name")),
+        bucket, Seq(col("name"), col("id")), "rnk")
+      .localCheckpoint(true)
+    val probes = ranked.select(col("id"), col("name"),
+      explode(array((1 to window).map(j => col("rnk") + lit(j.toLong)): _*)).as("rnk2"))
+    probes.join(ranked.select(col("id").as("v"), col("name").as("name_v"),
+        col("rnk").as("rnk2")), Seq("rnk2"))
+      .filter(levenshtein(col("name"), col("name_v")) <= maxDist)
+      .select(col("id").as("u"), col("v"),
+        col("name").as("name_u"), col("name_v"),
+        levenshtein(col("name"), col("name_v")).cast("long").as("dist"))
   }
 
   /** Rewrite linked triples onto canonical ids. `keep` passes extra columns

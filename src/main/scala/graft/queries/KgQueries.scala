@@ -103,6 +103,19 @@ object KgQueries {
     // the star-join cardinality statistic
     "kg_char_sets" -> ((s, d) => graft.core.KgStats.characteristicSets(
       TpchKg.load(s, d).edges)),
+    // 2-round Weisfeiler-Leman color refinement: structural node
+    // signatures (class set + direction-tagged neighborhood digests) —
+    // the isomorphism heuristic entity canonicalization blocks on
+    "kg_wl_colors" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.core.KgStats.wlColors(kb.edges, kb.types, rounds = 2)
+    }),
+    // sorted-neighborhood name matching (Hernández-Stolfo merge/purge):
+    // candidate duplicate surface forms = rank-adjacent names within
+    // edit distance 2, O(n·w) candidates by construction
+    "kg_name_match" -> ((s, d) => graft.pipeline.Canonicalize.sortedNeighborPairs(
+      TpchKg.load(s, d).attrs.filter(org.apache.spark.sql.functions.col("prop") === "name"),
+      idCol = "node", nameCol = "lexical", window = 3, maxDist = 2)),
     // lexical datatype inference over attrs — schema discovery recovers
     // the declared tags (urgent→boolean, psize→long, prices→double,
     // orderdate→date, mixed/textual props degrade to string)
@@ -248,7 +261,49 @@ object KgQueries {
        |  $lvls)""".stripMargin
   }
 
+  /** Unrolled WL refinement rounds: mirror of KgStats.wlColors — same md5
+    * hex colors, same direction-tagged 48-bit message hashes, same bit_xor
+    * digest, so every intermediate color is byte-identical. */
+  private def wlCtes(rounds: Int): String = {
+    def h(e: String) = graft.core.Determinism.md5IntDuck(e)
+    val roundCtes = (1 to rounds).map { i =>
+      val p = s"wc${i - 1}"
+      s"""wm$i AS MATERIALIZED (
+         |  SELECT e.src AS node, ${h(s"'o|' || e.pred || '|' || cd.color")} AS hh
+         |  FROM edges e JOIN $p cd ON cd.node = e.dst
+         |  UNION ALL
+         |  SELECT e.dst, ${h(s"'i|' || e.pred || '|' || cs.color")}
+         |  FROM edges e JOIN $p cs ON cs.node = e.src),
+         |ws$i AS (SELECT node, bit_xor(hh) AS x FROM wm$i GROUP BY node),
+         |wc$i AS MATERIALIZED (
+         |  SELECT $p.node, md5($p.color || ':' || CAST(COALESCE(ws$i.x, 0) AS VARCHAR)) AS color
+         |  FROM $p LEFT JOIN ws$i ON ws$i.node = $p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""wn AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |  UNION SELECT node FROM types),
+       |wc0 AS MATERIALIZED (
+       |  SELECT wn.node, md5(COALESCE(t.cs, '')) AS color
+       |  FROM wn LEFT JOIN (SELECT node, string_agg(DISTINCT cls, '|' ORDER BY cls) AS cs
+       |                     FROM types GROUP BY node) t ON t.node = wn.node),
+       |$roundCtes""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_wl_colors" -> TpchKgSql.withKg(
+      s"""${wlCtes(2)}
+         |SELECT node, color FROM wc2""".stripMargin,
+      inCte = true),
+    "kg_name_match" -> TpchKgSql.withKg(
+      """nm AS MATERIALIZED (
+        |  SELECT node AS id, lexical AS name FROM attrs WHERE prop = 'name'),
+        |rk AS MATERIALIZED (
+        |  SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS rnk FROM nm)
+        |SELECT a.id AS u, b.id AS v, a.name AS name_u, b.name AS name_v,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+      inCte = true),
     "kg_path_alt" -> TpchKgSql.withKg(
       """SELECT c.dst AS s, r.dst AS o
         |FROM edges c

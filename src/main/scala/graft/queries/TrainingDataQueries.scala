@@ -190,7 +190,14 @@ object TrainingDataQueries {
       key = "user_id", ts = "ts", id = "event_id", state = "event_type")
       .select(col("user_id"), col("state"),
         date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
-        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))))
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))),
+    // ordered view→click→purchase funnel per user: earliest step-1 time,
+    // then the earliest STRICTLY-later step 2/3; one shuffle, K unordered
+    // windows + the collapse all on the same exchange
+    "td_funnel" -> ((s, d) => graft.streaming.Temporal.funnel(
+      s.read.parquet(s"$d/events.parquet"),
+      key = "user_id", ts = "ts", typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"))))
 
   private val corpusCte =
     """corpus AS (
@@ -592,6 +599,30 @@ object TrainingDataQueries {
         |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
         |FROM c""".stripMargin,
+    "td_funnel" ->
+      """WITH f0 AS MATERIALIZED (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS MATERIALIZED (
+        |  SELECT user_id, event_type, us,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id) AS step1_us
+        |  FROM f0),
+        |w2 AS MATERIALIZED (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND step1_us IS NOT NULL
+        |                      AND us > step1_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS step2_us
+        |  FROM w1),
+        |w3 AS MATERIALIZED (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step2_us IS NOT NULL
+        |                      AND us > step2_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS step3_us
+        |  FROM w2)
+        |SELECT user_id, MIN(step1_us) AS step1_us, MIN(step2_us) AS step2_us,
+        |  MIN(step3_us) AS step3_us,
+        |  CAST(MIN((CASE WHEN step1_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN step2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN step3_us IS NOT NULL THEN 1 ELSE 0 END)) AS INT) AS reached
+        |FROM w3 WHERE step1_us IS NOT NULL GROUP BY user_id""".stripMargin,
     // winnowing: same k-gram polynomial (Σ cp·31^j mod P, direct form of
     // the Spark side's rolling mod) + same h·2³²+(2³²−1−i) window-min key
     "td_winnow_fp" -> {

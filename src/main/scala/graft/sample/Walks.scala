@@ -40,7 +40,9 @@ final class WalkSampler(
     kb: Kb, seed: Long = 42L, jumpProb: Option[Double] = None,
     prioritized: Boolean = false, lpSeeds: Seq[String] = Nil, lpc: Boolean = false,
     walkers: Int = 16, maxSteps: Int = 2000, prIterations: Int = 100,
-    prRanks: Option[org.apache.spark.sql.DataFrame] = None)
+    prRanks: Option[org.apache.spark.sql.DataFrame] = None,
+    bucketMinEdges: Long = WalkSampler.DefaultBucketMinEdges,
+    walkBuckets: Int = WalkSampler.DefaultWalkBuckets)
   extends GraphSampler {
 
   import WalkSampler.StepOut
@@ -95,15 +97,30 @@ final class WalkSampler(
     // count the frontier hits nearly every bucket every step, so the
     // filter prunes ~nothing while the bucketed repartition costs cache
     // balance and parallelism — smp_rwj_200 6.3→7.5 s, smp_rwp_200
-    // 16.8→21.5 s in same-box A/B at sf0.1. Rejected on those numbers;
-    // bucket pruning only pays when walkers ≪ buckets, which this
-    // sampler's batch shape never guarantees.)
+    // 16.8→21.5 s in same-box A/B at sf0.1. Bucket pruning only pays when
+    // the per-bucket byte volume dwarfs the per-task scheduling floor —
+    // i.e. at the 100-TB shape, never at sf0.1 — so it is SIZE-GATED:
+    // below `bucketMinEdges` the cache keeps natural partitioning (the
+    // measured-faster local shape, and the cache entry stays plan-shared
+    // with other edge-table consumers); at or above it the cache is
+    // bucketed by hash(src) and every step's scan carries a driver-
+    // computed `bkt IN (frontier buckets)` pruning filter (the frontier is
+    // driver state; Determinism.xxhashJvm mirrors the bucket column
+    // byte-exactly), reading ~walkers/walkBuckets of the cache per step
+    // instead of all of it. The filter is a superset of the join —
+    // results are identical on both paths (WalkSpec asserts equality).
     val ranks =
       if (prioritized)
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
           .select(col("id").as("dst"), col("pr").as("w"))
       else null
-    val nbrs = WalkSampler.neighborTable(kb, Option(ranks)).cache()
+    val eCount = if (bucketMinEdges == Long.MaxValue) 0L else kb.edges.count()
+    val bucketed = bucketMinEdges != Long.MaxValue && eCount >= bucketMinEdges
+    val nbrs0 = WalkSampler.neighborTable(kb, Option(ranks))
+    val nbrs = (if (bucketed)
+        nbrs0.withColumn("bkt", pmod(xxhash64(col("src")), lit(walkBuckets)).cast("int"))
+          .repartition(walkBuckets, col("bkt"))
+      else nbrs0).cache()
 
     // walkers: all LP nodes when given; else the first min(walkers, n)
     // nodes of the deterministic permutation (the reference starts at the
@@ -157,18 +174,30 @@ final class WalkSampler(
     // step is the single cached-table scan.
     val tLoop = System.nanoTime()
 
+    val longPairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     while (firstVisit.size < n && step < maxSteps) {
       step += 1
-      val f = spark.createDataset(frontier)(tupleEnc).toDF("walker", "cur")
-
-      val jumpCol = jumpProb match {
-        case Some(p) => Determinism.detRand(seed + 3 * step, col("walker")) < p
-        case None => lit(false)
+      // the jump draw is a pure function of (seed, step, walker) — all
+      // driver state — so the split is made HERE with the byte-exact JVM
+      // mirror of the old in-plan Bernoulli column (DeterminismSpec
+      // fuzzes the parity): the picks broadcast shrinks to the stepping
+      // walkers and the jump branch needs no per-step filter subtree
+      val (jumpFront, stepFront) = jumpProb match {
+        case Some(p) => frontier.partition { case (w, _) =>
+          Determinism.detRandJvm(seed + 3 * step, w) < p }
+        case None => (Seq.empty[(Long, String)], frontier)
       }
-      val stepping = f.filter(!jumpCol)
-      val jumping = f.filter(jumpCol)
+      val stepping = spark.createDataset(stepFront)(tupleEnc).toDF("walker", "cur")
 
-      val cand = broadcast(stepping).join(nbrs, stepping("cur") === nbrs("src"))
+      // bucketed cache: prune the scan to the frontier's buckets (driver-
+      // computed, superset of the join — identical results)
+      val scanNbrs =
+        if (bucketed && stepFront.nonEmpty) {
+          val bkts = stepFront.map { case (_, cur) =>
+            Determinism.pmodJvm(Determinism.xxhashJvm(cur), walkBuckets).toInt }.distinct
+          nbrs.filter(col("bkt").isin(bkts: _*))
+        } else nbrs
+      val cand = broadcast(stepping).join(scanNbrs, stepping("cur") === scanNbrs("src"))
         .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
           (if (prioritized) Seq(col("w")) else Nil): _*)
       val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
@@ -193,42 +222,52 @@ final class WalkSampler(
             .select(col("walker"), col("src"), col("pred"), col("dst"))
         }
 
-      // jumpers teleport in the SAME job as the picks: their landing rank
-      // is a pure column of (seed, step, walker), so the rank-join against
-      // the cached node index rides the union (teleports record no edge)
+      // teleports (jumpers now, dead ends below): the landing rank is a
+      // pure function of (seed, step, walker) — computed on the DRIVER
+      // with the byte-exact mirror of the old in-plan column — and pushed
+      // into the cached node-index scan as a `trn IN (ranks)` pruning
+      // filter. nodesIdx is cached in bucket order (= trn order), so its
+      // batch min/max stats skip everything but the ≤|walkers| landing
+      // batches — the last O(|V|)-per-step probe is gone. The IN-list is
+      // bounded like the FF burned set; above the bound (only possible
+      // with huge lpSeeds walker counts) the filter is dropped, never the
+      // join. Jumpers and dead-ends are disjoint walker sets, so the
+      // shared (seed + 11·step, walker) key never collides.
       val allowed = tierCum(esc)
-      val teleRank = pmod(Determinism.detHash(seed + 11 * step, col("walker")),
-        lit(allowed)) + 1
-      val jumpTele = broadcast(jumping.withColumn("trn", teleRank))
-        .join(nodesIdx.select("id", "trn"), Seq("trn"))
-        .select(col("walker"), col("id").as("next"), lit("").as("src"),
-          lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge"))
+      def teleLookup(ws: Seq[Long]): org.apache.spark.sql.DataFrame = {
+        val ranks = ws.map(w =>
+          (w, Determinism.pmodJvm(Determinism.detHashJvm(seed + 11 * step, w), allowed) + 1))
+        val idx =
+          if (ranks.size <= WalkSampler.MaxTeleInList)
+            nodesIdx.filter(col("trn").isin(ranks.map(_._2).distinct: _*))
+          else nodesIdx
+        broadcast(spark.createDataset(ranks)(longPairEnc).toDF("walker", "trn"))
+          .join(idx.select("id", "trn"), Seq("trn"))
+          .select(col("walker"), col("id"))
+      }
 
-      // the step's ONE data-bearing job: ≤ |walkers| rows
-      val firstRows = picks
+      // the step's ONE data-bearing job: ≤ |walkers| rows; jumper
+      // teleports ride the union (teleports record no edge)
+      val picksOut = picks
         .select(col("walker"), col("dst").as("next"), col("src"), col("pred"),
           col("dst"), lit(true).as("viaEdge"))
-        .unionAll(jumpTele)
-        .as[StepOut](outEnc).collect()
+      val withJumps =
+        if (jumpFront.isEmpty) picksOut
+        else picksOut.unionAll(teleLookup(jumpFront.map(_._1))
+          .select(col("walker"), col("id").as("next"), lit("").as("src"),
+            lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
+      val firstRows = withJumps.as[StepOut](outEnc).collect()
       val resolved = firstRows.iterator.map(_.walker).toSet
 
       // dead ends (no outgoing edge) teleport too, recording no edge:
       // exactly the frontier walkers still unresolved — neither jumped nor
-      // picked. Their landing is drawn IN Spark with the SAME rank formula
-      // (jumpers and dead-ends are disjoint walker sets, so the shared
-      // (seed + 11·step, walker) key never collides), but the job only
-      // exists on steps that have any dead end.
+      // picked; the job only exists on steps that have any dead end.
       val deadEnds = frontier.filterNot { case (w, _) => resolved(w) }
       val deadRows: Array[StepOut] =
         if (deadEnds.isEmpty) Array.empty
-        else {
-          val tdf = spark.createDataset(deadEnds)(tupleEnc).toDF("walker", "cur")
-          broadcast(tdf.withColumn("trn", teleRank))
-            .join(nodesIdx.select("id", "trn"), Seq("trn"))
-            .select(col("walker"), col("id"))
-            .as[(Long, String)](tupleEnc).collect()
-            .map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) }
-        }
+        else teleLookup(deadEnds.map(_._1))
+          .as[(Long, String)](tupleEnc).collect()
+          .map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) }
 
       val stepOut = (firstRows ++ deadRows).sortBy(_.walker)
 
@@ -273,6 +312,19 @@ object WalkSampler {
   /** one walker-step result row (top-level for encoder derivation) */
   final case class StepOut(walker: Long, next: String,
                            src: String, pred: String, dst: String, viaEdge: Boolean)
+
+  /** |E| at which the neighbor cache switches from natural partitioning
+    * (measured faster under the local per-task scheduling floor) to
+    * hash(src) buckets with per-step frontier pruning (the 100-TB shape —
+    * each step then scans ~walkers/walkBuckets of the cache, not all of
+    * it). sf0.1 is ~3 orders of magnitude below the default. */
+  val DefaultBucketMinEdges: Long = 100L * 1000 * 1000
+  /** Bucket fan-out for the gated cache: walkers ≪ buckets is what makes
+    * the pruning pay; 256 keeps per-step task count bounded. */
+  val DefaultWalkBuckets: Int = 256
+  /** Teleport-rank IN-list bound (mirrors the FF burned-set bound): above
+    * it the pruning filter is dropped, never the join. */
+  val MaxTeleInList: Int = 4096
 
   /** draw() evidence: steps taken, wall split between setup (teleport
     * index + PageRank + neighbor table) and the step loop */

@@ -50,13 +50,20 @@ object Pq {
                 seed: Long = 97L, lloyd: Int = 0): DataFrame = {
     val dim = dimOf(embeddings)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val seeds = embeddings
+    // seed pick is a TakeOrdered of k rows; the code rank is assigned on
+    // the DRIVER from that already-total order (k is codebook-scale, ≤256)
+    // instead of a partitionless row_number window — WindowExec with no
+    // partition key funnels its input through ONE task, the exact
+    // anti-scale shape this engine bans, even when bounded it re-sorts
+    val seedIds = embeddings
       .orderBy(graft.core.Determinism.lcg(col("vec_id"), seed), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("code",
-        (row_number().over(Window.orderBy(
-          graft.core.Determinism.lcg(col("vec_id"), seed), col("vec_id"))) - 1).cast("int"))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val codeDf = embeddings.sparkSession
+      .createDataFrame(seedIds.toIndexedSeq.zipWithIndex.map { case (v, c) => (v, c) })
+      .toDF("vec_id", "code")
+    val seeds = embeddings.join(broadcast(codeDf), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("code"))
     var books = subParts(seeds.select(col("vec_id"), col("embedding")), m, dim)
       .join(seeds.select(col("vec_id"), col("code")), Seq("vec_id"))
       .select(col("sub"), col("code"), col("j"), col("x").as("cx"))

@@ -109,4 +109,48 @@ object Temporal {
       .select(col(key), col(state).as("state"),
         col(ts).as("valid_from"), col("valid_to"))
   }
+
+  /** Ordered conversion funnel: for each key, the earliest time of step 1,
+    * then the earliest STRICTLY-LATER occurrence of step 2, and so on —
+    * the standard product-analytics query (a same-instant later step does
+    * not count; an out-of-order purchase before the first view does not
+    * complete the funnel). Output: (key, step1_us..stepK_us epoch-micros,
+    * reached = number of consecutive steps completed); keys with no step-1
+    * event are omitted (they carry zero information and at web scale are
+    * most of the universe).
+    *
+    * Plan shape: ONE hash shuffle on the key. Each step is a conditional
+    * `min(...) over (partition by key)` — an UNORDERED full-partition
+    * frame, so all K windows plus the final per-key collapse reuse the
+    * same exchange (no sort, no join, no per-step pass over the input).
+    * A theta self-join per step — the naive funnel — explodes on hot keys
+    * and rescans the log K times. */
+  def funnel(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val w = Window.partitionBy(key)
+    var df = events.select(col(key), col(typeCol).as("__type"),
+      unix_micros(col(ts).cast("timestamp")).as("__us"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val prev = if (i == 0) lit(true) else col(s"step${i}_us").isNotNull
+      val after = if (i == 0) lit(true) else col("__us") > col(s"step${i}_us")
+      df = df.withColumn(s"step${i + 1}_us",
+        min(when(col("__type") === s && prev && after, col("__us"))).over(w))
+    }
+    val stepCols = steps.indices.map(i => s"step${i + 1}_us")
+    // steps are consecutive-gated (step k+1 non-null ⇒ step k non-null),
+    // so the depth reached is the count of non-null step times
+    val reached = stepCols
+      .map(c => when(col(c).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    df.filter(col("step1_us").isNotNull)
+      .groupBy(col(key))
+      .agg(min(col(stepCols.head)).as(stepCols.head),
+        (stepCols.tail.map(c => min(col(c)).as(c)) :+
+          min(reached).cast("int").as("reached")): _*)
+  }
 }

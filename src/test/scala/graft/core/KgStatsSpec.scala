@@ -70,4 +70,55 @@ class KgStatsSpec extends SparkSpec {
       "inNation" -> 2L,
       "inRegion" -> 1L))
   }
+
+  import org.apache.spark.sql.functions.col
+
+  // two disjoint isomorphic chains a→b→c / a2→b2→c2 plus one branch node
+  private val wlEdges = Seq(
+    ("a", "p", "b"), ("b", "p", "c"),
+    ("a2", "p", "b2"), ("b2", "p", "c2"),
+    ("hub", "p", "b"), ("hub", "p", "c2"))
+    .toDF("src", "pred", "dst")
+  private val wlTypes = Seq(("a", "T"), ("a2", "T"), ("hub", "T"))
+    .toDF("node", "cls")
+
+  private def colorMap(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+    KgStats.wlColors(edges, wlTypes, rounds).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("wlColors round 0: color is a pure function of the class set") {
+    val c = colorMap(wlEdges, 0)
+    assert(c("a") === c("a2") && c("a") === c("hub")) // all class {T}
+    assert(c("b") === c("c") && c("b") != c("a"))    // untyped vs typed
+  }
+
+  test("wlColors refinement separates structure, keeps isomorphic nodes equal") {
+    val c = colorMap(wlEdges, 2)
+    // the two chains are NOT isomorphic once hub edges exist (hub→b,
+    // hub→c2): b gains an extra in-edge c2 lacks symmetric — but a/a2
+    // stay equal only if their full 2-hop neighborhoods agree; they do
+    // not (b has in-deg 2, b2 has in-deg 1). Check on a hub-free graph:
+    val clean = colorMap(wlEdges.filter(col("src") =!= "hub"), 2)
+    assert(clean("a") === clean("a2") && clean("b") === clean("b2") &&
+      clean("c") === clean("c2"))
+    assert(clean("a") != clean("b") && clean("b") != clean("c"))
+    // with the hub, b (in-deg 2) must now differ from b2 (in-deg 1)
+    assert(c("b") != c("b2"))
+  }
+
+  test("wlColors: edge direction is part of the signature") {
+    // x→y with pred q vs y2→x2: same degree sequence, opposite direction
+    val e = Seq(("x", "q", "y"), ("y2", "q", "x2")).toDF("src", "pred", "dst")
+    val c = KgStats.wlColors(e, wlTypes.limit(0), 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c("x") === c("y2") && c("y") === c("x2")) // out-node ≡ out-node
+    assert(c("x") != c("y"))                        // out-node ≠ in-node
+  }
+
+  test("wlColors is partition-invariant") {
+    val a = colorMap(wlEdges, 2)
+    val b = KgStats.wlColors(wlEdges.repartition(7), wlTypes.repartition(3), 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
 }

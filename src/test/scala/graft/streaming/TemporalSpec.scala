@@ -111,4 +111,48 @@ class TemporalSpec extends SparkSpec {
       (7L, "a", "2024-01-01 00:00:04.0", None),
       (9L, "x", "2024-01-01 00:00:05.0", None)))
   }
+
+  // funnel fixture on integer-second timestamps (timestamp_seconds ⇒
+  // step times are exactly sec·10⁶ regardless of JVM zone)
+  private def funnelDf(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds($"sec"))
+
+  private def runFunnel(rows: Seq[(Long, Long, String)]) =
+    Temporal.funnel(funnelDf(rows), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getInt(4)))).toMap
+
+  test("funnel: strictly-later steps, same-instant click does not count") {
+    val got = runFunnel(Seq(
+      (1L, 1L, "view"), (1L, 1L, "click"), // same instant: ignored
+      (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "view"), // purchase precedes view: no credit
+      (3L, 5L, "click"))) // never viewed: omitted
+    assert(got === Map(
+      1L -> ((Some(1000000L), Some(2000000L), Some(3000000L), 3)),
+      2L -> ((Some(2000000L), None, None, 1))))
+  }
+
+  test("funnel picks the EARLIEST qualifying occurrence of each step") {
+    val got = runFunnel(Seq(
+      (1L, 5L, "view"), (1L, 2L, "view"),           // earliest view wins
+      (1L, 3L, "click"), (1L, 8L, "click"),         // click@3 > view@2 qualifies
+      (1L, 4L, "purchase")))                        // purchase@4 > click@3
+    assert(got === Map(1L -> ((Some(2000000L), Some(3000000L), Some(4000000L), 3))))
+  }
+
+  test("funnel is partition-invariant") {
+    val rows = (1L to 40L).flatMap(u => Seq(
+      (u, u, "view"), (u, u + 1, "click"), (u, u + 2, "purchase")))
+    val a = runFunnel(rows)
+    val b = Temporal.funnel(funnelDf(rows).repartition(7), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(a.view.mapValues(_._4).toMap === b && b.values.forall(_ == 3))
+  }
 }
