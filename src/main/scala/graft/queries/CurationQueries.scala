@@ -121,7 +121,19 @@ object CurationQueries {
       Curation.wordNgramsAll(docs(s, d), 1)
         .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
-        .limit(20))
+        .limit(20)),
+    // exact heavy hitters, two-pass: per-partition Misra–Gries candidate
+    // summary (O(k) state, no shuffle) + exact recount of candidates only
+    // — the full-vocabulary shuffle of a naive token groupBy never
+    // happens; output = tokens with count·k > n, exact by the MG
+    // superset guarantee (FrequencySpec carries the bound-binding cases;
+    // this oracle row verifies the count·k > n rule end to end)
+    "td_heavy_hitters" -> ((s, d) => graft.core.Frequency.heavyHitters(
+      Curation.wordNgramsAll(docs(s, d), 1), "gram", k = 40)),
+    // frequency-of-frequencies: the Good–Turing smoothing input / Zipf
+    // fit surface; two map-side-partial aggregates
+    "td_freq_spectrum" -> ((s, d) => graft.core.Frequency.freqSpectrum(
+      Curation.wordNgramsAll(docs(s, d), 1), "gram"))
   )
 
   /** Composite C4/Gopher-style retention pipeline over the dup-planted
@@ -377,6 +389,18 @@ object CurationQueries {
       s"""WITH g1 AS (${Curation.wordNgramsSql("documents", 1)})
          |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g1
          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    "td_heavy_hitters" ->
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 1)})
+         |SELECT gram AS item, CAST(COUNT(*) AS BIGINT) AS cnt FROM g1
+         |GROUP BY gram
+         |HAVING COUNT(*) * 40 > (SELECT COUNT(*) FROM g1)""".stripMargin,
+
+    "td_freq_spectrum" ->
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 1)}),
+         |c AS (SELECT gram, COUNT(*) AS cnt FROM g1 GROUP BY gram)
+         |SELECT CAST(cnt AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM c GROUP BY cnt""".stripMargin,
 
     "td_curation_filter" -> (s"WITH $corpusCte,\n${decontamBody("corpus")},\n$repBody\n" +
       """SELECT c.doc_id FROM corpus c

@@ -41,7 +41,7 @@ final class WalkSampler(
     prioritized: Boolean = false, lpSeeds: Seq[String] = Nil, lpc: Boolean = false,
     walkers: Int = 16, maxSteps: Int = 2000, prIterations: Int = 100,
     prRanks: Option[org.apache.spark.sql.DataFrame] = None,
-    bucketMinEdges: Long = WalkSampler.DefaultBucketMinEdges,
+    bucketMinNodes: Long = WalkSampler.DefaultBucketMinNodes,
     walkBuckets: Int = WalkSampler.DefaultWalkBuckets)
   extends GraphSampler {
 
@@ -100,7 +100,7 @@ final class WalkSampler(
     // 16.8→21.5 s in same-box A/B at sf0.1. Bucket pruning only pays when
     // the per-bucket byte volume dwarfs the per-task scheduling floor —
     // i.e. at the 100-TB shape, never at sf0.1 — so it is SIZE-GATED:
-    // below `bucketMinEdges` the cache keeps natural partitioning (the
+    // below `bucketMinNodes` the cache keeps natural partitioning (the
     // measured-faster local shape, and the cache entry stays plan-shared
     // with other edge-table consumers); at or above it the cache is
     // bucketed by hash(src) and every step's scan carries a driver-
@@ -114,8 +114,10 @@ final class WalkSampler(
         prRanks.getOrElse(PageRank.compute(kb, iterations = prIterations))
           .select(col("id").as("dst"), col("pr").as("w"))
       else null
-    val eCount = if (bucketMinEdges == Long.MaxValue) 0L else kb.edges.count()
-    val bucketed = bucketMinEdges != Long.MaxValue && eCount >= bucketMinEdges
+    // gate proxy: nTotal (already counted above) instead of a dedicated
+    // |E| count job per draw; at web-graph densities |V| tracks |E| within
+    // the order of magnitude the gate cares about
+    val bucketed = bucketMinNodes != Long.MaxValue && nTotal >= bucketMinNodes
     val nbrs0 = WalkSampler.neighborTable(kb, Option(ranks))
     val nbrs = (if (bucketed)
         nbrs0.withColumn("bkt", pmod(xxhash64(col("src")), lit(walkBuckets)).cast("int"))
@@ -237,8 +239,14 @@ final class WalkSampler(
       def teleLookup(ws: Seq[Long]): org.apache.spark.sql.DataFrame = {
         val ranks = ws.map(w =>
           (w, Determinism.pmodJvm(Determinism.detHashJvm(seed + 11 * step, w), allowed) + 1))
+        // the pruning filter shares the `bucketed` size gate: per-step
+        // isin LITERALS change every step, so below the gate the plan
+        // stays literal-free and byte-stable across steps (codegen-cache
+        // friendly — the full scan of a small cached index is cheaper
+        // than per-step plan churn); above it, skipping all but the
+        // ≤|walkers| landing batches is what matters
         val idx =
-          if (ranks.size <= WalkSampler.MaxTeleInList)
+          if (bucketed && ranks.size <= WalkSampler.MaxTeleInList)
             nodesIdx.filter(col("trn").isin(ranks.map(_._2).distinct: _*))
           else nodesIdx
         broadcast(spark.createDataset(ranks)(longPairEnc).toDF("walker", "trn"))
@@ -313,12 +321,16 @@ object WalkSampler {
   final case class StepOut(walker: Long, next: String,
                            src: String, pred: String, dst: String, viaEdge: Boolean)
 
-  /** |E| at which the neighbor cache switches from natural partitioning
-    * (measured faster under the local per-task scheduling floor) to
-    * hash(src) buckets with per-step frontier pruning (the 100-TB shape —
-    * each step then scans ~walkers/walkBuckets of the cache, not all of
-    * it). sf0.1 is ~3 orders of magnitude below the default. */
-  val DefaultBucketMinEdges: Long = 100L * 1000 * 1000
+  /** |V| (the cheap proxy for graph size — counted anyway at draw start)
+    * at which the loop switches to its big-graph shapes: the neighbor
+    * cache goes from natural partitioning (measured faster under the
+    * local per-task scheduling floor) to hash(src) buckets with per-step
+    * frontier pruning, and the teleport lookups gain their per-step
+    * `trn IN (landing ranks)` batch-pruning filter (below the gate the
+    * teleport plan stays literal-free and byte-stable across steps —
+    * codegen-cache friendly). sf0.1 is ~3 orders of magnitude below the
+    * default. */
+  val DefaultBucketMinNodes: Long = 100L * 1000 * 1000
   /** Bucket fan-out for the gated cache: walkers ≪ buckets is what makes
     * the pruning pay; 256 keeps per-step task count bounded. */
   val DefaultWalkBuckets: Int = 256

@@ -72,7 +72,7 @@ class SamplerSpec extends SparkSpec {
   test("rwj: bucketed neighbor cache (100-TB gate forced on) is byte-identical") {
     def run(minEdges: Long) = {
       val s = new WalkSampler(kb, seed = 4, jumpProb = Some(0.1),
-        bucketMinEdges = minEdges, walkBuckets = 8).sample(50)
+        bucketMinNodes = minEdges, walkBuckets = 8).sample(50)
       (nodeSet(s),
         s.edges.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
     }
@@ -84,7 +84,7 @@ class SamplerSpec extends SparkSpec {
   test("rwp: bucketed neighbor cache carries the rank weights identically") {
     def run(minEdges: Long) = {
       val s = new WalkSampler(kb, seed = 6, prioritized = true, prIterations = 20,
-        jumpProb = Some(0.1), bucketMinEdges = minEdges, walkBuckets = 8).sample(50)
+        jumpProb = Some(0.1), bucketMinNodes = minEdges, walkBuckets = 8).sample(50)
       nodeSet(s)
     }
     assert(run(Long.MaxValue) === run(0L))
