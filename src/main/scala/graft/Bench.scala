@@ -135,7 +135,12 @@ object Bench {
     // Headline queries still run at local[cpus].
     val low = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val high = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", (low * 4).toString).toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "512").toInt
+    // floor at 1: reps ≤ 0 would make the probe relation empty and crash
+    // the first() read — a malformed env var must degrade, not abort a
+    // bench pass that already spent its warmup (the HEADLINE_RUNS rule)
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "512").toInt)
+        .getOrElse(512))
 
     // ---- headline queries at local[cpus] ----
     var spark = session(cpus)

@@ -257,4 +257,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus-sized feature stream must never sort-merge:\n$plan")
   }
+
+  test("funnel: ONE keyed exchange feeds all step windows and the collapse") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val df = graft.streaming.Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the funnel must never self-join the log:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"all K step windows + the per-key collapse must share one shuffle:\n$plan")
+  }
+
+  test("heavy hitters: candidates broadcast-semi back; no full-vocab sort-merge") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val grams = graft.text.Curation.wordNgramsAll(docs, 1)
+    val df = graft.core.Frequency.heavyHitters(grams, "gram", 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"pass 2 must broadcast the candidate set as a semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-sized key stream must never sort-merge:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"the recount must map-side combine:\n$plan")
+  }
+
+  test("WL colors: keyed joins + partial XOR aggregate, no cartesian") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val df = graft.core.KgStats.wlColors(kb.edges, kb.types, rounds = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"color propagation must stay keyed joins:\n$plan")
+    assert(plan.contains("partial_bit_xor") || plan.contains("partial bit_xor"),
+      s"the neighborhood digest must map-side combine (hub-safe):\n$plan")
+  }
 }
