@@ -197,7 +197,21 @@ object TrainingDataQueries {
     "td_funnel" -> ((s, d) => graft.streaming.Temporal.funnel(
       s.read.parquet(s"$d/events.parquet"),
       key = "user_id", ts = "ts", typeCol = "event_type",
-      steps = Seq("view", "click", "purchase"))))
+      steps = Seq("view", "click", "purchase"))),
+    // the SAME funnel as a Structured Streaming query with CUSTOM state
+    // (mapGroupsWithState, O(K) longs per user), drained AvailableNow;
+    // the events replay in-order (single file-source batch), so the
+    // exactness contract holds and the batch oracle applies verbatim
+    "td_funnel_stream" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("funnel_stream_").toString
+      // the testdata table is a single parquet FILE; the stream file
+      // source wants a directory — stage it (fe_stream_triples pattern)
+      s.read.parquet(s"$d/events.parquet")
+        .write.mode("overwrite").parquet(s"$base/events")
+      graft.streaming.Temporal.funnelStreamOnce(
+        s, s"$base/events", Seq("view", "click", "purchase"),
+        s"$base/out", s"$base/ck")
+    }))
 
   private val corpusCte =
     """corpus AS (
@@ -367,6 +381,34 @@ object TrainingDataQueries {
        |    PARTITION BY q ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, neighbor) AS INT) AS rank
        |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor) r
        |WHERE rank <= 5""".stripMargin
+
+  // shared by td_funnel (batch) and td_funnel_stream (the
+  // mapGroupsWithState replay of the same events): chained window
+  // CTEs with the identical strict-inequality gating
+  private val funnelOracle: String =
+    """WITH f0 AS MATERIALIZED (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS MATERIALIZED (
+        |  SELECT user_id, event_type, us,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id) AS step1_us
+        |  FROM f0),
+        |w2 AS MATERIALIZED (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND step1_us IS NOT NULL
+        |                      AND us > step1_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS step2_us
+        |  FROM w1),
+        |w3 AS MATERIALIZED (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step2_us IS NOT NULL
+        |                      AND us > step2_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS step3_us
+        |  FROM w2)
+        |SELECT user_id, MIN(step1_us) AS step1_us, MIN(step2_us) AS step2_us,
+        |  MIN(step3_us) AS step3_us,
+        |  CAST(MIN((CASE WHEN step1_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN step2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN step3_us IS NOT NULL THEN 1 ELSE 0 END)) AS INT) AS reached
+        |FROM w3 WHERE step1_us IS NOT NULL GROUP BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "td_dedup_exact" -> s"WITH $corpusCte\nSELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text",
@@ -599,30 +641,10 @@ object TrainingDataQueries {
         |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
         |FROM c""".stripMargin,
-    "td_funnel" ->
-      """WITH f0 AS MATERIALIZED (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |w1 AS MATERIALIZED (
-        |  SELECT user_id, event_type, us,
-        |    MIN(CASE WHEN event_type = 'view' THEN us END)
-        |      OVER (PARTITION BY user_id) AS step1_us
-        |  FROM f0),
-        |w2 AS MATERIALIZED (
-        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND step1_us IS NOT NULL
-        |                      AND us > step1_us THEN us END)
-        |      OVER (PARTITION BY user_id) AS step2_us
-        |  FROM w1),
-        |w3 AS MATERIALIZED (
-        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step2_us IS NOT NULL
-        |                      AND us > step2_us THEN us END)
-        |      OVER (PARTITION BY user_id) AS step3_us
-        |  FROM w2)
-        |SELECT user_id, MIN(step1_us) AS step1_us, MIN(step2_us) AS step2_us,
-        |  MIN(step3_us) AS step3_us,
-        |  CAST(MIN((CASE WHEN step1_us IS NOT NULL THEN 1 ELSE 0 END)
-        |         + (CASE WHEN step2_us IS NOT NULL THEN 1 ELSE 0 END)
-        |         + (CASE WHEN step3_us IS NOT NULL THEN 1 ELSE 0 END)) AS INT) AS reached
-        |FROM w3 WHERE step1_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    "td_funnel" -> funnelOracle,
+    // the streaming funnel replays the same events in event-time order
+    // (one AvailableNow batch), so the batch oracle applies verbatim
+    "td_funnel_stream" -> funnelOracle,
     // winnowing: same k-gram polynomial (Σ cp·31^j mod P, direct form of
     // the Spark side's rolling mod) + same h·2³²+(2³²−1−i) window-min key
     "td_winnow_fp" -> {

@@ -153,4 +153,119 @@ object Temporal {
         (stepCols.tail.map(c => min(col(c)).as(c)) :+
           min(reached).cast("int").as("reached")): _*)
   }
+
+  /** The [[funnel]] as a Structured Streaming query with CUSTOM state:
+    * `groupByKey(user).mapGroupsWithState` holding exactly K longs per
+    * user (the earliest qualifying time per step, -1 = unreached) — the
+    * O(K) state bound is the whole point: a session-window or join
+    * formulation of a funnel buffers raw events per user, this never
+    * holds more than the chain.
+    *
+    * Per micro-batch the group's new events are sorted by (ts, type-rank)
+    * and folded through the chain: step k fires on the first event
+    * STRICTLY later than chain[k-1] (same strictness as the batch
+    * funnel), step 0 on its first event. Update mode emits the user's
+    * current chain every batch it changes; the LAST update per user is
+    * the funnel row.
+    *
+    * Exactness contract (documented, tested): exact when each user's
+    * events respect event-time order ACROSS micro-batches (within a
+    * batch, order is irrelevant — the fold sorts). An out-of-order
+    * straggler that lands in a later batch than a later-timed event can
+    * only UNDER-advance the funnel (chain entries are first-set-wins and
+    * the strictly-monotone fold never uses it retroactively) — it never
+    * invents a false conversion. The batch [[funnel]] is the exact
+    * backfill/repair path; this is the standard streaming/batch split
+    * for funnels (the general out-of-order-exact funnel requires
+    * unbounded per-user event retention).
+    *
+    * Output: (user_id, step times as epoch micros in `steps` order with
+    * -1 for unreached, reached). */
+  def funnelStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      steps: Seq[String],
+      watermark: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoder, Encoders}
+    require(steps.nonEmpty, "at least one funnel step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    implicit val inEnc: Encoder[(Long, Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[FunnelChain] = Encoders.product[FunnelChain]
+    implicit val outEnc: Encoder[FunnelUpdate] = Encoders.product[FunnelUpdate]
+    val reader = spark.readStream.schema(Sessions.eventsSchema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m)).parquet(dir)
+    val typed = src
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .map(r => (r.getLong(0), r.getLong(1), stepIdx(r.getString(2))))(inEnc)
+    typed.groupByKey(_._1)(keyEnc)
+      .mapGroupsWithState[FunnelChain, FunnelUpdate](GroupStateTimeout.NoTimeout()) {
+        (user, events, state) =>
+          val chain = state.getOption.map(_.c.toArray).getOrElse(Array.fill(k)(-1L))
+          // in-batch order: (ts, step rank) — a step event never fires on
+          // a same-instant earlier step (strict >), so rank only breaks
+          // log-order nondeterminism, never the semantics
+          events.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, i) =>
+            val prevOk = i == 0 || (chain(i - 1) >= 0L && us > chain(i - 1))
+            if (chain(i) < 0L && prevOk) chain(i) = us
+          }
+          state.update(FunnelChain(chain.toSeq))
+          FunnelUpdate(user, chain.toSeq, chain.count(_ >= 0L))
+      }
+      .toDF()
+      // parity with the batch funnel's output domain: users that never
+      // completed step 1 are omitted (they carry zero information)
+      .filter(col("reached") >= 1)
+  }
+
+  /** Drain [[funnelStream]] with Trigger.AvailableNow and return the FINAL
+    * funnel row per user in the batch [[funnel]]'s column shape
+    * (step1_us…stepK_us nullable, reached) — foreachBatch lands every
+    * update with its batch id, and the last batch's row per user wins
+    * (update-mode semantics). The verify gate runs this against the SAME
+    * DuckDB oracle as the batch funnel. */
+  def funnelStreamOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      steps: Seq[String],
+      outDir: String,
+      checkpointDir: String,
+      watermark: String = "0 seconds"): DataFrame = {
+    val q = funnelStream(spark, dir, steps, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    val last = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val stepCols = steps.indices.map { i =>
+      val c = col("step_us").getItem(i)
+      when(c >= 0L, c).as(s"step${i + 1}_us")
+    }
+    last.select(col("user_id") +: stepCols :+ col("reached"): _*)
+  }
 }
+
+/** [[Temporal.funnelStream]] per-user state: the chain of earliest
+  * qualifying step times, -1 = unreached (top-level for encoder
+  * derivation) */
+final case class FunnelChain(c: Seq[Long])
+
+/** one [[Temporal.funnelStream]] update row (top-level for encoder
+  * derivation): step times in funnel order, -1 = unreached */
+final case class FunnelUpdate(user_id: Long, step_us: Seq[Long], reached: Int)

@@ -146,6 +146,70 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map(1L -> ((Some(2000000L), Some(3000000L), Some(4000000L), 3))))
   }
 
+  // ---- funnelStream (mapGroupsWithState, O(K) state per user) ----
+
+  private def writeEventFiles(dir: String, fileRows: Seq[Seq[(Long, Long, Long, String)]]): Unit =
+    fileRows.zipWithIndex.foreach { case (rows, i) =>
+      rows.map { case (id, sec, u, et) => (id, new java.sql.Timestamp(sec * 1000L), u, et, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      // distinct mtimes keep the file-source batch order deterministic
+      if (i < fileRows.size - 1) Thread.sleep(1100)
+    }
+
+  private def lastUpdates(dir: String, name: String, maxFiles: Option[Int]): Map[Long, (Seq[Long], Int)] = {
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ck_").toString
+    val q = Temporal.funnelStream(spark, dir, Seq("view", "click", "purchase"),
+        watermark = "0 seconds", maxFilesPerTrigger = maxFiles)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the LAST update per user is the funnel row; memory sink appends in
+    // batch order, so keep the final occurrence
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getInt(2))))
+      .foldLeft(Map.empty[Long, (Seq[Long], Int)]) { case (m, (u, v)) => m + (u -> v) }
+  }
+
+  private def batchShape(rows: Seq[(Long, Long, Long, String)]): Map[Long, (Seq[Long], Int)] = {
+    val df = rows.map { case (id, sec, u, et) => (id, new java.sql.Timestamp(sec * 1000L), u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    Temporal.funnel(df, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map { r =>
+        val steps = (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i))
+        r.getLong(0) -> ((steps, r.getInt(4)))
+      }.toMap
+  }
+
+  test("funnelStream == funnel (single-batch AvailableNow parity)") {
+    val rows = Seq(
+      (1L, 1L, 1L, "view"), (2L, 1L, 1L, "click"), (3L, 2L, 1L, "click"),
+      (4L, 3L, 1L, "purchase"),
+      (5L, 1L, 2L, "purchase"), (6L, 2L, 2L, "view"),
+      (7L, 5L, 3L, "click"), // never viewed: omitted on both sides
+      (8L, 4L, 4L, "view"), (9L, 9L, 4L, "click"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel_in_").toString
+    writeEventFiles(dir, Seq(rows))
+    val streamed = lastUpdates(dir, "funnel_out1", maxFiles = None)
+    assert(streamed === batchShape(rows))
+    assert(streamed(1L) === ((Seq(1000000L, 2000000L, 3000000L), 3)))
+  }
+
+  test("funnelStream: state carries across micro-batches (in-order files)") {
+    // file 1 ends mid-funnel; file 2 completes it — one file per trigger
+    val f1 = Seq((1L, 1L, 7L, "view"), (2L, 2L, 7L, "click"),
+      (3L, 1L, 8L, "view"))
+    val f2 = Seq((4L, 10L, 7L, "purchase"), (5L, 11L, 8L, "click"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel_in2_").toString
+    writeEventFiles(dir, Seq(f1, f2))
+    val streamed = lastUpdates(dir, "funnel_out2", maxFiles = Some(1))
+    assert(streamed === batchShape(f1 ++ f2))
+    assert(streamed(7L)._2 === 3 && streamed(8L)._2 === 2)
+  }
+
   test("funnel is partition-invariant") {
     val rows = (1L to 40L).flatMap(u => Seq(
       (u, u, "view"), (u, u + 1, "click"), (u, u + 2, "purchase")))
