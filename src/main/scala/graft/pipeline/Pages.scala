@@ -69,6 +69,34 @@ object Pages {
     spark.createDataFrame(rows).toDF("surface", "entity_id", "score")
   }
 
+  /** Recrawl dedup — keep the NEWEST snapshot per CANONICAL url, the first
+    * stage of any Common-Crawl-style ingest (the same page is fetched many
+    * times across crawls; only the latest should enter extraction). The
+    * dedup key is [[graft.text.Curation.urlNormCol]] (lowercased
+    * scheme/host, default ports stripped, utm_* params and fragments
+    * dropped), so `HTTPS://EX.ORG:443/a?utm_x=1` and `https://ex.org/a`
+    * collapse to one page.
+    *
+    * Plan shape: ONE map-side-partial aggregate — the winner is
+    * max(struct(warc_ts, url, payload…)) (struct comparison is
+    * lexicographic: newest warc_ts wins, the raw url then the payload
+    * break exact ties deterministically). Never a per-key window sort: a
+    * hot url recrawled millions of times costs its reducer one struct of
+    * state, not a sort — and the map side already collapses each
+    * partition to one candidate per url. Output: url_norm + the input
+    * columns of the winning snapshot. */
+  def latestSnapshots(pages: DataFrame, urlCol: String = "url",
+                      tsCol: String = "warc_ts"): DataFrame = {
+    val payload = pages.columns.filterNot(c => c == urlCol || c == tsCol).toSeq
+    val ordered = Seq(tsCol, urlCol) ++ payload
+    pages
+      .select(graft.text.Curation.urlNormCol(col(urlCol)).as("url_norm"),
+        struct(ordered.map(col): _*).as("__snap"))
+      .groupBy(col("url_norm"))
+      .agg(max(col("__snap")).as("__snap"))
+      .select(col("url_norm") +: ordered.map(c => col(s"__snap.$c")): _*)
+  }
+
   /** DuckDB mirrors (kept adjacent to the generators so they cannot drift). */
   object Sql {
     val surfA = "CASE WHEN doc_id % 5 < 2 THEN 'Ent ' || (doc_id % 97) ELSE 'Entity ' || (doc_id % 97) END"

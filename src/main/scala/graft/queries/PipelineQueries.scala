@@ -38,6 +38,32 @@ object PipelineQueries {
       Canonicalize.fuzzyCanonicalMap(Pages.aliases(s), threshold = 0.9,
         alsoExactKey = true)),
     "fe_triples" -> ((s, d) => KgPipeline.run(s, d, ck(d), "triples")),
+    // recrawl dedup: newest snapshot per CANONICAL url. Recrawls are
+    // planted so the normalization itself is load-bearing: every 3rd page
+    // gets a NEWER snapshot under an uppercased host + explicit :443 +
+    // utm param (must win, under the BASE canonical url), every 5th an
+    // OLDER one under a #fragment variant (must lose). One map-side-
+    // partial max(struct) aggregate — no window, no join.
+    "fe_snapshot_latest" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      def pagesOf(df: org.apache.spark.sql.DataFrame) =
+        Pages.fromDocuments(df).select(col("url"), col("warc_ts"),
+          col("text"), col("lang"))
+      val base = pagesOf(docs)
+      val v2 = pagesOf(docs.filter(col("doc_id") % 3 === 0)).select(
+        concat(regexp_replace(col("url"), "^https://ex\\.org", "HTTPS://EX.ORG:443"),
+          lit("?utm_src=x")).as("url"),
+        (col("warc_ts") + expr("INTERVAL 1 HOUR")).as("warc_ts"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"))
+      val v0 = pagesOf(docs.filter(col("doc_id") % 5 === 0)).select(
+        concat(col("url"), lit("#frag")).as("url"),
+        (col("warc_ts") - expr("INTERVAL 1 HOUR")).as("warc_ts"),
+        concat(col("text"), lit(" v0")).as("text"), col("lang"))
+      Pages.latestSnapshots(base.unionAll(v2).unionAll(v0))
+        .select(col("url_norm"),
+          date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss").as("warc_ts"),
+          col("url"), col("text"), col("lang"))
+    }),
     "fe_lineage_counts" -> ((s, d) => {
       KgPipeline.run(s, d, ck(d), "triples") // ensure all stages ran
       // stage totals from the _total_ lineage rows; ALSO assert the lineage
@@ -251,6 +277,26 @@ object PipelineQueries {
         |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
         |FROM als""".stripMargin),
     "fe_triples" -> withDocs(triplesSql),
+    // by construction every planted variant normalizes to the BASE url, so
+    // the oracle ranks snapshots under it directly (the engine side must
+    // still COMPUTE that collapse via the real normalization)
+    "fe_snapshot_latest" -> (s"WITH $docsCte,\n" +
+      """snaps AS MATERIALIZED (
+        |  SELECT url AS url_norm, url,
+        |    TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+        |    body AS text, lang FROM docs
+        |  UNION ALL
+        |  SELECT url, 'HTTPS://EX.ORG:443/doc/' || doc_id || '?utm_src=x',
+        |    TIMESTAMP '2025-01-01 01:00:00' + doc_id * INTERVAL 1 SECOND,
+        |    body || ' v2', lang FROM docs WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT url, url || '#frag',
+        |    TIMESTAMP '2024-12-31 23:00:00' + doc_id * INTERVAL 1 SECOND,
+        |    body || ' v0', lang FROM docs WHERE doc_id % 5 = 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url_norm
+        |  ORDER BY warc_ts DESC, url DESC, text DESC, lang DESC) AS rn FROM snaps)
+        |SELECT url_norm, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts,
+        |  url, text, lang FROM rk WHERE rn = 1""".stripMargin),
     "fe_stream_triples" -> withDocs(triplesSql),
     "fe_merge_triples" -> withDocs(
       s"SELECT subj AS src, pred, obj AS dst FROM ($triplesSql) t"),

@@ -141,6 +141,20 @@ object Curation {
   def urlNormalize(urls: DataFrame,
                    urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
     def g(i: Int): Column = regexp_extract(col(urlCol), UrlRe, i)
+    val host = lower(g(2))
+    val path = when(g(4) === "", "/").otherwise(g(4))
+    val parsed = host =!= ""
+    urls.select(col(idCol),
+      urlNormCol(col(urlCol)).as("url_norm"),
+      when(parsed, host).otherwise("").as("host"),
+      when(parsed, size(split(path, "/")) - 1).otherwise(0).cast("long").as("path_depth"))
+  }
+
+  /** The canonical-url column alone (the [[urlNormalize]] rule as a pure
+    * expression — shared with [[graft.pipeline.Pages.latestSnapshots]]'s
+    * recrawl dedup key). Unparseable urls pass through verbatim. */
+  def urlNormCol(url: Column): Column = {
+    def g(i: Int): Column = regexp_extract(url, UrlRe, i)
     val scheme = lower(g(1))
     val host = lower(g(2))
     val port = when(
@@ -150,13 +164,9 @@ object Curation {
     val query = array_join(
       filter(split(substring(g(5), 2, 1 << 20), "&"),
         p => !p.startsWith("utm_")), "&")
-    val parsed = host =!= ""
-    urls.select(col(idCol),
-      when(parsed, concat(scheme, lit("://"), host, port, path,
-        when(query === "", "").otherwise(concat(lit("?"), query))))
-        .otherwise(col(urlCol)).as("url_norm"),
-      when(parsed, host).otherwise("").as("host"),
-      when(parsed, size(split(path, "/")) - 1).otherwise(0).cast("long").as("path_depth"))
+    when(host =!= "", concat(scheme, lit("://"), host, port, path,
+      when(query === "", "").otherwise(concat(lit("?"), query))))
+      .otherwise(url)
   }
 
   // --------------------------------------------------- mixture sampling
