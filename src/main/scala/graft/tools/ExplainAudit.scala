@@ -172,6 +172,21 @@ object ExplainAudit {
         key = "user_id", ts = "ts", id = "event_id",
         carry = Seq("event_id" -> "view_id", "value" -> "view_value"))
     }
+    // funnel: all K step windows + the collapse on ONE keyed exchange
+    show("funnel")(graft.streaming.Temporal.funnel(
+      spark.read.parquet(s"$dir/events.parquet"),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+    // WL refinement round: two keyed joins + one partial bit_xor aggregate
+    show("wl_colors")(graft.core.KgStats.wlColors(kb.edges, kb.types, 1))
+    // heavy hitters pass 2: candidates broadcast back as a semi-join, the
+    // corpus key stream never sort-merges or full-shuffles
+    show("heavy_hitters")(graft.core.Frequency.heavyHitters(
+      graft.text.Curation.wordNgramsAll(
+        spark.read.parquet(s"$dir/documents.parquet"), 1), "gram", 40))
+    // recrawl dedup: ONE partial max(struct) aggregate, no window, no join
+    show("snapshot_latest")(graft.pipeline.Pages.latestSnapshots(
+      graft.pipeline.Pages.fromDir(spark, dir)
+        .select("url", "warc_ts", "text", "lang")))
     spark.stop()
   }
 }
