@@ -77,6 +77,27 @@ object KgStats {
           .otherwise("xsd:string"))
   }
 
+  /** Schema graph (graph summarization): one row per observed
+    * (source class, predicate, target class) combination with its edge
+    * count — the class-level quotient graph KG-construction QA reads to
+    * spot mis-linked predicates (a `bornIn` edge landing on an Order
+    * class is a linker bug visible here long before any SHACL shape is
+    * written). BAG semantics over multi-typed endpoints (an edge between
+    * two 2-class nodes contributes 4 rows), matching the summarization
+    * literature's quotient-by-type definition. Untyped endpoints are
+    * dropped — surface them via [[characteristicSets]] instead.
+    *
+    * Scale shape: two keyed equi-joins (types is class-assertion-sized;
+    * Catalyst broadcasts it under the threshold, shuffle-joins above) +
+    * one map-side-partial aggregate over the CLASS-pair domain (tiny —
+    * |classes|²·|preds| at worst, thousands in real KGs). */
+  def schemaGraph(edges: DataFrame, types: DataFrame): DataFrame =
+    edges
+      .join(types.select(col("node").as("src"), col("cls").as("src_cls")), Seq("src"))
+      .join(types.select(col("node").as("dst"), col("cls").as("dst_cls")), Seq("dst"))
+      .groupBy(col("src_cls"), col("pred"), col("dst_cls"))
+      .agg(count(lit(1)).as("n_edges"))
+
   /** Weisfeiler–Leman color refinement over the typed multigraph — the
     * structural node signature KG canonicalization uses to find entities
     * whose local neighborhoods are isomorphic (1-WL distinguishes exactly

@@ -103,6 +103,12 @@ object KgQueries {
     // the star-join cardinality statistic
     "kg_char_sets" -> ((s, d) => graft.core.KgStats.characteristicSets(
       TpchKg.load(s, d).edges)),
+    // schema graph: class-level quotient with edge counts — the
+    // KG-construction QA surface for mis-linked predicates
+    "kg_schema_graph" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.core.KgStats.schemaGraph(kb.edges, kb.types)
+    }),
     // 2-round Weisfeiler-Leman color refinement: structural node
     // signatures (class set + direction-tagged neighborhood digests) —
     // the isomorphism heuristic entity canonicalization blocks on
@@ -290,6 +296,13 @@ object KgQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "kg_schema_graph" -> TpchKgSql.withKg(
+      """SELECT ts.cls AS src_cls, e.pred, td.cls AS dst_cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges
+        |FROM edges e
+        |JOIN types ts ON ts.node = e.src
+        |JOIN types td ON td.node = e.dst
+        |GROUP BY 1, 2, 3""".stripMargin),
     "kg_wl_colors" -> TpchKgSql.withKg(
       s"""${wlCtes(2)}
          |SELECT node, color FROM wc2""".stripMargin,

@@ -71,6 +71,21 @@ class KgStatsSpec extends SparkSpec {
       "inRegion" -> 1L))
   }
 
+  test("schemaGraph: bag semantics over multi-typed endpoints, untyped dropped") {
+    val edges = Seq(
+      ("a", "p", "b"), ("a", "p", "b"), // parallel edge counts twice
+      ("a", "q", "c"),                  // c untyped: dropped
+      ("d", "p", "b"))
+      .toDF("src", "pred", "dst")
+    val types = Seq(("a", "A"), ("a", "A2"), ("b", "B"), ("d", "A"))
+      .toDF("node", "cls")
+    val got = KgStats.schemaGraph(edges, types).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      ("A", "p", "B") -> 3L,   // 2 parallel a→b + 1 d→b
+      ("A2", "p", "B") -> 2L)) // a's second class sees the same 2 edges
+  }
+
   import org.apache.spark.sql.functions.col
 
   // two disjoint isomorphic chains a→b→c / a2→b2→c2 plus one branch node
