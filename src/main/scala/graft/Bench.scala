@@ -201,6 +201,12 @@ object Bench {
       // within-cluster pair stage — the semantic-dedup scale shape
       "td_semdedup" -> (s => graft.sim.Ann.semDedup(
         graft.queries.TrainingDataQueries.embCorpus(s, sfDir), tau = 0.99).count()),
+      // web-graph extraction: raw html → anchor edges (map-only regex
+      // scan over every page) → host quotient in ONE partial aggregate —
+      // the crawl-ingest scale shape alongside fe_pipeline's text path
+      "fe_host_graph" -> (s => graft.pipeline.LinkGraph.hostGraph(
+        graft.pipeline.LinkGraph.links(
+          graft.pipeline.Pages.fromDir(s, sfDir)).toDF()).count()),
       // link-prediction features over the bipartite contains graph:
       // hub-capped wedge equi-join + map-side-combined pair aggregate —
       // the Σ deg² operator whose cap keeps it linear-ish under skew

@@ -46,6 +46,18 @@ object KgPipeline {
     out
   }
 
+  /** Pure pages → canonical triples (no lineage/checkpoint) — the same
+    * stage kernels as [[run]], for callers that bring their own page set
+    * (recrawl changesets, ad-hoc diffs). */
+  def triplesOf(pages: org.apache.spark.sql.DataFrame,
+                aliases: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val extracted = Extract(pages).toDF()
+    val mentions = Mentions(extracted.as[Extract.Extracted](
+      Encoders.product[Extract.Extracted])).toDF()
+    Canonicalize(Link(mentions, aliases), aliases).distinct()
+  }
+
   /** Full run + materialization into a Kb. */
   def buildKb(spark: SparkSession, dataDir: String, checkpointDir: String): Kb =
     Materialize.asKb(run(spark, dataDir, checkpointDir))

@@ -41,6 +41,26 @@ object Materialize {
       PropMeta("worksFor", "object", "Entity", "Org"),
       PropMeta("locatedIn", "object", "City", "Country")))
 
+  /** Recrawl changeset between two canonical triple sets: which triples a
+    * new crawl adds and which it retracts — the incremental-maintenance
+    * primitive for a continuously-rebuilt KG.
+    *
+    * ONE partial-aggregate shuffle instead of two anti-joins: union the
+    * sides with a tag, groupBy the triple, keep rows present on exactly one
+    * side. Map-side combine collapses each side's (distinct) triples before
+    * the exchange, and both sides hash-partition on the same key, so the
+    * cost is a single exchange of |v1 ∪ v2| rows — an EXCEPT-based plan
+    * would shuffle both inputs twice. */
+  def changeset(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select("subj", "pred", "obj").withColumn("side", lit(1))
+      .unionByName(v2.select("subj", "pred", "obj").withColumn("side", lit(2)))
+      .groupBy("subj", "pred", "obj")
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in1"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in2"))
+      .filter(col("in1") =!= col("in2"))
+      .select(when(col("in2") === 1, lit("add")).otherwise(lit("del")).as("op"),
+        col("subj"), col("pred"), col("obj"))
+
   /** Write edges salted + partitioned; returns the written path. */
   def writeEdges(triples: DataFrame, path: String): Unit =
     triples.select(col("subj").as("src"), col("pred"), col("obj").as("dst"))

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * Entity surface forms alternate between two alias spellings ("Ent k" /
   * "Entity k") mapping to two distinct pre-canonical ids, so entity linking
   * AND canonicalization are genuinely exercised.
+  *
+  * The `<nav>` block additionally plants a deterministic hyperlink graph
+  * (Common-Crawl's other first-class output, the web graph): a "hub" link
+  * to doc (id % 97) — 97 hub pages with skewed in-degree, self-loops for
+  * id < 97 —, a "next" link to doc id+1 — one long chain, dangling at the
+  * crawl frontier —, and a "cdn" link to one of three external asset hosts
+  * — cross-host edges for the host-level graph. Anchors live inside the
+  * boilerplate nav, so the extracted `text` contract is untouched; see
+  * [[LinkGraph]].
   */
 object Pages {
 
@@ -42,7 +51,15 @@ object Pages {
           col("doc_id").cast("decimal(18,6)"))).as("warc_ts"),
       concat(
         lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script>var x=1;</script></head><body><nav>Home | About | Contact</nav><p>"),
+        lit("</title><script>var x=1;</script></head><body>" +
+          "<nav>Home | About | Contact | <a href=\"https://ex.org/doc/"),
+        col("doc_id") % 97,
+        lit("\">hub</a> <a href=\"https://ex.org/doc/"),
+        col("doc_id") + 1,
+        lit("\">next</a> <a href=\"https://cdn"),
+        col("doc_id") % 3,
+        lit(".ex-assets.net/p/"), col("doc_id"),
+        lit("\">cdn</a></nav><p>"),
         body,
         lit("</p><footer>&copy; 2025 example.org</footer></body></html>")
       ).cast("binary").as("html"),
@@ -106,6 +123,17 @@ object Pages {
          | || CASE WHEN doc_id % 3 = 0 THEN ' city ' || (doc_id % 31) || ' is located in country ' || (doc_id % 7) || '.' ELSE '' END""".stripMargin.replace("\n", "")
     val body = s"text || ' ' || $facts"
     val url = "'https://ex.org/doc/' || doc_id"
+
+    /** Full html reconstruction (byte-exact mirror of [[fromDocuments]]) —
+      * shared by every oracle that needs html byte lengths. */
+    val html: String =
+      """'<html><head><title>Doc ' || doc_id || '</title><script>var x=1;</script></head><body>' ||
+        |'<nav>Home | About | Contact | <a href="https://ex.org/doc/' || (doc_id % 97) ||
+        |'">hub</a> <a href="https://ex.org/doc/' || (doc_id + 1) ||
+        |'">next</a> <a href="https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id ||
+        |'">cdn</a></nav><p>' || body ||
+        |'</p><footer>&copy; 2025 example.org</footer></body></html>'"""
+        .stripMargin.replace("\n", " ")
     val aliases: String =
       """SELECT 'Ent ' || k AS surface, 'entA_' || k AS entity_id, 0.9 AS score FROM generate_series(0, 96) t(k)
         |UNION ALL SELECT 'Entity ' || k, 'entB_' || k, 0.8 FROM generate_series(0, 96) t(k)

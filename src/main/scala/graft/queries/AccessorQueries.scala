@@ -77,11 +77,7 @@ object AccessorQueries {
         .toDF("kind", "value")
     }))
 
-  private val htmlLen =
-    """octet_length(encode('<html><head><title>Doc ' || doc_id ||
-      |'</title><script>var x=1;</script></head><body>' ||
-      |'<nav>Home | About | Contact</nav><p>' || body ||
-      |'</p><footer>&copy; 2025 example.org</footer></body></html>'))""".stripMargin.replace("\n", " ")
+  private val htmlLen = s"octet_length(encode(${Pages.Sql.html}))"
 
   def oracleSql: Map[String, String] = Map(
     "acc_types_of" -> TpchKgSql.withKg("SELECT cls FROM types WHERE node = 'c:1'"),

@@ -112,6 +112,21 @@ object CurationQueries {
       val base = docs(s, d)
       Lm.crossEntropy(base, Lm.trainBigram(base.filter(col("lang") === "en")))
     }),
+    // CCNet quality buckets: global ntile(3) over (xent, doc_id). The
+    // window here is the EXACT gate formulation; at corpus scale the cut
+    // is two percentile thresholds broadcast into a per-row CASE (CCNet
+    // itself uses histogram cutoffs) — the per-doc xent table this ranks
+    // is already |docs|-sized, far below the text it scored.
+    "td_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+      val xent = Lm.crossEntropy(base, Lm.trainBigram(base.filter(col("lang") === "en")))
+      val w = Window.orderBy(col("xent"), col("doc_id"))
+      xent.select(col("doc_id"), col("xent"), ntile(3).over(w).as("bucket"))
+        .withColumn("label",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+    }),
     // vocabulary induction: exact corpus-wide top-k unigrams with a
     // total-order tie-break (count desc, token asc) — TakeOrdered, i.e.
     // per-partition top-k merged on the driver, never a global sort.
@@ -275,6 +290,28 @@ object CurationQueries {
        |    CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
        |  FROM dsi GROUP BY doc_id, island)""".stripMargin
 
+  /** Per-doc reference-LM cross-entropy — shared by td_lm_xent and the
+    * CCNet bucketing built on top of it. */
+  private val xentOracle =
+    s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+       |rg2 AS (${Curation.wordNgramsSql("ref", 2)}),
+       |rb AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+       |         COUNT(*) AS cnt FROM rg2 GROUP BY 1, 2),
+       |rcx AS (SELECT w1, SUM(cnt) AS ctx FROM rb GROUP BY w1),
+       |rg1 AS (${Curation.wordNgramsSql("ref", 1)}),
+       |voc AS (SELECT COUNT(DISTINCT gram) + 1 AS v FROM rg1),
+       |dg2 AS (${Curation.wordNgramsSql("documents", 2)}),
+       |ds AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1,
+       |         string_split(gram, ' ')[2] AS w2 FROM dg2),
+       |sc AS (SELECT ds.doc_id, COUNT(*) AS n_bigrams,
+       |         SUM(ln(CAST(COALESCE(rb.cnt, 0) + 1 AS DOUBLE)
+       |           / CAST(COALESCE(rcx.ctx, 0) + voc.v AS DOUBLE))) AS s
+       |       FROM ds LEFT JOIN rb USING (w1, w2) LEFT JOIN rcx USING (w1)
+       |       CROSS JOIN voc GROUP BY ds.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  ROUND(COALESCE(-sc.s / sc.n_bigrams, 0.0), 4) AS xent
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "td_dup_spans" -> (s"WITH $corpusCte,\n$dupSpanBody\n" +
       "SELECT doc_id, span_start, span_end, span_tokens FROM spans"),
@@ -365,25 +402,19 @@ object CurationQueries {
         |          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |        FROM documents) t) c""".stripMargin,
 
-    "td_lm_xent" ->
-      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
-         |rg2 AS (${Curation.wordNgramsSql("ref", 2)}),
-         |rb AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
-         |         COUNT(*) AS cnt FROM rg2 GROUP BY 1, 2),
-         |rcx AS (SELECT w1, SUM(cnt) AS ctx FROM rb GROUP BY w1),
-         |rg1 AS (${Curation.wordNgramsSql("ref", 1)}),
-         |voc AS (SELECT COUNT(DISTINCT gram) + 1 AS v FROM rg1),
-         |dg2 AS (${Curation.wordNgramsSql("documents", 2)}),
-         |ds AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1,
-         |         string_split(gram, ' ')[2] AS w2 FROM dg2),
-         |sc AS (SELECT ds.doc_id, COUNT(*) AS n_bigrams,
-         |         SUM(ln(CAST(COALESCE(rb.cnt, 0) + 1 AS DOUBLE)
-         |           / CAST(COALESCE(rcx.ctx, 0) + voc.v AS DOUBLE))) AS s
-         |       FROM ds LEFT JOIN rb USING (w1, w2) LEFT JOIN rcx USING (w1)
-         |       CROSS JOIN voc GROUP BY ds.doc_id)
-         |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  ROUND(COALESCE(-sc.s / sc.n_bigrams, 0.0), 4) AS xent
-         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "td_lm_xent" -> xentOracle,
+
+    // CCNet-style quality bucketing (Wenzek et al. LREC'20): rank every doc
+    // by reference-LM cross-entropy, cut into head/middle/tail thirds —
+    // ntile semantics (remainder to the leading buckets) shared with the
+    // oracle, total order (xent, doc_id) so ties can't flip buckets
+    "td_ccnet_buckets" ->
+      s"""WITH x AS ($xentOracle)
+         |SELECT doc_id, xent,
+         |       CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INT) AS bucket,
+         |       CASE ntile(3) OVER (ORDER BY xent, doc_id)
+         |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+         |FROM x""".stripMargin,
 
     "td_vocab_topk" ->
       s"""WITH g1 AS (${Curation.wordNgramsSql("documents", 1)})

@@ -17,6 +17,15 @@ object KgQueries {
     "kg_abox_triples" -> ((s, d) => TpchKg.load(s, d).aboxTriples),
     "kg_tbox_triples" -> ((s, d) => TpchKg.load(s, d).tboxTriples),
     "kg_triples" -> ((s, d) => TpchKg.load(s, d).triples),
+    // N-Triples interchange roundtrip: render the whole KB as spec-escaped
+    // NT lines (typed literals for attrs, urn-based IRIs otherwise), parse
+    // them back, project the triple surface — must hash-equal the direct
+    // export, so any escaping/encoding asymmetry fails loudly
+    "kg_ntriples" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.sources.NTriples.triples(
+        graft.sources.NTriples.parse(graft.sources.NTriples.render(kb)))
+    }),
     "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression),
     // graph-analytics metrics over the co-purchase projection (parts
     // sharing an order): exact distributed triangle counting with
@@ -25,6 +34,10 @@ object KgQueries {
     "kg_tri_counts" -> ((s, d) => graft.sample.GraphMetrics.triangleCounts(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
     "kg_transitivity" -> ((s, d) => graft.sample.GraphMetrics.globalMetrics(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    // per-node Watts–Strogatz local clustering over the same projection —
+    // integer deg/tri plus the one IEEE division, oracle-replayed exactly
+    "kg_local_cc" -> ((s, d) => graft.sample.GraphMetrics.localClustering(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
     // synchronous label propagation (4 rounds) over the same projection —
     // community structure, the third sampler-quality axis; every round
@@ -476,6 +489,15 @@ object KgQueries {
          |SELECT (SELECT COUNT(*) FROM tri) AS triangles,
          |       (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS wedges""".stripMargin,
       inCte = true),
+    "kg_local_cc" -> TpchKgSql.withKg(
+      s"""$triCtes,
+         |tc AS (SELECT id, COUNT(*) AS tri_cnt
+         |       FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+         |       GROUP BY 1)
+         |SELECT d.id, d.deg, COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+         |       CAST(COALESCE(tc.tri_cnt, 0) * 2.0 AS DOUBLE) / (d.deg * (d.deg - 1)) AS cc
+         |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin,
+      inCte = true),
     "kg_nodes" -> TpchKgSql.nodes,
     "kg_edges" -> TpchKgSql.edges,
     "kg_attrs" -> TpchKgSql.attrs,
@@ -483,6 +505,7 @@ object KgQueries {
     "kg_abox_triples" -> TpchKgSql.aboxTriples,
     "kg_tbox_triples" -> TpchKgSql.tboxTriples,
     "kg_triples" -> TpchKgSql.triples,
+    "kg_ntriples" -> TpchKgSql.triples,
     "kg_abox_expression" -> TpchKgSql.withKg(
       """SELECT node AS subj, cls AS expr FROM types
         |UNION ALL

@@ -127,6 +127,20 @@ object GraphMetrics {
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
 
+  /** Per-node local clustering coefficient (Watts–Strogatz): for every node
+    * with deg ≥ 2, cc = 2·tri / (deg·(deg−1)). Integer deg/tri are carried
+    * alongside the one IEEE double division so the oracle compares
+    * bit-equal. Same two-shuffle budget as [[triangleCounts]] plus one
+    * co-keyed left join on `id` — no new scan of the edge table. */
+  def localClustering(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    degrees(und).filter(col("deg") >= 2)
+      .join(triangleCounts(und), Seq("id"), "left")
+      .na.fill(0L, Seq("tri_cnt"))
+      .select(col("id"), col("deg"), col("tri_cnt"),
+        (col("tri_cnt") * lit(2.0) / (col("deg") * (col("deg") - 1))).as("cc"))
+  }
+
   /** Global structure metrics as exact integers: total triangles T and
     * wedges W = Σ deg·(deg−1)/2. Transitivity = 3T/W, derived by callers. */
   def globalMetrics(und0: DataFrame): DataFrame = {

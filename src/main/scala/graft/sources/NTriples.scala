@@ -1,0 +1,158 @@
+package graft.sources
+
+import graft.core.Kb
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** N-Triples interchange (W3C RDF 1.1 N-Triples) — the line-oriented dump
+  * format KG pipelines exchange at crawl scale (one triple per line, no
+  * document state), so a dump splits on newlines and both directions are
+  * embarrassingly parallel: render is a row-local `map`, parse is
+  * `spark.read.text` + a row-local kernel. No shuffle in either direction.
+  *
+  * The engine's CURIE-ish ids ("c:1", "contains") are not absolute IRIs, so
+  * rendering wraps them under a `urn:graft:` base with percent-encoding of
+  * the characters N-Triples forbids inside `<…>`; parsing reverses both.
+  * Literals (the `attrs` table's lexical forms) render as typed literals
+  * `"…"^^<xsd:…>` with the spec's ECHAR escapes (\" \\ \n \r \t \b \f) and
+  * \uXXXX for other control characters.
+  */
+object NTriples {
+
+  private val Base = "urn:graft:"
+  private val Xsd = "http://www.w3.org/2001/XMLSchema#"
+
+  // ---- row-local kernels -------------------------------------------------
+
+  /** IRI-forbidden characters inside <...>: controls, space, <>"{}|^`\ —
+    * percent-encoded (UTF-8) so any id roundtrips. '%' itself too. */
+  def encodeIri(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c <= ' ' || "<>\"{}|^`\\%".indexOf(c) >= 0)
+        c.toString.getBytes("UTF-8").foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def decodeIri(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  def escapeLiteral(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04X")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescapeLiteral(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u'  => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'U'  => sb.appendAll(Character.toChars(
+            Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10
+          case o    => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def iriRef(id: String): String = s"<$Base${encodeIri(id)}>"
+
+  def renderIriLine(subj: String, pred: String, obj: String): String =
+    s"${iriRef(subj)} ${iriRef(pred)} ${iriRef(obj)} ."
+
+  def renderLiteralLine(subj: String, pred: String, lexical: String, dtype: String): String =
+    s"""${iriRef(subj)} ${iriRef(pred)} "${escapeLiteral(lexical)}"^^<$Xsd$dtype> ."""
+
+  /** One parsed row. `kind` is "iri" or "literal"; `dtype` is the xsd local
+    * name for literals, "" for IRIs. */
+  final case class NtRow(subj: String, pred: String, obj: String, kind: String, dtype: String)
+
+  private val iriLine =
+    """^<([^>]*)> <([^>]*)> <([^>]*)> \.$""".r
+  private val litLine =
+    """^<([^>]*)> <([^>]*)> "((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>)? \.$""".r
+
+  private def unbase(iri: String): String =
+    decodeIri(if (iri.startsWith(Base)) iri.substring(Base.length) else iri)
+
+  def parseLine(line: String): Option[NtRow] = line.trim match {
+    case "" => None
+    case l if l.startsWith("#") => None
+    case iriLine(s, p, o) => Some(NtRow(unbase(s), unbase(p), unbase(o), "iri", ""))
+    case litLine(s, p, o, dt) => Some(NtRow(unbase(s), unbase(p), unescapeLiteral(o),
+      "literal", Option(dt).map(d => d.stripPrefix(Xsd)).getOrElse("string")))
+    case _ => None
+  }
+
+  // ---- distributed surfaces ----------------------------------------------
+
+  /** KB → one N-Triples line per fact (types as rdf:type IRI triples, attrs
+    * as typed literals, edges + TBox as IRI triples) — same coverage and
+    * multiplicity as [[Kb.triples]]. */
+  def render(kb: Kb): Dataset[String] = {
+    val enc = Encoders.STRING
+    val typeLines = kb.types.select(col("node"), col("cls"))
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .map { case (n, c) => renderIriLine(n, graft.core.Schemas.RdfType, c) }(enc)
+    val attrLines = kb.attrs.select(col("node"), col("prop"), col("lexical"), col("dtype"))
+      .as[(String, String, String, String)](Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .map { case (n, p, l, dt) => renderLiteralLine(n, p, l, dt) }(enc)
+    val edgeLines = kb.edges.select(col("src"), col("pred"), col("dst"))
+      .as[(String, String, String)](Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .map { case (s, p, o) => renderIriLine(s, p, o) }(enc)
+    val tboxLines = kb.spark.createDataset(kb.tbox.tripleRows().map(t =>
+      renderIriLine(t.subj, t.pred, t.obj)))(enc)
+    typeLines.unionAll(attrLines).unionAll(edgeLines).unionAll(tboxLines)
+  }
+
+  /** Lines → parsed rows; unparseable/comment/blank lines are dropped (a
+    * production ingest would route them to a quarantine sink). */
+  def parse(lines: Dataset[String]): DataFrame =
+    lines.mapPartitions(_.flatMap(parseLine))(Encoders.product[NtRow]).toDF()
+
+  /** The (subj, pred, obj) surface of a parsed dump — literals as their
+    * lexical forms, matching the [[Kb.triples]] export. */
+  def triples(parsed: DataFrame): DataFrame =
+    parsed.select("subj", "pred", "obj")
+
+  def write(kb: Kb, path: String): Unit =
+    render(kb).write.mode("overwrite").text(path)
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    parse(spark.read.textFile(path))
+}

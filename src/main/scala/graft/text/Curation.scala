@@ -38,6 +38,31 @@ object Curation {
         s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
         .as("gram"))
 
+  /** C4-style sentence-level exact dedup (Raffel et al. JMLR'20 §2.2 run
+    * at sentence rather than three-sentence granularity): split each text
+    * on '. ' boundaries, keep only the GLOBAL first occurrence of every
+    * sentence (first = min (id, position) total order), drop later
+    * repeats. Returns the surviving (id, sent_idx, sentence) rows.
+    *
+    * One shuffle, keyed by sentence: explode is map-side, the
+    * first-occurrence pick is a row_number window per sentence. At corpus
+    * scale the window key should be a 64-bit sentence hash (same
+    * hash-for-shuffle-payload trade as decontaminate); the string key is
+    * kept because the oracle shares it byte-for-byte. Boilerplate
+    * mega-sentences make hot keys — AQE skew handling applies, and the
+    * per-key payload is only (id, pos). */
+  def sentenceDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "piece")))
+      .withColumn("sentence", regexp_replace(col("piece"), "\\.$", ""))
+      .filter(length(col("sentence")) > 0)
+    val w = Window.partitionBy("sentence").orderBy(col(idCol), col("pos"))
+    sents.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("pos").cast("long").as("sent_idx"), col("sentence"))
+  }
+
   /** DuckDB mirror of [[wordNgramsAll]] over a relation `rel(doc_id, text)`
     * (emitted as a CTE body; static series bound per the
     * [[TextOps.OracleMaxDocLen]] convention). */

@@ -187,6 +187,25 @@ object ExplainAudit {
     show("snapshot_latest")(graft.pipeline.Pages.latestSnapshots(
       graft.pipeline.Pages.fromDir(spark, dir)
         .select("url", "warc_ts", "text", "lang")))
+    // web graph: page-level links are a pure map (no exchange at all);
+    // the host quotient is ONE partial aggregate over them
+    val links = graft.pipeline.LinkGraph.links(
+      graft.pipeline.Pages.fromDir(spark, dir)).toDF()
+    show("link_graph")(links)
+    show("host_graph")(graft.pipeline.LinkGraph.hostGraph(links))
+    // recrawl changeset: ONE union-tag partial aggregate — never two
+    // EXCEPT anti-joins shuffling both inputs twice
+    show("changeset") {
+      import org.apache.spark.sql.functions._
+      val t = kb.edges.select(col("src").as("subj"), col("pred"), col("dst").as("obj"))
+      graft.pipeline.Materialize.changeset(t.filter(col("pred") =!= "inRegion"), t)
+    }
+    // sentence dedup: map-side explode, ONE exchange keyed by sentence
+    show("sentence_dedup")(graft.text.Curation.sentenceDedup(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    // N-Triples: render and parse are both shuffle-free map stages
+    show("ntriples_roundtrip")(graft.sources.NTriples.triples(
+      graft.sources.NTriples.parse(graft.sources.NTriples.render(kb))))
     spark.stop()
   }
 }

@@ -281,6 +281,64 @@ class PlanShapeSpec extends SparkSpec {
       s"the recount must map-side combine:\n$plan")
   }
 
+  test("link graph: page-level links are map-only; host quotient one partial agg") {
+    val pages = graft.pipeline.Pages.fromDir(spark, sf)
+    val links = graft.pipeline.LinkGraph.links(pages).toDF()
+    val linksPlan = links.queryExecution.executedPlan.toString
+    assert(!linksPlan.contains("Exchange"),
+      s"anchor extraction is embarrassingly parallel — no shuffle allowed:\n$linksPlan")
+    val hostPlan = graft.pipeline.LinkGraph.hostGraph(links)
+      .queryExecution.executedPlan.toString
+    assert(!hostPlan.contains("Join"), s"the quotient is a pure aggregate:\n$hostPlan")
+    assert(hostPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one keyed exchange (the host-pair aggregate) may exist:\n$hostPlan")
+    assert(hostPlan.contains("partial_count") || hostPlan.contains("partial count"),
+      s"intra-host link mass must map-side combine before the exchange:\n$hostPlan")
+  }
+
+  test("changeset: ONE union-tag aggregate shuffle, never EXCEPT anti-joins") {
+    // simple scans as inputs so the count isolates the operator's own plan
+    import spark.implicits._
+    val t = Seq(("a", "p", "b"), ("c", "p", "d")).toDF("subj", "pred", "obj")
+    val df = graft.pipeline.Materialize.changeset(
+      t.filter(col("subj") =!= "c"), t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the diff must be one tagged aggregate, not two anti-joins:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one keyed exchange may exist:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"side bitmaps must map-side combine:\n$plan")
+  }
+
+  test("sentence dedup: map-side explode, ONE exchange keyed by sentence") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.text.Curation.sentenceDedup(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"first-occurrence pick is a window, not a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one sentence-keyed exchange may exist:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the sentence explode must run map-side below the exchange:\n$plan")
+  }
+
+  test("N-Triples render→parse is shuffle-free in both directions") {
+    // in-memory Kb so the assertion isolates the interchange stages (the
+    // TpchKg fact derivation has its own exchanges upstream)
+    import spark.implicits._
+    val kb = graft.core.Kb(
+      nodes = Seq("a", "b").toDF("id"),
+      edges = Seq(("a", "p", "b")).toDF("src", "pred", "dst"),
+      attrs = Seq(("a", "dp", "1", "long")).toDF("node", "prop", "lexical", "dtype"),
+      types = Seq(("a", "C")).toDF("node", "cls"),
+      tbox = graft.core.Tbox.empty)
+    val df = graft.sources.NTriples.triples(
+      graft.sources.NTriples.parse(graft.sources.NTriples.render(kb)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"interchange must stay row-local map stages end-to-end:\n$plan")
+  }
+
   test("WL colors: keyed joins + partial XOR aggregate, no cartesian") {
     val kb = graft.sources.TpchKg.load(spark, sf)
     val df = graft.core.KgStats.wlColors(kb.edges, kb.types, rounds = 1)

@@ -23,6 +23,17 @@ class PipelineSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("changeset: one-sided triples flip, shared triples don't") {
+    import spark.implicits._
+    val v1 = Seq(("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f")).toDF("subj", "pred", "obj")
+    val v2 = Seq(("a", "p", "b"), ("e", "p", "f"), ("g", "p", "h")).toDF("subj", "pred", "obj")
+    val ch = Materialize.changeset(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(ch === Set(("add", "g", "p", "h"), ("del", "c", "p", "d")))
+    // identical sides → empty changeset
+    assert(Materialize.changeset(v1, v1).count() === 0)
+  }
+
   test("connected components: transitive chains across blocking keys") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")

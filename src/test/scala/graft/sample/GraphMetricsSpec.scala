@@ -45,6 +45,25 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.transitivity(g) == 0.75)
   }
 
+  test("local clustering: K4 all 1.0, bowtie center 1/3, leaves excluded") {
+    // K4: every node cc = 1
+    val k4 = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val cc4 = GraphMetrics.localClustering(k4).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(cc4 === Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
+    // bowtie: two triangles joined at m → deg(m)=4, tri(m)=2, cc = 4/12 = 1/3
+    val bow = und(("m","a"),("m","b"),("a","b"),("m","c"),("m","d"),("c","d"))
+    val rows = GraphMetrics.localClustering(bow).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("m") === ((4L, 2L, 1.0 / 3)))
+    assert(rows("a") === ((2L, 1L, 1.0)))
+    // path graph: middle node has cc 0 (wedge, no triangle); degree-1 ends excluded
+    val path = und(("x","y"),("y","z"))
+    val pc = GraphMetrics.localClustering(path).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(pc === Map("y" -> 0.0))
+  }
+
   test("cooccurrence projection: a 3-item basket becomes K3, cross-basket dedup") {
     val edges = Seq(
       ("o:1", "contains", "p:1"), ("o:1", "contains", "p:2"), ("o:1", "contains", "p:3"),
