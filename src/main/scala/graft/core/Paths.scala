@@ -71,8 +71,10 @@ object Paths {
       edges: DataFrame,
       e: PathExpr,
       sources: Seq[String],
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      depthLimit: Option[Int] = None): DataFrame = {
     require(sources.nonEmpty, "closureFrom needs at least one seed")
+    require(depthLimit.forall(_ >= 1), "depthLimit must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val step = pairs(edges, e).distinct().localCheckpoint(true)
@@ -84,7 +86,10 @@ object Paths {
       var reach = frontier
       var round = 1
       var done = frontier.isEmpty
-      while (!done) {
+      // depthLimit = bounded BFS (crawl-to-depth-D semantics): stop
+      // expanding once dist == D instead of raising on non-convergence —
+      // an unconverged CRAWL is the normal case, unlike a closure
+      while (!done && depthLimit.forall(round < _)) {
         round += 1
         require(round <= maxRounds, s"closure did not converge in $maxRounds rounds")
         val next = step.join(frontier, step("s") === frontier("node"))

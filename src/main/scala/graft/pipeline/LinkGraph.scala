@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Hyperlink-graph construction from raw page html — the web-graph side of
+  * a Common-Crawl-style ingest (cc-webgraph publishes exactly these two
+  * artifacts per crawl: a page-level edge list and its host-level quotient).
+  *
+  * Page-level extraction is a row-local pure kernel applied via typed
+  * `mapPartitions` (same contract as [[Extract]]: identical input bytes →
+  * identical links on any partitioning, one deserialize-once pass, no UDF
+  * registration). At 10^12 pages the edge list is embarrassingly parallel
+  * map output — no shuffle at all until an aggregation is asked for.
+  *
+  * The host-level quotient is ONE partial aggregate: `groupBy(src_host,
+  * dst_host).count` map-side-combines per partition before the exchange, so
+  * the shuffle carries at most |hosts|² rows per task — hosts number ~10^8
+  * against 10^12 pages and the per-partition combine collapses the heavy
+  * intra-host mass (most links are site-internal) before it moves.
+  */
+object LinkGraph {
+
+  /** `<a href="...">` targets, in document order, duplicates kept (the web
+    * graph is a multigraph; the host quotient wants link multiplicity).
+    * Single-quoted and unquoted href forms are accepted like a lenient
+    * crawler's parser would. */
+  def extractLinks(html: Array[Byte]): Seq[String] = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    hrefRe.findAllMatchIn(s)
+      .map(m => Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3)))
+      .toSeq
+  }
+
+  private val hrefRe =
+    """(?is)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>'"]+))""".r
+
+  final case class LinkRow(src: String, dst: String)
+
+  /** pages(url, …, html, …) → every (src page, dst url) anchor edge. */
+  def links(pages: DataFrame): Dataset[LinkRow] = {
+    val in = pages.select("url", "html")
+      .as[Extract.PageIn](Encoders.product[Extract.PageIn])
+    in.mapPartitions(_.flatMap(p =>
+      extractLinks(p.html).map(LinkRow(p.url, _))))(Encoders.product[LinkRow])
+  }
+
+  /** `<a href>` targets WITH their anchor text (tags inside the element
+    * stripped, whitespace collapsed) — the classic entity-linking /
+    * retrieval training signal (anchor text describes the TARGET page).
+    * Requires a closing `</a>`; anchors [[extractLinks]] accepts without
+    * one are skipped here, so the two surfaces may legitimately differ. */
+  def extractAnchors(html: Array[Byte]): Seq[(String, String)] = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    anchorRe.findAllMatchIn(s).map { m =>
+      val href = Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3))
+      val text = m.group(4).replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
+      (href, text)
+    }.toSeq
+  }
+
+  private val anchorRe =
+    """(?is)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>'"]+))[^>]*>(.*?)</a>""".r
+
+  final case class AnchorRow(src: String, dst: String, anchor: String)
+
+  /** pages(url, …, html, …) → (src, dst, anchor text) rows — same
+    * embarrassingly-parallel map contract as [[links]]. */
+  def anchors(pages: DataFrame): Dataset[AnchorRow] = {
+    val in = pages.select("url", "html")
+      .as[Extract.PageIn](Encoders.product[Extract.PageIn])
+    in.mapPartitions(_.flatMap(p =>
+      extractAnchors(p.html).map { case (d, t) => AnchorRow(p.url, d, t) }))(
+      Encoders.product[AnchorRow])
+  }
+
+  /** Crawl frontier: link targets never fetched, with their in-reference
+    * count (the priority signal a crawler schedules by). Aggregate-then-
+    * anti: the dst side collapses to distinct urls via ONE map-side-partial
+    * aggregate BEFORE the anti-join, so the join's probe side is |discovered
+    * urls|, not |links|, and both sides key on url (co-partitionable with a
+    * url-bucketed page store at scale). */
+  def frontier(links: DataFrame, pages: DataFrame): DataFrame =
+    links.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("n_refs"))
+      .join(pages.select("url"), Seq("url"), "left_anti")
+
+  /** Lowercased registered host of an absolute url; empty for relative or
+    * malformed targets (a real crawl resolves those against the base url —
+    * the synthetic corpus only emits absolute hrefs). */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** Host-level quotient graph with link multiplicity. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links.groupBy(
+      hostOf(col("src")).as("src_host"),
+      hostOf(col("dst")).as("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+}

@@ -19,6 +19,17 @@ object PipelineQueries {
   private def ck(dir: String): String =
     ckDirs.getOrElseUpdate(dir, KgPipeline.tempDir("graft_fe_"))
 
+  // crawl-BFS seed doc ids (shared engine/oracle); 107 is the interesting
+  // one — its hub edge jumps to doc 10, so the BFS genuinely branches
+  private val CrawlSeeds = Seq(0, 41, 107)
+
+  // the planted hyperlink set, recomputed arithmetically (shared by the
+  // host-graph / frontier / crawl-depth oracles)
+  private val linksCte =
+    """l AS MATERIALIZED (SELECT url AS src, 'https://ex.org/doc/' || (doc_id % 97) AS dst FROM docs
+      |  UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1) FROM docs
+      |  UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id FROM docs)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "fe_pages" -> ((s, d) => KgPipeline.run(s, d, ck(d), "pages")
       .select(col("url"), col("warc_ts"), col("lang"), col("text"))),
@@ -44,6 +55,82 @@ object PipelineQueries {
     // utm param (must win, under the BASE canonical url), every 5th an
     // OLDER one under a #fragment variant (must lose). One map-side-
     // partial max(struct) aggregate — no window, no join.
+    // hyperlink-graph extraction from raw html (the web-graph artifact of a
+    // crawl ingest): every <a href> anchor as a (src, dst) edge — hub links
+    // (id % 97, skewed in-degree incl. self-loops below 97), the next-chain
+    // (dangling at the frontier) and cross-host cdn links all come back or
+    // the hash breaks
+    "fe_link_graph" -> ((s, d) =>
+      LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()),
+    // host-level quotient with multiplicity — one partial aggregate over
+    // the page-level edges; the engine must PARSE hosts from urls, the
+    // oracle recomputes them with the same regex over the arithmetic links
+    "fe_host_graph" -> ((s, d) =>
+      LinkGraph.hostGraph(
+        LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF())),
+    // anchor text (the entity-linking / retrieval training signal the web
+    // graph carries): every closed <a> element as (src, dst, anchor) —
+    // inner tags stripped, whitespace collapsed; planted texts are the
+    // constants hub/next/cdn so a parser that mangles the element body or
+    // swaps href/text mismatches
+    "fe_anchor_text" -> ((s, d) =>
+      LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF()),
+    // crawl frontier: link targets never fetched, with in-reference counts
+    // (the crawler's scheduling priority) — aggregate-then-anti, so the
+    // probe side is |discovered urls|, never |links|. By construction:
+    // every cdn url (different host), plus the single next-chain target
+    // one past the max crawled doc
+    "fe_frontier" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
+    }),
+    // bounded crawl BFS (crawl-to-depth-D scheduling): first-reach depth
+    // of every url within 4 hops of a 3-seed set over the REAL extracted
+    // link graph — Paths.closureFrom semi-naive rounds with the new
+    // depthLimit stop (an unconverged crawl is the normal case). The
+    // oracle unrolls the same 4 rounds with the same first-reach/anti
+    // semantics, so a wrong frontier or off-by-one depth hash-mismatches
+    "fe_crawl_depth" -> ((s, d) => {
+      val links = LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+      val edges = links.select(col("src"), lit("links").as("pred"), col("dst"))
+      val seeds = CrawlSeeds.map(i => s"https://ex.org/doc/$i")
+      val reach = graft.core.Paths.closureFrom(
+        edges, graft.core.PathExpr.Pred("links"), seeds,
+        maxRounds = 8, depthLimit = Some(4))
+      val seedDf = s.createDataFrame(
+        s.sparkContext.parallelize(seeds.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType))))
+        .withColumn("dist", lit(0))
+      seedDf.unionByName(
+        reach.withColumnRenamed("node", "url")
+          .join(seedDf.select("url"), Seq("url"), "left_anti"))
+    }),
+    // C4 sentence-level dedup over the EXTRACTED corpus: the fact
+    // sentences repeat across pages by construction (doc_id % 97 / % 31 /
+    // % 13 collisions), so the global first-occurrence pick is binding on
+    // hundreds of rows — later repeats must vanish, firsts must survive
+    "td_sentence_dedup" -> ((s, d) => {
+      val ext = Extract(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+        .withColumn("docn", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+      graft.text.Curation.sentenceDedup(ext, idCol = "docn")
+    }),
+    // recrawl changeset: two crawls with different coverage holes (v1 never
+    // fetched doc_id % 5 = 4, v2 lost doc_id % 7 = 3) run through the REAL
+    // extract → link → canonicalize kernels, then diffed as one
+    // partial-aggregate shuffle — the incremental-maintenance primitive.
+    // A triple flips only when NO surviving doc still asserts it, so the
+    // oracle's EXCEPT replay checks cross-doc assertion counting too.
+    "fe_changeset" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val als = Pages.aliases(s)
+      val v1 = KgPipeline.triplesOf(
+        Pages.fromDocuments(docs.filter(col("doc_id") % 5 =!= 4)), als)
+      val v2 = KgPipeline.triplesOf(
+        Pages.fromDocuments(docs.filter(col("doc_id") % 7 =!= 3)), als)
+      Materialize.changeset(v1, v2)
+    }),
     "fe_snapshot_latest" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       def pagesOf(df: org.apache.spark.sql.DataFrame) =
@@ -248,16 +335,15 @@ object PipelineQueries {
       |       'worksFor', 'org_' || (doc_id % 13) FROM docs WHERE doc_id % 2 = 0
       |UNION ALL SELECT url, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM docs WHERE doc_id % 3 = 0""".stripMargin
 
-  private val triplesSql =
-    """SELECT DISTINCT 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM docs
-      |UNION SELECT DISTINCT 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM docs WHERE doc_id % 2 = 0
-      |UNION SELECT DISTINCT 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM docs WHERE doc_id % 3 = 0""".stripMargin
+  private def triplesSqlFrom(tbl: String) =
+    s"""SELECT DISTINCT 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM $tbl
+       |UNION SELECT DISTINCT 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM $tbl WHERE doc_id % 2 = 0
+       |UNION SELECT DISTINCT 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM $tbl WHERE doc_id % 3 = 0""".stripMargin
+
+  private val triplesSql = triplesSqlFrom("docs")
 
   // html reconstruction for byte-length checks (ASCII boilerplate + body)
-  private val htmlSql =
-    """'<html><head><title>Doc ' || doc_id || '</title><script>var x=1;</script></head><body>' ||
-      |'<nav>Home | About | Contact</nav><p>' || body ||
-      |'</p><footer>&copy; 2025 example.org</footer></body></html>'""".stripMargin
+  private val htmlSql = Pages.Sql.html
 
   def oracleSql: Map[String, String] = Map(
     "fe_pages" -> withDocs(
@@ -280,6 +366,66 @@ object PipelineQueries {
     // by construction every planted variant normalizes to the BASE url, so
     // the oracle ranks snapshots under it directly (the engine side must
     // still COMPUTE that collapse via the real normalization)
+    "td_sentence_dedup" -> withDocs(
+      """, sp AS (SELECT doc_id AS docn, string_split(body, '. ') AS ss FROM docs),
+        |se AS (SELECT docn, i - 1 AS pos, regexp_replace(ss[i], '\.$', '') AS sentence
+        |       FROM sp CROSS JOIN generate_series(1, 8) g(i) WHERE i <= len(ss)),
+        |fi AS (SELECT docn, pos, sentence,
+        |         row_number() OVER (PARTITION BY sentence ORDER BY docn, pos) AS rn
+        |       FROM se WHERE length(sentence) > 0)
+        |SELECT docn, CAST(pos AS BIGINT) AS sent_idx, sentence FROM fi WHERE rn = 1""".stripMargin),
+    "fe_changeset" -> withDocs(
+      s""", d1 AS (SELECT * FROM docs WHERE doc_id % 5 <> 4),
+         |d2 AS (SELECT * FROM docs WHERE doc_id % 7 <> 3),
+         |t1 AS MATERIALIZED (${triplesSqlFrom("d1")}),
+         |t2 AS MATERIALIZED (${triplesSqlFrom("d2")})
+         |SELECT 'add' AS op, subj, pred, obj FROM (SELECT * FROM t2 EXCEPT SELECT * FROM t1)
+         |UNION ALL
+         |SELECT 'del' AS op, subj, pred, obj FROM (SELECT * FROM t1 EXCEPT SELECT * FROM t2)""".stripMargin),
+    // the planted anchor targets, recomputed arithmetically — a parser that
+    // drops duplicates, misses an anchor form, or mangles an url mismatches
+    "fe_link_graph" -> withDocs(
+      """SELECT url AS src, 'https://ex.org/doc/' || (doc_id % 97) AS dst FROM docs
+        |UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1) FROM docs
+        |UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id FROM docs""".stripMargin),
+    "fe_host_graph" -> withDocs(
+      s""", $linksCte
+         |SELECT lower(regexp_extract(src, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+         |       lower(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+         |       CAST(COUNT(*) AS BIGINT) AS n_links
+         |FROM l GROUP BY 1, 2""".stripMargin),
+    // the planted anchors carry constant texts — a parser that mangles the
+    // element body, drops the close-tag requirement, or swaps href/text
+    // mismatches
+    "fe_anchor_text" -> withDocs(
+      """SELECT url AS src, 'https://ex.org/doc/' || (doc_id % 97) AS dst, 'hub' AS anchor FROM docs
+        |UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1), 'next' FROM docs
+        |UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id, 'cdn' FROM docs""".stripMargin),
+    "fe_frontier" -> withDocs(
+      s""", $linksCte
+         |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
+         |WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1""".stripMargin),
+    // unrolled 4-round semi-naive BFS with the engine's exact semantics:
+    // round k's frontier is the FRESH set (anti vs everything reached so
+    // far, seeds NOT in the reach), seeds reported at dist 0 and excluded
+    // from later rounds' report
+    "fe_crawl_depth" -> withDocs(
+      s""", $linksCte,
+         |s0 AS (${CrawlSeeds.map(i => s"SELECT 'https://ex.org/doc/$i' AS url").mkString(" UNION ALL ")}),
+         |r1 AS MATERIALIZED (SELECT DISTINCT l.dst AS url FROM l JOIN s0 ON l.src = s0.url),
+         |r2 AS MATERIALIZED (SELECT DISTINCT l.dst AS url FROM l JOIN r1 ON l.src = r1.url
+         |  WHERE l.dst NOT IN (SELECT url FROM r1)),
+         |v2 AS MATERIALIZED (SELECT url FROM r1 UNION SELECT url FROM r2),
+         |r3 AS MATERIALIZED (SELECT DISTINCT l.dst AS url FROM l JOIN r2 ON l.src = r2.url
+         |  WHERE l.dst NOT IN (SELECT url FROM v2)),
+         |v3 AS MATERIALIZED (SELECT url FROM v2 UNION SELECT url FROM r3),
+         |r4 AS MATERIALIZED (SELECT DISTINCT l.dst AS url FROM l JOIN r3 ON l.src = r3.url
+         |  WHERE l.dst NOT IN (SELECT url FROM v3))
+         |SELECT url, CAST(0 AS INT) AS dist FROM s0
+         |UNION ALL SELECT url, 1 FROM r1 WHERE url NOT IN (SELECT url FROM s0)
+         |UNION ALL SELECT url, 2 FROM r2 WHERE url NOT IN (SELECT url FROM s0)
+         |UNION ALL SELECT url, 3 FROM r3 WHERE url NOT IN (SELECT url FROM s0)
+         |UNION ALL SELECT url, 4 FROM r4 WHERE url NOT IN (SELECT url FROM s0)""".stripMargin),
     "fe_snapshot_latest" -> (s"WITH $docsCte,\n" +
       """snaps AS MATERIALIZED (
         |  SELECT url AS url_norm, url,

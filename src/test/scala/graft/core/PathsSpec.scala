@@ -52,6 +52,25 @@ class PathsSpec extends SparkSpec {
     assert(got === Map("b" -> 1, "c" -> 2, "d" -> 3))
   }
 
+  test("closureFrom: depthLimit stops the crawl instead of raising") {
+    // a 6-chain with maxRounds 3 would raise; depthLimit 3 returns the
+    // first three levels (an unconverged crawl is the normal case)
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+      ("d", "p", "e"), ("e", "p", "f"), ("f", "p", "g"))
+    val got = Paths.closureFrom(e, Pred("p"), Seq("a"),
+      maxRounds = 3, depthLimit = Some(3))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got === Map("b" -> 1, "c" -> 2, "d" -> 3))
+    // depthLimit past convergence changes nothing
+    val conv = Paths.closureFrom(e, Pred("p"), Seq("a"), depthLimit = Some(20))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(conv === Map("b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4, "f" -> 5, "g" -> 6))
+    // depthLimit 1: just the out-neighborhood of the seeds
+    val one = Paths.closureFrom(e, Pred("p"), Seq("a", "c"), depthLimit = Some(1))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(one === Map("b" -> 1, "d" -> 1))
+  }
+
   test("closureFrom: cycle reaches the seed itself at the cycle length") {
     val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"))
     val got = Paths.closureFrom(e, Pred("p"), Seq("a"))
