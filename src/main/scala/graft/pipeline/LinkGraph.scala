@@ -97,4 +97,24 @@ object LinkGraph {
       hostOf(col("src")).as("src_host"),
       hostOf(col("dst")).as("dst_host"))
       .agg(count(lit(1)).as("n_links"))
+
+  /** The link graph as a first-class [[Kb]] (nodes = every url on either
+    * side, edges under a single `links` predicate, empty ABox/TBox) — so
+    * the whole sampler/analytics stack (PageRank, samplers, k-core,
+    * components) runs on the web graph unchanged. */
+  def asKb(links: DataFrame): graft.core.Kb = {
+    val spark = links.sparkSession
+    val edges = links.select(col("src"), lit("links").as("pred"), col("dst"))
+    val nodes = links.select(col("src").as("id"))
+      .unionAll(links.select(col("dst").as("id"))).distinct()
+    def empty(fields: String*) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType))))
+    graft.core.Kb(nodes, edges,
+      attrs = empty("node", "prop", "lexical", "dtype"),
+      types = empty("node", "cls"),
+      tbox = graft.core.Tbox.empty)
+  }
 }

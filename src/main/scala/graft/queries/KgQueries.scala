@@ -39,6 +39,27 @@ object KgQueries {
     // integer deg/tri plus the one IEEE division, oracle-replayed exactly
     "kg_local_cc" -> ((s, d) => graft.sample.GraphMetrics.localClustering(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
+    // SCC over the DIRECTED kg edges: the graph is a DAG by construction,
+    // so the correct decomposition is all singletons — the engine must
+    // PROVE that through the full coloring/peel machinery (SccSpec carries
+    // the cyclic ground-truth parity; this row pins the KG-shape answer)
+    "kg_scc" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.sample.Scc.compute(kb.edges.select("src", "dst"), kb.nodes)
+    }),
+    // SCC over a derived permutation graph (i → (i+6) mod 48 on doc ids):
+    // the cycle decomposition is arithmetically known — gcd(6,48) = 6
+    // cycles, component label = max member in STRING order, recomputed by
+    // the oracle as a grouped max over the residue classes
+    "kg_scc_cycles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") < 48).select(col("doc_id"))
+      val nodes = ids.select(col("doc_id").cast("string").as("id"))
+      val edges = ids.select(col("doc_id").cast("string").as("src"),
+        ((col("doc_id") + 6) % 48).cast("string").as("dst"))
+      graft.sample.Scc.compute(edges, nodes)
+    }),
     // synchronous label propagation (4 rounds) over the same projection —
     // community structure, the third sampler-quality axis; every round
     // replayed by the oracle
@@ -498,6 +519,12 @@ object KgQueries {
          |       CAST(COALESCE(tc.tri_cnt, 0) * 2.0 AS DOUBLE) / (d.deg * (d.deg - 1)) AS cc
          |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin,
       inCte = true),
+    "kg_scc" -> TpchKgSql.withKg("SELECT id, id AS scc FROM nodes"),
+    "kg_scc_cycles" ->
+      """WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 48)
+        |SELECT CAST(i AS VARCHAR) AS id,
+        |       (SELECT MAX(CAST(j.i AS VARCHAR)) FROM ids j WHERE j.i % 6 = ids.i % 6) AS scc
+        |FROM ids""".stripMargin,
     "kg_nodes" -> TpchKgSql.nodes,
     "kg_edges" -> TpchKgSql.edges,
     "kg_attrs" -> TpchKgSql.attrs,

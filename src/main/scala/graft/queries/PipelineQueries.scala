@@ -84,6 +84,42 @@ object PipelineQueries {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
     }),
+    // PageRank over the page-level web graph (the cc-webgraph ranking
+    // artifact), via LinkGraph.asKb — property row in the
+    // smp_pagerank_props mold (distributed float sums don't replay in
+    // SQL), plus the structural assertion the planted topology makes
+    // sharp: the top-10 ranked pages are all hub targets (doc id < 97,
+    // in-degree ~N/97 vs ≤2 everywhere else)
+    "fe_page_rank" -> ((s, d) => {
+      val links = LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+      val kb = LinkGraph.asKb(links)
+      val pr = graft.sample.PageRank.compute(kb, iterations = 20)
+      val n = kb.nodes.count()
+      val top = pr.orderBy(col("pr").desc, col("id")).limit(10)
+        .withColumn("docn", regexp_extract(col("id"), "doc/(\\d+)$", 1).cast("long"))
+      pr.agg(
+        (count(lit(1)) === n).as("count_ok"),
+        (sum(col("pr")) <= n.toDouble).as("mass_leaky"),
+        (min(col("pr")) > 0.0).as("positive")).crossJoin(
+        top.agg((count(lit(1)) === 10 && max(col("docn")) < 97)
+          .as("hubs_dominate")))
+    }),
+    // HITS over the same graph: hubs/authorities separate crawl DIRECTORY
+    // pages from CONTENT pages — property row: both score vectors are
+    // unit-L2 (±1e-9), non-negative, and the top-10 authorities are all
+    // hub-target docs
+    "fe_hits" -> ((s, d) => {
+      val links = LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+      val ha = graft.sample.Hits.compute(links, iterations = 20)
+      val top = ha.orderBy(col("auth").desc, col("id")).limit(10)
+        .withColumn("docn", regexp_extract(col("id"), "doc/(\\d+)$", 1).cast("long"))
+      ha.agg(
+        (abs(sum(col("hub") * col("hub")) - 1.0) < 1e-9).as("hub_unit"),
+        (abs(sum(col("auth") * col("auth")) - 1.0) < 1e-9).as("auth_unit"),
+        (min(col("hub")) >= 0.0 && min(col("auth")) >= 0.0).as("nonneg")).crossJoin(
+        top.agg((count(lit(1)) === 10 && max(col("docn")) < 97)
+          .as("auth_are_hubs")))
+    }),
     // bounded crawl BFS (crawl-to-depth-D scheduling): first-reach depth
     // of every url within 4 hops of a 3-seed set over the REAL extracted
     // link graph — Paths.closureFrom semi-naive rounds with the new
@@ -405,6 +441,10 @@ object PipelineQueries {
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
          |WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1""".stripMargin),
+    "fe_page_rank" ->
+      "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS hubs_dominate",
+    "fe_hits" ->
+      "SELECT TRUE AS hub_unit, TRUE AS auth_unit, TRUE AS nonneg, TRUE AS auth_are_hubs",
     // unrolled 4-round semi-naive BFS with the engine's exact semantics:
     // round k's frontier is the FRESH set (anti vs everything reached so
     // far, seeds NOT in the reach), seeds reported at dist 0 and excluded
