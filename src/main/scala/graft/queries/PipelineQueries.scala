@@ -84,6 +84,19 @@ object PipelineQueries {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
     }),
+    // WARC interchange roundtrip: the REAL pages table rendered as
+    // ISO-28500 response records (one file per partition), parsed back by
+    // the file-per-task reader, reduced to (url, ts, md5(html)) — the
+    // oracle recomputes the md5 over the reconstructed html STRING, so a
+    // single corrupted payload byte, header mangling, or timestamp drift
+    // through the Content-Length framing breaks the hash
+    "fe_warc_roundtrip" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+      graft.sources.Warc.write(pages.select("url", "warc_ts", "html"), wdir)
+      graft.sources.Warc.read(s, wdir)
+        .select(col("url"), col("warc_ts"), md5(col("html")).as("html_md5"))
+    }),
     // PageRank over the page-level web graph (the cc-webgraph ranking
     // artifact), via LinkGraph.asKb — property row in the
     // smp_pagerank_props mold (distributed float sums don't replay in
@@ -441,6 +454,11 @@ object PipelineQueries {
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
          |WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1""".stripMargin),
+    "fe_warc_roundtrip" -> withDocs(
+      s"""SELECT url,
+         |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+         |  md5($htmlSql) AS html_md5
+         |FROM docs""".stripMargin),
     "fe_page_rank" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS hubs_dominate",
     "fe_hits" ->
