@@ -85,6 +85,36 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_refs"))
       .join(pages.select("url"), Seq("url"), "left_anti")
 
+  /** [[frontier]] with a Bloom-filter prefilter on the visited set — the
+    * 10¹²-url shape: `might_contain` has NO false negatives, so targets
+    * the filter rejects are DEFINITELY uncrawled and skip the anti-join
+    * entirely; only the (tiny) possibly-crawled slice — true hits plus the
+    * fpp — rides the exact anti-join. The result is EXACTLY [[frontier]]
+    * (false positives are re-checked, never dropped); what changes is the
+    * join probe side: |discovered ∩ crawled| + fpp·|discovered| instead of
+    * |discovered|. The filter itself is one aggregate over the crawled
+    * urls, broadcast once. */
+  def frontierBloom(links: DataFrame, pages: DataFrame,
+                    fpp: Double = 0.01,
+                    expectedItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = links.sparkSession
+    val refs = links.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("n_refs"))
+    val crawled = pages.select("url")
+    val n = if (expectedItems > 0) expectedItems else math.max(crawled.count(), 1L)
+    val bloom = spark.sparkContext.broadcast(
+      crawled.stat.bloomFilter("url", n, fpp))
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val refsDs = refs.as[(String, Long)](enc)
+    val definite = refsDs.filter(t => !bloom.value.mightContain(t._1))
+      .toDF("url", "n_refs")
+    val maybe = refsDs.filter(t => bloom.value.mightContain(t._1))
+      .toDF("url", "n_refs")
+      .join(crawled, Seq("url"), "left_anti")
+    definite.unionAll(maybe)
+  }
+
   /** Lowercased registered host of an absolute url; empty for relative or
     * malformed targets (a real crawl resolves those against the base url —
     * the synthetic corpus only emits absolute hrefs). */

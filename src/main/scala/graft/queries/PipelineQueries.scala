@@ -23,6 +23,18 @@ object PipelineQueries {
   // one — its hub edge jumps to doc 10, so the BFS genuinely branches
   private val CrawlSeeds = Seq(0, 41, 107)
 
+  // planted crawl policy (shared engine/oracle semantics; the '*' group is
+  // a decoy that must not apply to graftbot)
+  private val GraftbotRobotsTxt =
+    """User-agent: *
+      |Disallow: /
+      |
+      |User-agent: graftbot
+      |Disallow: /doc/1
+      |Allow: /doc/1$
+      |Disallow: /doc/*7$
+      |""".stripMargin
+
   // the planted hyperlink set, recomputed arithmetically (shared by the
   // host-graph / frontier / crawl-depth oracles)
   private val linksCte =
@@ -84,6 +96,18 @@ object PipelineQueries {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
     }),
+    // robots.txt crawl-policy filter (RFC 9309): a planted policy for
+    // agent 'graftbot' — prefix disallow /doc/1, exact $-anchored allow
+    // outranking it for doc 1 itself, wildcard *7$ disallow, a decoy *
+    // group that must NOT apply — filters the crawled urls; the oracle
+    // recomputes the surviving set with decimal-string arithmetic, so
+    // group selection, longest-match precedence, and both wildcard forms
+    // are all load-bearing
+    "fe_robots_filter" -> ((s, d) => {
+      val rules = Robots.parse(GraftbotRobotsTxt, "graftbot")
+      Robots.filterAllowed(
+        KgPipeline.run(s, d, ck(d), "pages").select("url"), rules)
+    }),
     // WARC interchange roundtrip: the REAL pages table rendered as
     // ISO-28500 response records (one file per partition), parsed back by
     // the file-per-task reader, reduced to (url, ts, md5(html)) — the
@@ -133,6 +157,26 @@ object PipelineQueries {
         top.agg((count(lit(1)) === 10 && max(col("docn")) < 97)
           .as("auth_are_hubs")))
     }),
+    // the same frontier through the Bloom-prefilter path (the 10¹²-url
+    // visited-set shape): might_contain rejects are definitely-uncrawled
+    // and skip the anti-join; possibles are exactly re-checked — result
+    // must hash-equal fe_frontier, so a silently-dropped false positive
+    // fails the gate. fpp forced high (0.2) to make the re-check binding.
+    "fe_frontier_bloom" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      LinkGraph.frontierBloom(LinkGraph.links(pages).toDF(), pages, fpp = 0.2)
+    }),
+    // co-citation (Small '73: targets cited together by one page) and
+    // bibliographic coupling (Kessler '63: pages citing a shared target)
+    // — both as the degree-capped wedge join the engine already ships for
+    // market baskets, composed over the web graph
+    "fe_cocitation" -> ((s, d) => graft.sample.GraphMetrics.frequentPairs(
+      LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+        .withColumn("pred", lit("links")), "links", minSupport = 1)),
+    "fe_coupling" -> ((s, d) => graft.sample.GraphMetrics.frequentPairs(
+      LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+        .select(col("dst").as("src"), col("src").as("dst"), lit("links").as("pred")),
+      "links", minSupport = 1)),
     // bounded crawl BFS (crawl-to-depth-D scheduling): first-reach depth
     // of every url within 4 hops of a 3-seed set over the REAL extracted
     // link graph — Paths.closureFrom semi-naive rounds with the new
@@ -454,6 +498,30 @@ object PipelineQueries {
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
          |WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1""".stripMargin),
+    "fe_frontier_bloom" -> withDocs(
+      s""", $linksCte
+         |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
+         |WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1""".stripMargin),
+    // wedge self-joins over the planted links (the basket cap is 1024 and
+    // the widest basket is out-degree 3 / in-degree ~N/97 — non-binding at
+    // every test SF, so the oracle mirrors the uncapped join)
+    "fe_cocitation" -> withDocs(
+      s""", $linksCte,
+         |e AS (SELECT DISTINCT src, dst FROM l)
+         |SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS support
+         |FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+         |GROUP BY 1, 2""".stripMargin),
+    "fe_coupling" -> withDocs(
+      s""", $linksCte,
+         |e AS (SELECT DISTINCT src, dst FROM l)
+         |SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS support
+         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         |GROUP BY 1, 2""".stripMargin),
+    // allowed iff NOT(starts with '1' except exactly 1) AND NOT(ends in 7)
+    "fe_robots_filter" -> withDocs(
+      """SELECT url FROM docs
+        |WHERE NOT (CAST(doc_id AS VARCHAR) LIKE '1%' AND doc_id <> 1)
+        |  AND CAST(doc_id AS VARCHAR) NOT LIKE '%7'""".stripMargin),
     "fe_warc_roundtrip" -> withDocs(
       s"""SELECT url,
          |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,

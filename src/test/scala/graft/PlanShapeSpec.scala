@@ -322,6 +322,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the sentence explode must run map-side below the exchange:\n$plan")
   }
 
+  test("robots filter: a codegen rlike CASE chain, no UDF, no shuffle") {
+    import spark.implicits._
+    val rules = graft.pipeline.Robots.parse(
+      "User-agent: *\nDisallow: /doc/1\nAllow: /doc/1$\nDisallow: /doc/*7$\n", "anybot")
+    val urls = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://ex.org/doc/"), col("doc_id")).as("url"))
+    val df = graft.pipeline.Robots.filterAllowed(urls, rules)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the policy filter must stay a row-local map stage:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      s"the decision must be built-in expressions, never a UDF:\n$plan")
+    assert(plan.contains("RLIKE"), s"expected compiled rlike rules in the plan:\n$plan")
+  }
+
   test("N-Triples render→parse is shuffle-free in both directions") {
     // in-memory Kb so the assertion isolates the interchange stages (the
     // TpchKg fact derivation has its own exchanges upstream)

@@ -58,6 +58,24 @@ class LinkGraphSpec extends SparkSpec {
     assert(got === Map("x" -> 2L, "y" -> 1L))
   }
 
+  test("frontierBloom equals frontier exactly, even with forced false positives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val crawled = (0 until 200).map(i => s"https://ex.org/p/$i")
+    val links = Seq.fill(600)((crawled(rnd.nextInt(200)),
+      if (rnd.nextBoolean()) crawled(rnd.nextInt(200))
+      else s"https://ex.org/new/${rnd.nextInt(80)}")).toDF("src", "dst")
+    val pages = crawled.toDF("url")
+    val exact = LinkGraph.frontier(links, pages).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // undersized filter (expectedItems = 2 for 200 urls) → fp rate near 1:
+    // nearly every uncrawled target must survive via the exact re-check
+    val bloomed = LinkGraph.frontierBloom(links, pages, fpp = 0.5, expectedItems = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bloomed === exact)
+    assert(exact.keySet.forall(_.startsWith("https://ex.org/new/")))
+  }
+
   test("hostGraph: host quotient with multiplicity, parsed not assumed") {
     import spark.implicits._
     val links = Seq(
