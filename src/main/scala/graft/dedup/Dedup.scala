@@ -236,6 +236,65 @@ object Dedup {
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"))
   }
 
+  /** Broder containment scores (Broder '97 §2 defines containment
+    * c(A, B) = |A∩B| / |A| alongside resemblance): per candidate pair,
+    * (a, b, jaccard, cont_a, cont_b) over distinct 3-gram shingle sets —
+    * cont_a is the fraction of A's shingles inside B (≈1 when A is quoted
+    * wholesale inside B even though Jaccard stays low), cont_b the
+    * converse. The asymmetry is what resemblance-only dedup misses:
+    * boilerplate-wrapped copies and quote-heavy superset pages sit at
+    * J ≈ |A|/|B| but c(A,B) ≈ 1. Same size-gated join + codegen
+    * two-pointer merge as [[jaccardOf]] (exhaustive — containment needs
+    * the exact intersection, so no early exit), one extra division per
+    * surviving pair. */
+  def containmentOf(corpus: DataFrame, pairs: DataFrame,
+                    broadcastMaxDocs: Long = JaccardBroadcastMaxDocs): DataFrame = {
+    val shArr = TextOps.shingleArrays(corpus).localCheckpoint(true)
+    val aSide = shArr.select(col("doc_id").as("a"), col("hs").as("ha"))
+    val bSide = shArr.select(col("doc_id").as("b"), col("hs").as("hb"))
+    val (ja, jb) =
+      if (shArr.count() <= broadcastMaxDocs) (broadcast(aSide), broadcast(bSide))
+      else (aSide.hint("shuffle_hash"), bSide.hint("shuffle_hash"))
+    pairs
+      .join(ja, Seq("a"))
+      .join(jb, Seq("b"))
+      .select(col("a"), col("b"),
+        graft.expr.SigOps.sortedOverlap(col("ha"), col("hb")).cast("long").as("i"),
+        size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 5).as("jaccard"),
+        round(col("i").cast("double") / col("na"), 5).as("cont_a"),
+        round(col("i").cast("double") / col("nb"), 5).as("cont_b"))
+  }
+
+  /** Corpus-level containment ESTIMATE from the [[corpusOverlap]] surface
+    * plus exact per-corpus distinct-shingle counts: with Ĵ = agree_cnt/k,
+    * Ĉ(A⊆B) = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|)  (from J = |A∩B|/|A∪B| and
+    * |A∪B| = (|A|+|B|)/(1+J) — |A∩B| never needs materializing). The
+    * shape a mixture designer runs before blending sources: the corpora
+    * are never joined row-to-row — one MIN-merge aggregate for the
+    * signatures, one distinct-count aggregate for the sizes, then
+    * |keys|² arithmetic. Estimates clamp to [0, 1] (the MinHash estimator
+    * is unbiased but not range-constrained at small k).
+    * DedupSpec bounds the estimate against [[containmentOf]]'s exact
+    * number on planted subset/overlap corpora. */
+  def corpusContainment(docs: DataFrame, keyCol: String): DataFrame = {
+    val sizes = TextOps.shingleArrays(docs.select(col(keyCol).as("doc_id"), col("text")))
+      .select(col("doc_id").as("key"), explode(col("hs")).as("h"))
+      .groupBy("key").agg(count_distinct(col("h")).as("n"))
+    val est = corpusOverlap(docs, keyCol)
+      .withColumn("jhat", col("agree_cnt").cast("double") / col("k"))
+    est
+      .join(sizes.select(col("key").as("key_a"), col("n").as("n_a")), Seq("key_a"))
+      .join(sizes.select(col("key").as("key_b"), col("n").as("n_b")), Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("agree_cnt"), col("k"),
+        least(lit(1.0), round(col("jhat") * (col("n_a") + col("n_b"))
+          / ((col("jhat") + 1.0) * col("n_a")), 5)).as("cont_a_est"),
+        least(lit(1.0), round(col("jhat") * (col("n_a") + col("n_b"))
+          / ((col("jhat") + 1.0) * col("n_b")), 5)).as("cont_b_est"))
+  }
+
   /** SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤
     * maxHamming, (a, b, hamming) with a < b. Candidate generation is the
     * pigeonhole chunk join: the 16-bit simhash splits into 4 four-bit

@@ -119,4 +119,64 @@ object StreamingKg {
     q.awaitTermination()
     io.read(s"$prefix/edges").select("src", "pred", "dst")
   }
+
+  /** Streaming HOST-GRAPH maintenance — the web-graph quotient kept
+    * current as the crawl streams in. Link extraction runs as a stateless
+    * streaming stage (the same pure [[LinkGraph.extractLinks]] kernel as
+    * batch — byte-identical per page); each micro-batch folds to its own
+    * host-pair partial counts (one map-side-combinable aggregate over the
+    * batch) appended under the batch id. Counts are ADDITIVE, so
+    * exactly-once needs batch-id idempotence, not a global state store:
+    * a replayed batch (crash, wiped checkpoint) is skipped when its
+    * partition already exists, and the reader additionally collapses
+    * identical replayed rows (`distinct` before the sum — the file source
+    * replays a batch with identical content, so even a crash between the
+    * existence check and the append cannot double-count). The store is
+    * partitioned by batch_id: the replay check is partition pruning, and
+    * a compaction job can fold old batches into one without changing the
+    * reader. [[hostGraphFromStore]] then equals the batch
+    * [[LinkGraph.hostGraph]] over the same pages exactly
+    * (fe_stream_host_graph runs the batch oracle verbatim).
+    *
+    * Contract of the batch-id dedup (the standard foreachBatch recipe for
+    * ADDITIVE sinks): sound for crash recovery (same checkpoint lineage —
+    * a replayed id carries identical content) and for re-runs over input
+    * the store has already fully drained (fe_stream_host_graph's wiped-
+    * checkpoint pass). Draining NEW files must go through the live
+    * checkpoint: wiping it after appending files re-numbers batches, and
+    * a skipped colliding id would silently drop the new files' counts —
+    * pair a wiped checkpoint with a fresh store prefix instead. The
+    * content-keyed [[Materialize.merge]] sink has no such caveat; counts
+    * are additive and admit no content key, hence the id-based contract. */
+  def runHostGraphAvailableNow(spark: SparkSession, pagesDir: String,
+                               io: graft.core.ParquetTableIO, prefix: String,
+                               checkpointDir: String): DataFrame = {
+    val schema = spark.read.parquet(pagesDir).schema
+    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    val links = LinkGraph.links(stream).toDF()
+    val q = links.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val table = s"$prefix/host_counts"
+        val seen = io.exists(table) &&
+          !io.read(table).filter(col("batch_id") === batchId).isEmpty
+        if (!seen)
+          LinkGraph.hostGraph(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("batch_id")
+            .parquet(io.pathOf(table))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    hostGraphFromStore(io, prefix)
+  }
+
+  /** Current host graph from the per-batch partial-count store: distinct
+    * (replay-identical rows collapse) → one sum aggregate. */
+  def hostGraphFromStore(io: graft.core.ParquetTableIO, prefix: String): DataFrame =
+    io.read(s"$prefix/host_counts")
+      .select("batch_id", "src_host", "dst_host", "n_links").distinct()
+      .groupBy("src_host", "dst_host")
+      .agg(sum(col("n_links")).as("n_links"))
 }

@@ -26,6 +26,16 @@ object KgQueries {
       graft.sources.NTriples.triples(
         graft.sources.NTriples.parse(graft.sources.NTriples.render(kb)))
     }),
+    // BV-lite adjacency roundtrip: the whole edge table compressed to one
+    // varint-gap binary cell per source (dense-id dictionary, sorted
+    // neighbor gaps) and decoded back through the dictionary — one wrong
+    // gap anywhere lands on the wrong node id and the hash breaks
+    "kg_adjacency_codec" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val dict = graft.sources.AdjCodec.dictionary(kb.nodes).localCheckpoint(true)
+      graft.sources.AdjCodec.decode(
+        graft.sources.AdjCodec.encode(kb.edges, dict), dict)
+    }),
     "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression),
     // graph-analytics metrics over the co-purchase projection (parts
     // sharing an order): exact distributed triangle counting with
@@ -533,6 +543,8 @@ object KgQueries {
     "kg_tbox_triples" -> TpchKgSql.tboxTriples,
     "kg_triples" -> TpchKgSql.triples,
     "kg_ntriples" -> TpchKgSql.triples,
+    "kg_adjacency_codec" ->
+      s"WITH e AS (${TpchKgSql.edges})\nSELECT DISTINCT src, dst FROM e",
     "kg_abox_expression" -> TpchKgSql.withKg(
       """SELECT node AS subj, cls AS expr FROM types
         |UNION ALL

@@ -359,6 +359,25 @@ object PipelineQueries {
       require(replayed.count() > 0, "second pass did not replay any batch")
       require(replayAppends == 0, "a replayed batch appended edges")
       out
+    }),
+    // streaming HOST-GRAPH maintenance: link extraction as a stateless
+    // streaming stage, per-batch host-pair partial counts appended under
+    // the batch id. Run TWICE — the second pass wipes the checkpoint so
+    // every batch replays against the built store; batch-id idempotence
+    // means the replay appends nothing (asserted from the store) and the
+    // summed host graph equals the batch fe_host_graph oracle verbatim.
+    "fe_stream_host_graph" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_hg_").toString
+      Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
+      val io = new graft.core.ParquetTableIO(s, s"$base/store")
+      StreamingKg.runHostGraphAvailableNow(s, s"$base/pages", io, "wg", s"$base/ck1")
+      val rowsAfterFirst = io.read("wg/host_counts").count()
+      val out = StreamingKg.runHostGraphAvailableNow(s, s"$base/pages", io, "wg",
+        s"$base/ck2")
+      require(rowsAfterFirst > 0, "first pass stored no host counts")
+      require(io.read("wg/host_counts").count() == rowsAfterFirst,
+        "a replayed batch appended host counts")
+      out
     }))
 
   /** Minimal PCM WAV: RIFF/WAVE + (optional odd-size LIST chunk, testing
@@ -482,6 +501,13 @@ object PipelineQueries {
         |UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1) FROM docs
         |UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id FROM docs""".stripMargin),
     "fe_host_graph" -> withDocs(
+      s""", $linksCte
+         |SELECT lower(regexp_extract(src, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+         |       lower(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+         |       CAST(COUNT(*) AS BIGINT) AS n_links
+         |FROM l GROUP BY 1, 2""".stripMargin),
+    // the streaming store's summed partials must equal the batch quotient
+    "fe_stream_host_graph" -> withDocs(
       s""", $linksCte
          |SELECT lower(regexp_extract(src, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
          |       lower(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,

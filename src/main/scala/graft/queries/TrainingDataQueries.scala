@@ -70,6 +70,21 @@ object TrainingDataQueries {
         .join(ids.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
       Dedup.jaccardOf(docs(s, d).select(col("doc_id"), col("text")), pairs)
     }),
+    // Broder containment on the same consecutive-doc pairs: the asymmetric
+    // |A∩B|/|A| score resemblance-only dedup misses (boilerplate-wrapped
+    // copies sit at J ≈ |A|/|B| but cont_a ≈ 1); exact over shingle sets
+    "td_containment" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+      Dedup.containmentOf(docs(s, d).select(col("doc_id"), col("text")), pairs)
+    }),
+    // training-sequence packing manifest: per-lang concat-and-chunk into
+    // 512-token sequences — one partitioned window + a sequence explode;
+    // every (doc, bin, span) row is pure arithmetic over the running
+    // offset, so one wrong cumsum anywhere breaks the hash
+    "td_seq_pack" -> ((s, d) =>
+      graft.text.Packing.packManifest(docs(s, d), budget = 512L)),
     "td_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("predicted"))),
     // token counting: whitespace + BPE-ish pretokenizer match count
@@ -459,6 +474,42 @@ object TrainingDataQueries {
          |  FROM chunks l JOIN chunks r ON l.i = r.i AND l.c = r.c AND l.doc_id < r.doc_id)
          |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "td_seq_pack" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, toks,
+        |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+        |  FROM t),
+        |u AS (
+        |  SELECT lang, doc_id, toks, gs,
+        |    unnest(generate_series(gs // 512, (gs + toks - 1) // 512)) AS bin
+        |  FROM c)
+        |SELECT lang, doc_id, CAST(bin AS BIGINT) AS bin,
+        |  GREATEST(0, bin * 512 - gs) AS doc_from,
+        |  LEAST(toks, (bin + 1) * 512 - gs) AS doc_to
+        |FROM u""".stripMargin,
+    "td_containment" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents), $shCte,
+         |cand AS (
+         |  SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM documents a
+         |  WHERE EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = a.doc_id + 1)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+         |  GROUP BY c.a, c.b)
+         |SELECT c.a, c.b,
+         |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)), 5) AS jaccard,
+         |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / na.n, 5) AS cont_a,
+         |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / nb.n, 5) AS cont_b
+         |FROM cand c
+         |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN sizes na ON na.doc_id = c.a
+         |JOIN sizes nb ON nb.doc_id = c.b""".stripMargin,
     "td_jaccard_consecutive" -> (s"WITH corpus AS (SELECT doc_id, text FROM documents), $shCte,\n" +
       jaccardSql(
         """cand AS (

@@ -363,4 +363,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_bit_xor") || plan.contains("partial bit_xor"),
       s"the neighborhood digest must map-side combine (hub-safe):\n$plan")
   }
+
+  test("sequence packing: ONE stream-keyed exchange, bin explode above the window, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.text.Packing.packManifest(docs, budget = 64L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"packing is pure window arithmetic:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one stream-keyed exchange may exist:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the bin sequence must explode in-plan (codegen), not via a join:\n$plan")
+  }
+
+  test("adjacency codec: encode is ONE keyed aggregate over the dict joins, no cartesian") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val dict = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("id", "nid")
+    val enc = graft.sources.AdjCodec.encode(edges, dict)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"dict attachment must stay equi-joins:\n$plan")
+    assert(plan.contains("partial_collect_set") || plan.contains("partial collect_set")
+      || plan.contains("objHashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"the adjacency gather must aggregate (hash, not sort) per source:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      s"the byte kernel rides typed mapPartitions, never a UDF:\n$plan")
+  }
 }

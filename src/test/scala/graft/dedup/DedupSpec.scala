@@ -192,6 +192,46 @@ class DedupSpec extends SparkSpec {
       .map("%02x".format(_)).mkString)
   }
 
+  test("containment: subset doc scores cont_a = 1 while jaccard stays low") {
+    // B is A plus a long suffix: every 3-gram of A occurs in B, so
+    // c(A,B) = 1 exactly, while J = |A|/|B| < 1 — the asymmetry the
+    // operator exists to expose. The reverse direction is |A|/|B| too.
+    val a = "the quick brown fox"
+    val b = a + " jumps over the lazy dog and keeps going for a while longer"
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val row = Dedup.containmentOf(d, pairs).head()
+    val (j, ca, cb) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(ca === 1.0)
+    assert(cb < 1.0 && cb > 0.0)
+    assert(j === cb) // with A ⊆ B: J = |A|/|B| = c(B,A)
+    assert(j < 0.5)
+  }
+
+  test("corpus containment estimate brackets the exact value on planted corpora") {
+    // corpus 'sub' is one doc fully contained in corpus 'sup' (plus
+    // sup-only docs): exact C(sub ⊆ sup) = 1. The MinHash estimate at
+    // k = 16 is coarse; the gate asserts direction and a tolerance band,
+    // both deterministic (fixed hash family, fixed corpora).
+    val sup = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sup"),
+      (11L, "one two three four five six seven eight nine ten eleven", "sup"),
+      (12L, "red orange yellow green blue indigo violet ultraviolet", "sup"))
+    val sub = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sub"))
+    val d = (sup ++ sub).toDF("doc_id", "text", "src")
+    val est = Dedup.corpusContainment(d, "src").head()
+    // key_a < key_b lexically: key_a = "sub", key_b = "sup"
+    assert(est.getString(0) === "sub" && est.getString(1) === "sup")
+    val contSub = est.getDouble(6) // cont_a_est = C(sub ⊆ sup)
+    val contSup = est.getDouble(7)
+    // exact: C(sub⊆sup) = 1.0; C(sup⊆sub) = |sub∩sup|/|sup| = |sub|/|sup|
+    val nSub = est.getLong(2); val nSup = est.getLong(3)
+    assert(contSub >= 0.6, s"estimate $contSub too far below exact 1.0 at k=16")
+    assert(contSup <= nSub.toDouble / nSup * 1.7 + 0.05,
+      s"reverse containment $contSup inconsistent with size ratio")
+    assert(contSub > contSup, "direction: the smaller corpus is the contained one")
+  }
+
   private def ids2(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.collect().map(_.getLong(0)).toSet
 }

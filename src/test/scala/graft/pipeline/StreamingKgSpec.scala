@@ -146,6 +146,42 @@ class StreamingKgSpec extends SparkSpec {
     assert(ids(io.read("kg/nodes")) === endpoints)
   }
 
+  test("streaming host graph: incremental restart, replay no-op, batch parity") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("stream_hg_spec_").toString
+    val io = new graft.core.ParquetTableIO(spark, s"$base/store")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def hg(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    // drain part 1, then append part 2 and restart on the same checkpoint:
+    // counts grow incrementally (no recount of part 1)
+    Pages.fromDocuments(docs.filter(col("doc_id") < 50))
+      .write.mode("append").parquet(s"$base/pages")
+    val run1 = hg(StreamingKg.runHostGraphAvailableNow(
+      spark, s"$base/pages", io, "wg", s"$base/ck"))
+    assert(run1.nonEmpty)
+    Pages.fromDocuments(docs.filter(col("doc_id") >= 100 && col("doc_id") < 160))
+      .write.mode("append").parquet(s"$base/pages")
+    val run2 = hg(StreamingKg.runHostGraphAvailableNow(
+      spark, s"$base/pages", io, "wg", s"$base/ck"))
+
+    // parity: the summed partials equal the batch quotient over all pages
+    val batch = hg(LinkGraph.hostGraph(
+      LinkGraph.links(spark.read.parquet(s"$base/pages")).toDF()))
+    assert(run2 === batch)
+    assert(run2.map(_._3).sum > run1.map(_._3).sum)
+
+    // worst-case at-least-once: wiped checkpoint replays every batch —
+    // the store must not grow and the graph must not change
+    val rowsBefore = io.read("wg/host_counts").count()
+    val run3 = hg(StreamingKg.runHostGraphAvailableNow(
+      spark, s"$base/pages", io, "wg", s"$base/ck_replay"))
+    assert(run3 === run2)
+    assert(io.read("wg/host_counts").count() === rowsBefore)
+  }
+
   test("the streaming plan is actually streaming and dedup state is keyed") {
     val sf = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("stream_kg_plan_").toString

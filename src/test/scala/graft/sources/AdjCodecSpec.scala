@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AdjCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("varint gap kernel: fuzz roundtrip over seeded increasing arrays") {
+    val rnd = new scala.util.Random(0xadc0dec)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(40)
+      // strictly increasing positives with occasional huge jumps so
+      // multi-byte varints (up to 9 bytes) are exercised
+      val arr = Iterator.iterate(1L + rnd.nextInt(5))(v =>
+        v + 1 + (if (rnd.nextInt(10) == 0) rnd.nextLong(1L << 40) else rnd.nextInt(100)))
+        .take(n).toArray
+      val dec = AdjCodec.decodeGaps(AdjCodec.encodeGaps(arr))
+      assert(dec.toSeq === arr.toSeq)
+    }
+  }
+
+  test("varint gap kernel: dense lists beat 8 bytes/edge; guards fire") {
+    // a dense adjacency (gaps ≤ 127) costs exactly 1 byte/edge
+    val dense = (1L to 1000L).toArray
+    assert(AdjCodec.encodeGaps(dense).length === 1000)
+    // non-increasing input must be rejected, not silently mis-coded
+    intercept[IllegalArgumentException](AdjCodec.encodeGaps(Array(5L, 5L)))
+    intercept[IllegalArgumentException](AdjCodec.encodeGaps(Array(0L)))
+    // truncated cell must be rejected
+    intercept[IllegalArgumentException](AdjCodec.decodeGaps(Array(0x80.toByte)))
+  }
+
+  test("dataframe roundtrip equals distinct adjacency; cells beat raw longs") {
+    val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val dict = AdjCodec.dictionary(nodes).localCheckpoint(true)
+    val enc = AdjCodec.encode(edges, dict).localCheckpoint(true)
+    val back = AdjCodec.decode(enc, dict)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = edges.distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === expect)
+    // compression: Σ|adj| < 8 bytes × edges (varint gaps vs raw longs)
+    val Seq(bytes, deg) = enc.agg(
+      sum(octet_length(col("adj"))), sum(col("deg"))).head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    assert(deg.toLong === expect.size)
+    assert(bytes < 8L * deg, s"codec ($bytes B) must beat raw longs (${8L * deg} B)")
+  }
+}
