@@ -170,6 +170,38 @@ object PipelineQueries {
     // bibliographic coupling (Kessler '63: pages citing a shared target)
     // — both as the degree-capped wedge join the engine already ships for
     // market baskets, composed over the web graph
+    // bowtie decomposition (Broder WWW'00) over the crawl's link graph with
+    // planted IN / TENDRIL / TUBE / DISC attachments so every region is
+    // non-empty and arithmetically known: the crawled docs are one SCC (the
+    // %97 hub back-edges close every forward chain walk), the chain tip and
+    // cdn urls are OUT, in_k reach doc/0, t_k hang off IN, tube_k bridge
+    // IN→OUT avoiding the core, d_k pairs are disconnected
+    "fe_bowtie" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val links = LinkGraph.links(pages).toDF().select("src", "dst")
+      import s.implicits._
+      // Scc/reachability rounds are diameter-bound — right for the real
+      // web (diameter ~16-20) but the synthetic next-chain is a 500-hop
+      // path, a shape no crawl has. Doubling shortcuts i → 2i mod (N-1)
+      // cut the crawled subgraph's diameter to O(log N) WITHOUT touching
+      // the decomposition: they stay inside the giant SCC, so the oracle's
+      // region arithmetic is unchanged.
+      val n = pages.count().toInt
+      val shortcuts = (0 until n).map(i =>
+        (s"https://ex.org/doc/$i", s"https://ex.org/doc/${(2 * i) % (n - 1)}"))
+        .toDF("src", "dst")
+      val planted = (0 until 10).flatMap { k => Seq(
+        (s"https://in.ex.org/$k", "https://ex.org/doc/0"),
+        (s"https://in.ex.org/$k", s"https://tendril.ex.org/$k"),
+        (s"https://in.ex.org/$k", s"https://tube.ex.org/$k"),
+        (s"https://tube.ex.org/$k", "https://cdn0.ex-assets.net/p/0"),
+        (s"https://disc.ex.org/a$k", s"https://disc.ex.org/b$k"))
+      }.toDF("src", "dst")
+      val all = links.unionAll(shortcuts).unionAll(planted)
+      val nodes = all.select(col("src").as("id"))
+        .unionAll(all.select(col("dst").as("id"))).distinct()
+      graft.sample.Bowtie.regions(all, nodes)
+    }),
     "fe_cocitation" -> ((s, d) => graft.sample.GraphMetrics.frequentPairs(
       LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
         .withColumn("pred", lit("links")), "links", minSupport = 1)),
@@ -506,6 +538,18 @@ object PipelineQueries {
          |       lower(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
          |       CAST(COUNT(*) AS BIGINT) AS n_links
          |FROM l GROUP BY 1, 2""".stripMargin),
+    // every region recomputed arithmetically from the planted topology:
+    // crawled docs = the giant SCC, chain tip + cdn = OUT, the attachments
+    // by url namespace
+    "fe_bowtie" -> withDocs(
+      """SELECT url AS id, 'CORE' AS region FROM docs
+        |UNION ALL SELECT 'https://ex.org/doc/' || (SELECT MAX(doc_id) + 1 FROM docs), 'OUT'
+        |UNION ALL SELECT DISTINCT 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id, 'OUT' FROM docs
+        |UNION ALL SELECT 'https://in.ex.org/' || k, 'IN' FROM generate_series(0, 9) t(k)
+        |UNION ALL SELECT 'https://tendril.ex.org/' || k, 'TENDRIL' FROM generate_series(0, 9) t(k)
+        |UNION ALL SELECT 'https://tube.ex.org/' || k, 'TUBE' FROM generate_series(0, 9) t(k)
+        |UNION ALL SELECT 'https://disc.ex.org/a' || k, 'DISC' FROM generate_series(0, 9) t(k)
+        |UNION ALL SELECT 'https://disc.ex.org/b' || k, 'DISC' FROM generate_series(0, 9) t(k)""".stripMargin),
     // the streaming store's summed partials must equal the batch quotient
     "fe_stream_host_graph" -> withDocs(
       s""", $linksCte
