@@ -128,6 +128,43 @@ object LinkGraph {
       hostOf(col("dst")).as("dst_host"))
       .agg(count(lit(1)).as("n_links"))
 
+  /** Politeness-scheduled fetch plan over a crawl frontier: per HOST the
+    * urls are served FIFO by priority (n_refs desc, url asc — deterministic)
+    * with one fetch every `crawlDelayMs` (RFC 9309's Crawl-delay semantics;
+    * real schedulers keep exactly this per-host queue). Emits (url, host,
+    * slot, fetch_at_ms). ONE host-keyed window — hosts schedule in
+    * parallel, which is the actual crawl-scheduler shape: the per-host
+    * queue is sequential BY POLICY, so a window per host is the maximum
+    * legal parallelism, not a compromise. At 10⁸ hosts the exchange is
+    * well-spread; a single mega-host is bounded by its own politeness
+    * delay, not by Spark. */
+  def schedule(frontier: DataFrame, crawlDelayMs: Long = 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("n_refs").desc, col("url"))
+    frontier.select(col("url"), col("n_refs"), hostOf(col("url")).as("host"))
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .select(col("url"), col("host"), col("slot"),
+        (col("slot") * crawlDelayMs).as("fetch_at_ms"))
+  }
+
+  /** Anchor-text index: for each link TARGET, the top-`k` anchor terms by
+    * frequency (count desc, term asc — deterministic) — the classic
+    * retrieval / entity-linking signal aggregated target-side ("anchor text
+    * describes the TARGET page"). Terms are lowercased whitespace tokens of
+    * the anchor element text. Shape: explode (map-side) → ONE partial
+    * (dst, term) count aggregate → one dst-keyed window for the top-k cut;
+    * column named `arank` (not `rank` — reserved downstream). */
+  def anchorIndex(anchors: DataFrame, k: Int = 3): DataFrame = {
+    val terms = anchors
+      .select(col("dst"), explode(split(lower(col("anchor")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst"), col("term")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("n").desc, col("term"))
+    terms.withColumn("arank", row_number().over(w).cast("long"))
+      .filter(col("arank") <= k)
+  }
+
   /** The link graph as a first-class [[Kb]] (nodes = every url on either
     * side, edges under a single `links` predicate, empty ABox/TBox) — so
     * the whole sampler/analytics stack (PageRank, samplers, k-core,

@@ -157,8 +157,10 @@ object StreamingKg {
     val q = links.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val table = s"$prefix/host_counts"
-        val seen = io.exists(table) &&
-          !io.read(table).filter(col("batch_id") === batchId).isEmpty
+        val seen = (io.exists(table) &&
+            !io.read(table).filter(col("batch_id") === batchId).isEmpty) ||
+          (io.exists(s"$prefix/compacted_ids") &&
+            !io.read(s"$prefix/compacted_ids").filter(col("batch_id") === batchId).isEmpty)
         if (!seen)
           LinkGraph.hostGraph(batch)
             .withColumn("batch_id", lit(batchId))
@@ -179,4 +181,30 @@ object StreamingKg {
       .select("batch_id", "src_host", "dst_host", "n_links").distinct()
       .groupBy("src_host", "dst_host")
       .agg(sum(col("n_links")).as("n_links"))
+
+  /** Fold the per-batch partials into ONE batch (id −1, never a live
+    * foreachBatch id) — the maintenance pass that keeps the store O(hosts²)
+    * instead of O(batches · hosts²) on a long-running stream. The reader is
+    * unchanged; batch-id idempotence for FUTURE batches is unaffected
+    * because compaction preserves the set of already-applied ids in
+    * `compacted_ids` (a replayed old id must still be skipped — folding it
+    * away would let a crash replay double-count). Returns the compacted
+    * row count. */
+  def compactHostCounts(io: graft.core.ParquetTableIO, prefix: String): Long = {
+    val table = s"$prefix/host_counts"
+    val ids = io.read(table).select(col("batch_id")).distinct()
+      .filter(col("batch_id") >= 0)
+    val prevIds =
+      if (io.exists(s"$prefix/compacted_ids"))
+        io.read(s"$prefix/compacted_ids").unionAll(ids).distinct()
+      else ids
+    val folded = hostGraphFromStore(io, prefix)
+      .withColumn("batch_id", lit(-1L))
+      .select("src_host", "dst_host", "n_links", "batch_id")
+      .localCheckpoint(true) // pin: the overwrite below replaces its own input scan
+    val keep = prevIds.localCheckpoint(true)
+    io.write(keep, s"$prefix/compacted_ids")
+    folded.write.mode("overwrite").partitionBy("batch_id").parquet(io.pathOf(table))
+    folded.count()
+  }
 }

@@ -103,6 +103,19 @@ object PipelineQueries {
     // recomputes the surviving set with decimal-string arithmetic, so
     // group selection, longest-match precedence, and both wildcard forms
     // are all load-bearing
+    // politeness-scheduled fetch plan over the frontier: per-host FIFO by
+    // (n_refs desc, url) with one fetch per second — slot and fetch time
+    // are window arithmetic, replayed exactly in the oracle
+    "fe_crawl_schedule" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      LinkGraph.schedule(
+        LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages), 1000L)
+    }),
+    // anchor-text index: top-3 anchor terms per link target — the planted
+    // constant anchors make every (dst, term, n) row arithmetically known
+    "fe_anchor_index" -> ((s, d) =>
+      LinkGraph.anchorIndex(
+        LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF(), 3)),
     "fe_robots_filter" -> ((s, d) => {
       val rules = Robots.parse(GraftbotRobotsTxt, "graftbot")
       Robots.filterAllowed(
@@ -403,12 +416,14 @@ object PipelineQueries {
       Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
       val io = new graft.core.ParquetTableIO(s, s"$base/store")
       StreamingKg.runHostGraphAvailableNow(s, s"$base/pages", io, "wg", s"$base/ck1")
-      val rowsAfterFirst = io.read("wg/host_counts").count()
+      require(io.read("wg/host_counts").count() > 0, "first pass stored no host counts")
+      // compact the partials, then replay EVERYTHING against a wiped
+      // checkpoint: compacted_ids must keep the folded batch ids skippable
+      val compacted = StreamingKg.compactHostCounts(io, "wg")
       val out = StreamingKg.runHostGraphAvailableNow(s, s"$base/pages", io, "wg",
         s"$base/ck2")
-      require(rowsAfterFirst > 0, "first pass stored no host counts")
-      require(io.read("wg/host_counts").count() == rowsAfterFirst,
-        "a replayed batch appended host counts")
+      require(io.read("wg/host_counts").count() == compacted,
+        "a replayed batch appended host counts past the compacted store")
       out
     }))
 
@@ -538,6 +553,27 @@ object PipelineQueries {
          |       lower(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
          |       CAST(COUNT(*) AS BIGINT) AS n_links
          |FROM l GROUP BY 1, 2""".stripMargin),
+    "fe_crawl_schedule" -> withDocs(
+      s""", $linksCte,
+         |f AS (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
+         |      WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1),
+         |s AS (SELECT url, n_refs,
+         |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+         |      FROM f)
+         |SELECT url, host,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1 AS BIGINT) AS slot,
+         |  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1) * 1000 AS BIGINT) AS fetch_at_ms
+         |FROM s""".stripMargin),
+    "fe_anchor_index" -> withDocs(
+      """, a AS (SELECT 'https://ex.org/doc/' || (doc_id % 97) AS dst, 'hub' AS term FROM docs
+        |  UNION ALL SELECT 'https://ex.org/doc/' || (doc_id + 1), 'next' FROM docs
+        |  UNION ALL SELECT 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id, 'cdn' FROM docs),
+        |c AS (SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1, 2)
+        |SELECT dst, term, n, arank FROM (
+        |  SELECT dst, term, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, term) AS BIGINT) AS arank
+        |  FROM c) r
+        |WHERE arank <= 3""".stripMargin),
     // every region recomputed arithmetically from the planted topology:
     // crawled docs = the giant SCC, chain tip + cdn = OUT, the attachments
     // by url namespace

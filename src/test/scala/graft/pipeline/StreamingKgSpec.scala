@@ -180,6 +180,17 @@ class StreamingKgSpec extends SparkSpec {
       spark, s"$base/pages", io, "wg", s"$base/ck_replay"))
     assert(run3 === run2)
     assert(io.read("wg/host_counts").count() === rowsBefore)
+
+    // compaction folds the partials without changing the graph, and keeps
+    // replayed OLD batch ids skippable (compacted_ids), so a post-compaction
+    // wiped-checkpoint replay still appends nothing
+    val folded = StreamingKg.compactHostCounts(io, "wg")
+    assert(folded < rowsBefore)
+    assert(hg(StreamingKg.hostGraphFromStore(io, "wg")) === run2)
+    val run4 = hg(StreamingKg.runHostGraphAvailableNow(
+      spark, s"$base/pages", io, "wg", s"$base/ck_replay2"))
+    assert(run4 === run2)
+    assert(io.read("wg/host_counts").count() === folded)
   }
 
   test("the streaming plan is actually streaming and dedup state is keyed") {
