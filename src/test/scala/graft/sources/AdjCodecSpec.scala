@@ -31,6 +31,45 @@ class AdjCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](AdjCodec.decodeGaps(Array(0x80.toByte)))
   }
 
+  test("lex dictionary: locality order compresses a web-shaped graph harder than hash order") {
+    // the BV lever: url-lexicographic ids put same-SITE link targets on
+    // nearby ids, so an adjacency list's sorted-gap stream collapses to
+    // 1-byte varints. The lever needs site-internal link RUNS — the
+    // sf testdata's 3-edge lists (hub/next/cdn, three different blocks)
+    // have none, so this fixture is a web-shaped site graph: 50 hosts ×
+    // 40 pages, each page linking 8 lex-consecutive same-host pages + 1
+    // cross-host page. Roundtrip must stay exact under either dictionary.
+    val links = (for {
+      h <- 0 until 50; p <- 0 until 40
+      url = f"https://h$h%02d.ex/p$p%02d"
+      dst <- (1 to 8).map(k => f"https://h$h%02d.ex/p${(p + k) % 40}%02d") :+
+        f"https://h${(h + 7) % 50}%02d.ex/p$p%02d"
+    } yield (url, dst)).toDF("src", "dst")
+    val nodes = links.select(col("src").as("id"))
+      .unionAll(links.select(col("dst").as("id"))).distinct()
+    def bytesUnder(dict: org.apache.spark.sql.DataFrame): Long = {
+      val d = dict.localCheckpoint(true)
+      val enc = AdjCodec.encode(links, d).localCheckpoint(true)
+      val back = AdjCodec.decode(enc, d)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val expect = links.distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(back === expect)
+      enc.agg(sum(octet_length(col("adj")))).head().getLong(0)
+    }
+    val hashBytes = bytesUnder(AdjCodec.dictionary(nodes))
+    val lexBytes = bytesUnder(AdjCodec.lexDictionary(nodes))
+    assert(lexBytes < hashBytes,
+      s"lex order ($lexBytes B) must beat hash order ($hashBytes B)")
+    // determinism across parallelism: the rank is a pure function of the
+    // total order, not of the range boundaries
+    val a = AdjCodec.lexDictionary(nodes, partitions = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = AdjCodec.lexDictionary(nodes, partitions = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("dataframe roundtrip equals distinct adjacency; cells beat raw longs") {
     val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(concat(lit("o:"), col("o_orderkey")).as("src"),
