@@ -77,6 +77,9 @@ object CurationQueries {
     "td_split" -> ((s, d) => Curation.splitAssign(docs(s, d))),
     "td_chunk" -> ((s, d) => Curation.chunk(docs(s, d), maxTokens = 32, overlap = 8)),
     "td_pack" -> ((s, d) => Curation.packSequences(docs(s, d), capacity = 512L)),
+    // per-source rollup: volume, dedup headroom, language spread, density
+    // ratios from the SUMS (exact-integer numerators, one division/group)
+    "td_source_stats" -> ((s, d) => Curation.sourceStats(docs(s, d))),
     "td_curation_filter" -> ((s, d) => curationFilter(s, d)),
     // per-domain capping over the normalized synth URLs: the '' host
     // (malformed rows, ~1/17 of docs ≈ 29 at the 500-doc gate scale) stays
@@ -401,6 +404,25 @@ object CurationQueries {
         |  FROM (SELECT doc_id, source,
         |          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |        FROM documents) t) c""".stripMargin,
+
+    "td_source_stats" ->
+      """WITH d AS (SELECT source, text, lang,
+        |  CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 AS toks,
+        |  CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, ',', ''))) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '!', ''))) AS BIGINT) AS punct,
+        |  CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS BIGINT)
+        |    + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' a ', ''))) / 3 AS BIGINT)
+        |    + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) / 4 AS BIGINT) AS stop
+        |FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(CAST(SUM(punct) AS DOUBLE) / SUM(toks), 5) AS punct_per_token,
+        |  ROUND(CAST(SUM(stop) AS DOUBLE) / SUM(toks), 5) AS stop_per_token
+        |FROM d GROUP BY source""".stripMargin,
 
     "td_lm_xent" -> xentOracle,
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.{TpchKg, TpchKgSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Core KG emission surface (SURVEY §2.1 S4-S7) as driver-checkable queries:
   * each entry has an exact DuckDB oracle over the same parquet tables. */
@@ -35,6 +36,17 @@ object KgQueries {
       val dict = graft.sources.AdjCodec.dictionary(kb.nodes).localCheckpoint(true)
       graft.sources.AdjCodec.decode(
         graft.sources.AdjCodec.encode(kb.edges, dict), dict)
+    }),
+    // degree distribution (the first plot of any web-graph writeup):
+    // out- and in-degree histograms — two cascaded partial aggregates per
+    // side, both map-side-combinable; no join, no sort
+    "kg_degree_dist" -> ((s, d) => {
+      val e = TpchKg.load(s, d).edges
+      def side(key: String, name: String) =
+        e.groupBy(col(key).as("node")).agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .select(lit(name).as("side"), col("deg"), col("n_nodes"))
+      side("src", "out").unionAll(side("dst", "in"))
     }),
     "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression),
     // graph-analytics metrics over the co-purchase projection (parts
@@ -545,6 +557,13 @@ object KgQueries {
     "kg_ntriples" -> TpchKgSql.triples,
     "kg_adjacency_codec" ->
       s"WITH e AS (${TpchKgSql.edges})\nSELECT DISTINCT src, dst FROM e",
+    "kg_degree_dist" ->
+      s"""WITH e AS (${TpchKgSql.edges}),
+         |o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |i AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY dst)
+         |SELECT 'out' AS side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM o GROUP BY deg
+         |UNION ALL
+         |SELECT 'in', deg, CAST(COUNT(*) AS BIGINT) FROM i GROUP BY deg""".stripMargin,
     "kg_abox_expression" -> TpchKgSql.withKg(
       """SELECT node AS subj, cls AS expr FROM types
         |UNION ALL

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * (GPT-style concat+chunk), as opposed to first-fit bin packing whose
   * greedy state is inherently sequential.
   *
+  * Companion surface: [[Curation.packSequences]] (td_pack) emits each
+  * doc's START bin + in-bin offset — one row per doc; this manifest is
+  * the full span DECOMPOSITION — one row per (doc, sequence) overlap —
+  * i.e. the rows a loader joins to assemble each fixed-length sequence.
+  *
   * Shape: ONE partitioned window (running token offset per stream — a
   * single hash exchange on the stream key, streams pack in parallel) + a
   * codegen `sequence` explode + span arithmetic. No joins, no driver
