@@ -37,6 +37,14 @@ object SamplerQueries {
     // this oracle row vacuous (0 = 0)
     "smp_rn_edges" -> ((s, d) => rnSampler(s, d, lpc = false).sample(500).edges),
     "smp_rn_lpc_nodes" -> ((s, d) => rnSampler(s, d, lpc = true).sample(50).nodes),
+    // sampler-quality metric (Leskovec-Faloutsos KDD'06): KS distance
+    // between original and sampled degree distributions, per side — the
+    // seeded RN sample replays in SQL, so the statistic oracles exactly
+    "smp_rn_ks" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      GraphMetrics.degreeKs(kb.edges,
+        rnSampler(s, d, lpc = false).sample(500).edges)
+    }),
     // dpp contract at scale: per-node attr count after dpp=0.5 equals
     // cnt - int(0.5·cnt) of the original (reference _base.py:273)
     "smp_rn_dpp_counts" -> ((s, d) =>
@@ -204,6 +212,26 @@ object SamplerQueries {
       s"""sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500)
          |SELECT src, pred, dst FROM edges
          |WHERE src IN (SELECT id FROM sample) AND dst IN (SELECT id FROM sample)""".stripMargin,
+      inCte = true),
+    "smp_rn_ks" -> TpchKgSql.withKg(
+      s"""sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 500),
+         |se AS (SELECT src, dst FROM edges
+         |       WHERE src IN (SELECT id FROM sample) AND dst IN (SELECT id FROM sample)),
+         |ho AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n1 FROM (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src) g GROUP BY deg),
+         |so AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n2 FROM (SELECT src, COUNT(*) AS deg FROM se GROUP BY src) g GROUP BY deg),
+         |hi AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n1 FROM (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst) g GROUP BY deg),
+         |si AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n2 FROM (SELECT dst, COUNT(*) AS deg FROM se GROUP BY dst) g GROUP BY deg),
+         |jo AS (SELECT COALESCE(ho.deg, so.deg) AS deg, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+         |       FROM ho FULL OUTER JOIN so ON ho.deg = so.deg),
+         |ji AS (SELECT COALESCE(hi.deg, si.deg) AS deg, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+         |       FROM hi FULL OUTER JOIN si ON hi.deg = si.deg),
+         |co AS (SELECT SUM(n1) OVER (ORDER BY deg) AS c1, SUM(n2) OVER (ORDER BY deg) AS c2,
+         |              SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2 FROM jo),
+         |ci AS (SELECT SUM(n1) OVER (ORDER BY deg) AS c1, SUM(n2) OVER (ORDER BY deg) AS c2,
+         |              SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2 FROM ji)
+         |SELECT 'out' AS side, ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))), 5) AS ks FROM co
+         |UNION ALL
+         |SELECT 'in', ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))), 5) FROM ci""".stripMargin,
       inCte = true),
     "smp_rn_lpc_nodes" -> TpchKgSql.withKg(
       s"""lp AS (SELECT * FROM (VALUES ('c:1'), ('c:2'), ('s:1'), ('s:2')) t(id)),

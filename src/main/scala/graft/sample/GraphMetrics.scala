@@ -370,4 +370,39 @@ object GraphMetrics {
     val den = math.sqrt((m * sjj - sj * sj) * (m * skk - sk * sk))
     if (den == 0.0) 0.0 else (m * sjk - sj * sk) / den
   }
+
+  /** Sampler-quality statistic (Leskovec-Faloutsos KDD'06 §3 evaluate
+    * samples by the Kolmogorov-Smirnov distance between degree
+    * distributions): KS = max over degree of |CDF_orig − CDF_sample|,
+    * one row per side (out/in), rounded to 5. The CDFs are cumulative
+    * sums over the DEGREE HISTOGRAMS (≤ max-degree rows — bounded far
+    * below the edge count, so the single-partition cumulative window is
+    * driver-bounded metadata work, not data work; bucket it à la Ranks if
+    * a graph ever has 10⁷ distinct degree values). A full-outer join on
+    * degree aligns the two step functions; a missing side's histogram row
+    * contributes 0 to its cumulative, which IS its CDF value at that
+    * breakpoint. */
+  def degreeKs(original: DataFrame, sampled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(e: DataFrame, key: String) =
+      e.groupBy(col(key).as("node")).agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n"))
+    def ksOf(key: String, name: String): DataFrame = {
+      val h1 = hist(original, key).select(col("deg"), col("n").as("n1"))
+      val h2 = hist(sampled, key).select(col("deg"), col("n").as("n2"))
+      val j = h1.join(h2, Seq("deg"), "full_outer")
+        .select(col("deg"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+      val w = Window.orderBy(col("deg")).rowsBetween(Window.unboundedPreceding, 0)
+      j.select(col("deg"),
+          sum(col("n1")).over(w).as("c1"), sum(col("n2")).over(w).as("c2"),
+          sum(col("n1")).over(Window.partitionBy()).as("t1"),
+          sum(col("n2")).over(Window.partitionBy()).as("t2"))
+        .select(max(abs(col("c1").cast("double") / col("t1")
+          - col("c2").cast("double") / col("t2"))).as("ks"))
+        .select(lit(name).as("side"), round(col("ks"), 5).as("ks"))
+    }
+    ksOf("src", "out").unionAll(ksOf("dst", "in"))
+  }
 }
