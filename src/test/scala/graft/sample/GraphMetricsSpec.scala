@@ -264,4 +264,21 @@ class GraphMetricsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(capped === Map(("p1", "p2") -> 2L))
   }
+
+  test("degree KS: identical graphs 0; dropping the hub side is detected; bounds hold") {
+    val g = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+      ("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val same = GraphMetrics.degreeKs(g, g)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same === Map("out" -> 0.0, "in" -> 0.0))
+    // sample = the graph minus the hub's edges: the out-degree-4 bucket
+    // vanishes, so KS_out must be strictly positive and ≤ 1
+    val noHub = g.filter($"src" =!= "h")
+    val ks = GraphMetrics.degreeKs(g, noHub)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ks("out") > 0.0 && ks("out") <= 1.0)
+    // exact check: orig out-degrees {h:4, a:1, b:1, c:1} → CDF(1)=3/4;
+    // sample out-degrees {a:1, b:1, c:1} → CDF(1)=1; KS_out = 1/4
+    assert(ks("out") === 0.25)
+  }
 }
