@@ -418,7 +418,7 @@ object CurationQueries {
         |SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
-        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |  ROUND(CAST(SUM(punct) AS DOUBLE) / SUM(toks), 5) AS punct_per_token,
         |  ROUND(CAST(SUM(stop) AS DOUBLE) / SUM(toks), 5) AS stop_per_token

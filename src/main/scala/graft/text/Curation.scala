@@ -370,9 +370,11 @@ object Curation {
     * distinct texts — the dedup headroom), language spread, and
     * punctuation/stopword density computed from the SUMS (one division per
     * group over exact integers — averaging per-doc rounded doubles would
-    * be summation-order-dependent and gate-flaky). ONE partial aggregate;
-    * at 100 TB the distinct-count pair is the cost and both are map-side
-    * partial (hash within partition) before the source-keyed exchange. */
+    * be summation-order-dependent and gate-flaky). The two distinct counts
+    * plan as Spark's Expand/gid shape (two cascaded partial aggregates);
+    * the dup key is md5(text) — the engine's standing exact-dup key — so
+    * the exchanges carry 32-hex digests and a 3-byte lang code, NEVER the
+    * document bodies. */
   def sourceStats(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
     val t = col("text")
     val punct = TextOps.countOccurrences(t, ".") +
@@ -380,12 +382,12 @@ object Curation {
     val padded = concat(lit(" "), lower(t), lit(" "))
     val stop = TextOps.countOccurrences(padded, " the ") +
       TextOps.countOccurrences(padded, " a ") + TextOps.countOccurrences(padded, " of ")
-    docs.select(col(sourceCol).as("source"), t.as("text"), col("lang"),
+    docs.select(col(sourceCol).as("source"), md5(t).as("fp"), col("lang"),
         TextOps.tokenCount(t).as("toks"), punct.as("punct"), stop.as("stop"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
-        (count(lit(1)) - count_distinct(col("text"))).as("n_exact_dups"),
+        (count(lit(1)) - count_distinct(col("fp"))).as("n_exact_dups"),
         count_distinct(col("lang")).as("n_langs"),
         round(sum(col("punct")).cast("double") / sum(col("toks")), 5).as("punct_per_token"),
         round(sum(col("stop")).cast("double") / sum(col("toks")), 5).as("stop_per_token"))

@@ -364,6 +364,40 @@ class PlanShapeSpec extends SparkSpec {
       s"the neighborhood digest must map-side combine (hub-safe):\n$plan")
   }
 
+  test("source rollup: Expand/gid distinct plan, partial combine, digests not bodies, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.text.Curation.sourceStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the rollup is a pure aggregate:\n$plan")
+    // two distinct counts → Spark's Expand shape: at most the gid exchange
+    // + the final source-keyed exchange
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"at most the Expand + final exchanges may exist:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"token/density sums must map-side combine:\n$plan")
+    // the dup-key distinct must shuffle md5 digests, never document bodies
+    assert(!plan.contains("hashpartitioning(source"
+      ) || !plan.matches("(?s).*hashpartitioning\\([^)]*text#.*"),
+      s"exchanges must carry digests, not text:\n$plan")
+  }
+
+  test("crawl schedule: ONE host-keyed exchange feeds the slot window") {
+    val pages = graft.pipeline.Pages.fromDir(spark, sf)
+    val frontier = graft.pipeline.LinkGraph.frontier(
+      graft.pipeline.LinkGraph.links(pages).toDF(), pages)
+    val plan = graft.pipeline.LinkGraph.schedule(frontier)
+      .queryExecution.executedPlan.toString
+    // the frontier itself contributes its aggregate exchange + anti-join;
+    // the SCHEDULE may add exactly one more keyed exchange (the host window)
+    val frontierPlan = frontier.queryExecution.executedPlan.toString
+    val frontierEx = frontierPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val schedEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(schedEx <= frontierEx + 1,
+      s"the schedule may add at most one host-keyed exchange ($frontierEx → $schedEx):\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"slots must come from a window, not a join:\n$plan")
+  }
+
   test("sequence packing: ONE stream-keyed exchange, bin explode above the window, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.text.Packing.packManifest(docs, budget = 64L)
