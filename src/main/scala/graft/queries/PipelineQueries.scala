@@ -154,6 +154,27 @@ object PipelineQueries {
         top.agg((count(lit(1)) === 10 && max(col("docn")) < 97)
           .as("hubs_dominate")))
     }),
+    // WEIGHTED PageRank over the host quotient (cc-webgraph's host-rank
+    // artifact): multiplicities ride as edge weights — a host pair with
+    // 10⁹ links is ONE weighted edge, never replicated rows. Property
+    // row (float fixed points don't replay in SQL): full cover, leaky
+    // mass, positivity, and the main content host outranking every cdn
+    "fe_host_rank" -> ((s, d) => {
+      val links = LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+      val hg = LinkGraph.hostGraph(links)
+      val nodes = hg.select(col("src_host").as("id"))
+        .unionAll(hg.select(col("dst_host").as("id"))).distinct()
+      val pr = graft.sample.PageRank.computeWeighted(nodes,
+        hg.select(col("src_host").as("src"), col("dst_host").as("dst"),
+          col("n_links").as("w")), iterations = 20)
+      val n = nodes.count()
+      pr.agg(
+        (count(lit(1)) === n).as("count_ok"),
+        (sum(col("pr")) <= n.toDouble).as("mass_leaky"),
+        (min(col("pr")) > 0.0).as("positive")).crossJoin(
+        pr.orderBy(col("pr").desc, col("id")).limit(1)
+          .select((col("id") === "ex.org").as("top_is_main_host")))
+    }),
     // HITS over the same graph: hubs/authorities separate crawl DIRECTORY
     // pages from CONTENT pages — property row: both score vectors are
     // unit-L2 (±1e-9), non-negative, and the top-10 authorities are all
@@ -635,6 +656,8 @@ object PipelineQueries {
          |FROM docs""".stripMargin),
     "fe_page_rank" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS hubs_dominate",
+    "fe_host_rank" ->
+      "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS top_is_main_host",
     "fe_hits" ->
       "SELECT TRUE AS hub_unit, TRUE AS auth_unit, TRUE AS nonneg, TRUE AS auth_are_hubs",
     // unrolled 4-round semi-naive BFS with the engine's exact semantics:

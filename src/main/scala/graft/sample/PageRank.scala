@@ -49,19 +49,40 @@ object PageRank {
     val caller = kb.spark
     val scoped = GraftSessions.cloneWithConf(caller,
       "spark.sql.adaptive.enabled" -> adaptive.toString)
-    val kbScoped = kb.copy(
-      nodes = GraftSessions.bind(kb.nodes, scoped),
-      edges = GraftSessions.bind(kb.edges, scoped))
-    // the result is a localCheckpointed RDD-backed plan; rebind it to the
-    // caller's session so downstream planning sees the caller's conf
-    GraftSessions.bind(computeInner(kbScoped, d, iterations, checkpointEvery), caller)
+    GraftSessions.bind(computeInner(
+      GraftSessions.bind(kb.nodes, scoped),
+      GraftSessions.bind(kb.edges.select(col("src"), col("dst"))
+        .withColumn("w", lit(1.0)), scoped),
+      d, iterations, checkpointEvery), caller)
   }
 
-  private def computeInner(kb: Kb, d: Double, iterations: Int,
+  /** WEIGHTED PageRank — the host-quotient / multigraph form: each edge
+    * carries a multiplicity/weight `w` and a node's rank flows out in
+    * proportion w/Σw(src). Replicating edges by multiplicity is the same
+    * chain (PageRankSpec proves equivalence) but is not an option when a
+    * host pair carries 10⁹ links — the weighted form keeps the edge table
+    * at |distinct pairs|. Unweighted [[compute]] is exactly this with
+    * w = 1 (bit-identical arithmetic: pr·1.0/outdeg ≡ pr/outdeg). */
+  def computeWeighted(nodes: DataFrame, weightedEdges: DataFrame,
+                      d: Double = 0.15, iterations: Int = 100,
+                      checkpointEvery: Int = 10, adaptive: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSessions
+    val caller = nodes.sparkSession
+    val scoped = GraftSessions.cloneWithConf(caller,
+      "spark.sql.adaptive.enabled" -> adaptive.toString)
+    GraftSessions.bind(computeInner(
+      GraftSessions.bind(nodes, scoped),
+      GraftSessions.bind(weightedEdges
+        .select(col("src"), col("dst"), col("w").cast("double").as("w")), scoped),
+      d, iterations, checkpointEvery), caller)
+  }
+
+  private def computeInner(nodesIn: DataFrame, edgesW: DataFrame,
+                           d: Double, iterations: Int,
                            checkpointEvery: Int): DataFrame = {
-    val n = kb.nodes.count().toDouble
-    val outdeg = kb.edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = kb.edges.select("src", "dst").join(outdeg, Seq("src")).cache()
+    val n = nodesIn.count().toDouble
+    val outdeg = edgesW.groupBy("src").agg(sum(col("w")).as("outdeg"))
+    val adj = edgesW.select("src", "dst", "w").join(outdeg, Seq("src")).cache()
     val dstNodes = adj.select(col("dst").as("id")).distinct().cache()
 
     // edges from source-only nodes (pr = d/n from sweep 2 on) vs edges from
@@ -73,10 +94,10 @@ object PageRank {
 
     def massOf(a: DataFrame, ranks: DataFrame): DataFrame = a
       .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-      .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+      .select(col("dst"), (col("pr") * col("w") / col("outdeg")).as("c"))
       .groupBy("dst").agg(sum(col("c")).as("mass"))
 
-    if (iterations == 0) return kb.nodes.select(col("id"), lit(1.0).as("pr"))
+    if (iterations == 0) return nodesIn.select(col("id"), lit(1.0).as("pr"))
 
     // the constant source-only contribution, folded into a per-node base
     // vector so a sweep stays at two shuffles (mass agg + join). The
@@ -85,7 +106,7 @@ object PageRank {
     // inside each base build, same per-row arithmetic (lit(r)/outdeg sums
     // over the identical groups).
     def baseWith(r: Double): DataFrame = dstNodes
-      .join(adjConst.select(col("dst"), (lit(r) / col("outdeg")).as("c"))
+      .join(adjConst.select(col("dst"), (lit(r) * col("w") / col("outdeg")).as("c"))
           .groupBy("dst").agg(sum(col("c")).as("mass"))
           .withColumnRenamed("dst", "id"),
         Seq("id"), "left_outer")
@@ -102,7 +123,7 @@ object PageRank {
     // base is consumed exactly ONCE, so it is left lazy — a checkpoint
     // here was a pure scheduling barrier (the fixed setup phase is
     // job-count bound at small scale, like the walk step floor)
-    val init = kb.nodes.select(col("id"), lit(1.0).as("pr"))
+    val init = nodesIn.select(col("id"), lit(1.0).as("pr"))
     var ranks = sweep(init, baseWith(1.0)).localCheckpoint(true)
 
     // from sweep 2 on they sit at d/n forever; reused every sweep →
@@ -118,7 +139,7 @@ object PageRank {
     }
 
     // final ranks: evolving dst-set ranks ∪ constant d/n source-only nodes
-    val sourceOnly = kb.nodes.join(dstNodes, Seq("id"), "left_anti")
+    val sourceOnly = nodesIn.join(dstNodes, Seq("id"), "left_anti")
       .select(col("id"), lit(d / n).as("pr"))
     val out = ranks.unionAll(sourceOnly).localCheckpoint(true)
     adj.unpersist(); adjIter.unpersist(); dstNodes.unpersist()

@@ -37,6 +37,31 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank equals edge-replicated multigraph ranks") {
+    import spark.implicits._
+    // integer multiplicities replicated row-by-row must give the same
+    // fixed-point trajectory as the weighted form (w/Σw == k copies of
+    // 1/outdeg over the same groups)
+    val mult = Seq(("a", "b", 3), ("b", "c", 2), ("c", "a", 1), ("a", "c", 2),
+      ("d", "a", 4)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val replicated = mult.as[(String, String, Int)].flatMap {
+      case (s, d, k) => Seq.fill(k)((s, "p", d)) }.toDF("src", "pred", "dst")
+    val kb = graft.core.Kb(nodes, replicated,
+      attrs = graft.core.Kb.empty(spark).attrs,
+      types = graft.core.Kb.empty(spark).types,
+      tbox = graft.core.Tbox.empty)
+    for (iters <- Seq(1, 5, 20)) {
+      val w = PageRank.computeWeighted(nodes, mult, iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val rep = PageRank.compute(kb, iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(w.keySet === rep.keySet)
+      w.foreach { case (id, v) =>
+        assert(math.abs(v - rep(id)) < 1e-12, s"$id at iters=$iters: $v vs ${rep(id)}") }
+    }
+  }
+
   test("AQE scoping never touches the caller session's conf") {
     val kb = HepatitisLikeKb.kb(spark).cache()
     val key = "spark.sql.adaptive.enabled"
