@@ -48,6 +48,20 @@ object KgQueries {
           .select(lit(name).as("side"), col("deg"), col("n_nodes"))
       side("src", "out").unionAll(side("dst", "in"))
     }),
+    // incremental codec maintenance: store 3 predicates' adjacency, fold
+    // the other 2 in as an increment (touching order sources that already
+    // hold placedBy cells — real re-encodes, not just appends), decode.
+    // Cells are pure functions of the dst set, so the result must
+    // hash-equal the full-edge-table oracle exactly
+    "kg_adjacency_merge" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val dict = graft.sources.AdjCodec.dictionary(kb.nodes).localCheckpoint(true)
+      val stored = graft.sources.AdjCodec.encode(
+        kb.edges.filter(col("pred").isin("inNation", "inRegion", "placedBy")), dict)
+      val merged = graft.sources.AdjCodec.mergeIncrement(stored,
+        kb.edges.filter(col("pred").isin("contains", "suppliedBy")), dict)
+      graft.sources.AdjCodec.decode(merged, dict)
+    }),
     "kg_abox_expression" -> ((s, d) => TpchKg.load(s, d).aboxExpression),
     // graph-analytics metrics over the co-purchase projection (parts
     // sharing an order): exact distributed triangle counting with
@@ -556,6 +570,8 @@ object KgQueries {
     "kg_triples" -> TpchKgSql.triples,
     "kg_ntriples" -> TpchKgSql.triples,
     "kg_adjacency_codec" ->
+      s"WITH e AS (${TpchKgSql.edges})\nSELECT DISTINCT src, dst FROM e",
+    "kg_adjacency_merge" ->
       s"WITH e AS (${TpchKgSql.edges})\nSELECT DISTINCT src, dst FROM e",
     "kg_degree_dist" ->
       s"""WITH e AS (${TpchKgSql.edges}),

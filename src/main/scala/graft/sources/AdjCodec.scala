@@ -121,19 +121,66 @@ object AdjCodec {
       .toDF()
   }
 
-  /** inverse of [[encode]]: binary cells back to (src, dst) string edges.
-    * The dict joins are load-bearing — a single wrong decoded gap lands on
-    * a different node id (or none) and the roundtrip gate mismatches. */
-  def decode(encoded: DataFrame, dict: DataFrame): DataFrame = {
-    val pairs = encoded.select(col("src_nid"), col("adj"))
+  /** decoded (src_nid, dst_nid) pairs of a cell table — the shared inverse
+    * kernel under [[decode]] and [[mergeIncrement]]. */
+  private def nidPairs(encoded: DataFrame): DataFrame =
+    encoded.select(col("src_nid"), col("adj"))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(_.flatMap { case (src, bytes) =>
         decodeGaps(bytes).iterator.map(PairRow(src, _)) })(
         Encoders.product[PairRow])
       .toDF()
-    pairs
+
+  /** inverse of [[encode]]: binary cells back to (src, dst) string edges.
+    * The dict joins are load-bearing — a single wrong decoded gap lands on
+    * a different node id (or none) and the roundtrip gate mismatches. */
+  def decode(encoded: DataFrame, dict: DataFrame): DataFrame =
+    nidPairs(encoded)
       .join(dict.select(col("nid").as("src_nid"), col("id").as("src")), Seq("src_nid"))
       .join(dict.select(col("nid").as("dst_nid"), col("id").as("dst")), Seq("dst_nid"))
       .select("src", "dst")
+
+  /** Incremental maintenance — the daily-crawl shape: fold an edge
+    * increment into a stored cell table touching ONLY the sources the
+    * increment names. Cells are pure functions of the sorted distinct dst
+    * set, so the result is BYTE-IDENTICAL to a from-scratch [[encode]]
+    * over the union (AdjCodecSpec proves it); untouched cells pass through
+    * without decode or re-encode (an anti-join on the touched source set —
+    * cost ∝ increment, never store size, the same contract as
+    * [[graft.pipeline.Materialize.merge]]). `dict` must cover the
+    * increment's nodes — extend it first with [[extendDictionary]]. */
+  def mergeIncrement(stored: DataFrame, incEdges: DataFrame,
+                     dict: DataFrame): DataFrame = {
+    val s = dict.select(col("id").as("src"), col("nid").as("src_nid"))
+    val d = dict.select(col("id").as("dst"), col("nid").as("dst_nid"))
+    val incPairs = incEdges.select("src", "dst")
+      .join(s, Seq("src")).join(d, Seq("dst"))
+      .select(col("src_nid"), col("dst_nid"))
+    val touched = incPairs.select("src_nid").distinct().localCheckpoint(true)
+    val reEnc = nidPairs(stored.join(touched, Seq("src_nid"), "left_semi"))
+      .unionAll(incPairs)
+      .groupBy(col("src_nid"))
+      .agg(array_sort(collect_set(col("dst_nid"))).as("dsts"))
+      .as[AdjRow](Encoders.product[AdjRow])
+      .mapPartitions(_.map(r =>
+        EncRow(r.src_nid, r.dsts.length, encodeGaps(r.dsts))))(
+        Encoders.product[EncRow])
+      .toDF()
+    stored.join(touched, Seq("src_nid"), "anti").unionAll(reEnc)
+  }
+
+  /** Extend a dense dictionary with NEW nodes (ids after the stored max,
+    * assigned by the same hash-permutation rank) — deterministic given
+    * (dict, nodes); already-mapped ids keep their nid. */
+  def extendDictionary(dict: DataFrame, nodes: DataFrame,
+                       seed: Long = 0x5eedL): DataFrame = {
+    val fresh = nodes.select(col("id")).distinct()
+      .join(dict.select("id"), Seq("id"), "anti")
+    if (fresh.isEmpty) dict
+    else {
+      val offset = dict.agg(max(col("nid"))).head().getLong(0)
+      dict.unionByName(dictionary(fresh, seed)
+        .select(col("id"), (col("nid") + offset).as("nid")))
+    }
   }
 }

@@ -70,6 +70,38 @@ class AdjCodecSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental merge: byte-identical to from-scratch, untouched cells pass through") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("src", "dst")
+    val nodes = edges.select($"src".as("id"))
+      .unionAll(edges.select($"dst".as("id"))).distinct()
+    val dict = AdjCodec.dictionary(nodes).localCheckpoint(true)
+    // increment touches 'a' (existing cell re-encodes) and 'e' via the
+    // extended dictionary (new source AND new target)
+    val inc = Seq(("a", "d"), ("e", "b")).toDF("src", "dst")
+    val dict2 = AdjCodec.extendDictionary(dict,
+      inc.select($"src".as("id")).unionAll(inc.select($"dst".as("id"))))
+      .localCheckpoint(true)
+    // old ids keep their nid; new ids are dense after the stored max
+    val base = dict.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ext = dict2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base.forall { case (k, v) => ext(k) == v })
+    assert(ext.values.toSeq.sorted === (1L to ext.size))
+
+    val stored = AdjCodec.encode(edges, dict2).localCheckpoint(true)
+    val merged = AdjCodec.mergeIncrement(stored, inc, dict2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toList)).toSet
+    val scratch = AdjCodec.encode(edges.unionAll(inc), dict2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toList)).toSet
+    assert(merged === scratch)
+    // untouched sources (b, c, d) pass through: their cells byte-match the store
+    val untouchedNids = Set("b", "c", "d").map(ext)
+    val storeCells = stored.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toList).toMap
+    merged.filter(m => untouchedNids(m._1))
+      .foreach(m => assert(m._3 === storeCells(m._1)))
+  }
+
   test("dataframe roundtrip equals distinct adjacency; cells beat raw longs") {
     val edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(concat(lit("o:"), col("o_orderkey")).as("src"),
