@@ -56,4 +56,26 @@ object Bgp {
     // using-column joins put the keys first — restore first-appearance order
     acc.select(bound.map(col): _*)
   }
+
+  /** SPARQL OPTIONAL (one block, the well-designed case of Pérez et al.
+    * TODS'09 §4: the optional part shares variables with the required
+    * part): solutions of `required` LEFT-JOINED with solutions of
+    * `optional` on their shared variables — unmatched optional variables
+    * come back NULL, required-side multiplicity is preserved (bag
+    * semantics). Plan: the two BGPs each keep their pushdown/join shape;
+    * OPTIONAL adds exactly one left outer equi-join on the shared
+    * variables, which AQE sizes like any other join. */
+  def matchOptional(edges: DataFrame,
+                    required: Seq[(String, String, String)],
+                    optional: Seq[(String, String, String)]): DataFrame = {
+    val req = matchPattern(edges, required)
+    val opt = matchPattern(edges, optional)
+    val shared = req.columns.filter(opt.columns.contains).toSeq
+    require(shared.nonEmpty,
+      "OPTIONAL must share at least one variable with the required pattern " +
+        "(a disconnected OPTIONAL is not a well-designed pattern)")
+    req.join(opt, shared, "left_outer")
+      .select((req.columns ++ opt.columns.filterNot(req.columns.contains))
+        .map(col).toSeq: _*)
+  }
 }

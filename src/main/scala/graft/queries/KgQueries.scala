@@ -143,6 +143,14 @@ object KgQueries {
       ("?n", "inRegion", "r:2"),
       ("?o", "suppliedBy", "?s"),
       ("?s", "inNation", "?n")))),
+    // SPARQL OPTIONAL (well-designed, Pérez et al. TODS'09): customers
+    // with their nation, optionally an order — TPC-H leaves ~1/3 of
+    // customers orderless, so the NULL-preserving left join is
+    // load-bearing, and multi-order customers keep bag multiplicity
+    "kg_bgp_optional" -> ((s, d) => graft.core.Bgp.matchOptional(
+      TpchKg.load(s, d).edges,
+      required = Seq(("?c", "inNation", "?n")),
+      optional = Seq(("?o", "placedBy", "?c")))),
     // property path with every closure-free operator load-bearing:
     // ^contains (inverse) / (placedBy|suppliedBy) (alternation) /
     // inNation / inRegion (sequence) — part ↦ region of everyone touching
@@ -509,6 +517,11 @@ object KgQueries {
         |JOIN edges d ON d.pred = 'suppliedBy' AND d.src = a.src
         |JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst AND e.dst = b.dst
         |WHERE a.pred = 'placedBy'""".stripMargin),
+    "kg_bgp_optional" -> TpchKgSql.withKg(
+      """SELECT a.src AS c, a.dst AS n, b.src AS o
+        |FROM edges a
+        |LEFT JOIN edges b ON b.pred = 'placedBy' AND b.dst = a.src
+        |WHERE a.pred = 'inNation'""".stripMargin),
     "kg_kcore" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${kcoreCtes(k = 80, rounds = 12)}

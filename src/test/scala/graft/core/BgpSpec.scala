@@ -51,4 +51,21 @@ class BgpSpec extends SparkSpec {
       Seq(("?x", "likes", "?y"), ("?u", "knows", "d"))).count()
     assert(n == 2L) // 2 likes-rows × 1 knows-d row
   }
+
+  test("OPTIONAL: null fill, bag multiplicity, disconnected rejected") {
+    // ?x knows ?y OPTIONAL { ?y likes ?z }: (a,b) has no b-likes → z NULL;
+    // (a,c)/(b,c) each meet TWO c-likes rows → multiplicity 2 apiece
+    val got = Bgp.matchOptional(edges,
+      required = Seq(("?x", "knows", "?y")),
+      optional = Seq(("?y", "likes", "?z")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("∅"))).toList.sorted
+    assert(got === List(
+      ("a", "b", "∅"),
+      ("a", "c", "a"), ("a", "c", "c"),
+      ("b", "c", "a"), ("b", "c", "c"),
+      ("d", "d", "∅")))
+    intercept[IllegalArgumentException](Bgp.matchOptional(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?u", "likes", "?v"))))
+  }
 }
