@@ -78,4 +78,26 @@ object Bgp {
       .select((req.columns ++ opt.columns.filterNot(req.columns.contains))
         .map(col).toSeq: _*)
   }
+
+  /** SPARQL UNION: the bag union of the branch solution sequences under a
+    * shared schema — the union of all branch variables in first-appearance
+    * order, a variable unbound in a branch coming back NULL in that
+    * branch's rows (SPARQL 1.1 §18.5 Union(Ω1, Ω2): solutions need not
+    * share domains). Plan: each branch keeps its own BGP pushdown/join
+    * shape; UNION itself is a zero-shuffle `unionAll` — branches run as
+    * independent stages, so at scale the union is free and the cost is
+    * exactly the sum of the branches. */
+  def matchUnion(edges: DataFrame,
+                 branches: Seq[Seq[(String, String, String)]]): DataFrame = {
+    require(branches.nonEmpty, "empty UNION")
+    val sols = branches.map(matchPattern(edges, _))
+    val allVars = sols.foldLeft(Seq.empty[String]) { (acc, df) =>
+      acc ++ df.columns.filterNot(acc.contains)
+    }
+    sols.map { df =>
+      df.select(allVars.map(v =>
+        if (df.columns.contains(v)) col(v)
+        else lit(null).cast("string").as(v)): _*)
+    }.reduce(_ unionAll _)
+  }
 }

@@ -151,6 +151,28 @@ object KgQueries {
       TpchKg.load(s, d).edges,
       required = Seq(("?c", "inNation", "?n")),
       optional = Seq(("?o", "placedBy", "?c")))),
+    // SPARQL UNION with branch-local variables: order→nation via the
+    // customer branch OR the supplier branch — ?c is unbound (NULL) in
+    // the second branch and ?sp in the first (SPARQL 1.1 §18.5: solution
+    // domains need not agree); per-branch bag multiplicity preserved
+    "kg_bgp_union" -> ((s, d) => graft.core.Bgp.matchUnion(
+      TpchKg.load(s, d).edges, Seq(
+        Seq(("?o", "placedBy", "?c"), ("?c", "inNation", "?n")),
+        Seq(("?o", "suppliedBy", "?sp"), ("?sp", "inNation", "?n"))))),
+    // RDFS materialization (ρDF core): asserted types ∪ domain/range
+    // derivations ∪ the subClassOf closure, in ter Horst's one-pass
+    // stratification — broadcast joins only, one distinct exchange
+    "kg_entailed_types" -> ((s, d) =>
+      graft.core.Entailment.entailedTypes(TpchKg.load(s, d))),
+    // Newman modularity of the 4-round label-prop partition over the
+    // co-purchase projection, as exact integer moments
+    // (Q = intra/m − sum_comm_deg_sq/(4m²) strictly downstream)
+    "kg_modularity" -> ((s, d) => {
+      val und = graft.sample.GraphMetrics.cooccurrence(
+        TpchKg.load(s, d).edges, "contains")
+      graft.sample.GraphMetrics.modularityMoments(
+        und, graft.sample.LabelProp.run(und, rounds = 4))
+    }),
     // property path with every closure-free operator load-bearing:
     // ^contains (inverse) / (placedBy|suppliedBy) (alternation) /
     // inNation / inRegion (sequence) — part ↦ region of everyone touching
@@ -522,6 +544,55 @@ object KgQueries {
         |FROM edges a
         |LEFT JOIN edges b ON b.pred = 'placedBy' AND b.dst = a.src
         |WHERE a.pred = 'inNation'""".stripMargin),
+    "kg_bgp_union" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c, b.dst AS n, CAST(NULL AS VARCHAR) AS sp
+        |FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |WHERE a.pred = 'placedBy'
+        |UNION ALL
+        |SELECT a.src, CAST(NULL AS VARCHAR), b.dst, a.dst
+        |FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |WHERE a.pred = 'suppliedBy'""".stripMargin),
+    // RDFS closure replay: the TBox VALUES lists are generated from
+    // TpchKg.tbox's RAW (sub, sup)/domain/range declarations (same
+    // no-drift rule as tboxTriples) and the ⊑c closure is computed IN SQL
+    // as an idempotent 2-round unroll (hierarchy depth 1, 2× margin) — so
+    // the oracle checks the engine's driver-side closure independently
+    "kg_entailed_types" -> TpchKgSql.withKg(
+      s"""sc AS (SELECT * FROM (VALUES ${TpchKg.subClass.map { case (a, b) =>
+              s"('$a', '$b')" }.mkString(", ")}) AS t(sub, sup)),
+         |scc AS (SELECT sub, sup FROM sc
+         |  UNION SELECT x.sub, y.sup FROM sc x JOIN sc y ON x.sup = y.sub
+         |  UNION SELECT x.sub, z.sup FROM sc x JOIN sc y ON x.sup = y.sub
+         |    JOIN sc z ON y.sup = z.sub),
+         |pdom AS (SELECT * FROM (VALUES ${TpchKg.props.filter(p =>
+              p.kind == "object" && p.domain.nonEmpty).map(p =>
+              s"('${p.prop}', '${p.domain}')").mkString(", ")}) AS t(p, cls)),
+         |prng AS (SELECT * FROM (VALUES ${TpchKg.props.filter(p =>
+              p.kind == "object" && p.range.nonEmpty).map(p =>
+              s"('${p.prop}', '${p.range}')").mkString(", ")}) AS t(p, cls)),
+         |ddom AS (SELECT * FROM (VALUES ${TpchKg.props.filter(p =>
+              p.kind == "data" && p.domain.nonEmpty).map(p =>
+              s"('${p.prop}', '${p.domain}')").mkString(", ")}) AS t(p, cls)),
+         |raw AS MATERIALIZED (
+         |  SELECT node, cls FROM types
+         |  UNION SELECT e.src, d.cls FROM edges e JOIN pdom d ON e.pred = d.p
+         |  UNION SELECT e.dst, r.cls FROM edges e JOIN prng r ON e.pred = r.p
+         |  UNION SELECT a.node, d.cls FROM attrs a JOIN ddom d ON a.prop = d.p)
+         |SELECT node, cls FROM raw
+         |UNION SELECT raw.node, scc.sup AS cls FROM raw JOIN scc ON raw.cls = scc.sub""".stripMargin,
+      inCte = true),
+    "kg_modularity" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${lpaCtes(4)},
+         |mdeg AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS deg
+         |  FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und) t GROUP BY 1),
+         |cdg AS (SELECT l.lbl, SUM(d.deg) AS cd FROM mdeg d JOIN l4 l ON l.id = d.id GROUP BY 1)
+         |SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS m,
+         |       CAST((SELECT COUNT(*) FROM und e JOIN l4 a ON a.id = e.u
+         |             JOIN l4 b ON b.id = e.v WHERE a.lbl = b.lbl) AS BIGINT) AS intra,
+         |       CAST((SELECT SUM(cd * cd) FROM cdg) AS BIGINT) AS sum_comm_deg_sq""".stripMargin,
+      inCte = true),
     "kg_kcore" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${kcoreCtes(k = 80, rounds = 12)}

@@ -182,6 +182,31 @@ object GraphMetrics {
         sum(col("k") * col("k")).as("sum_kk"))
   }
 
+  /** Exact integer moments for the Newman modularity of a node partition
+    * (Newman & Girvan, "Finding and evaluating community structure in
+    * networks", PRE 69, 2004): over the undirected edge set and a
+    * `labels(id, lbl)` assignment (e.g. [[LabelProp.run]]'s output), emits
+    * one row (m, intra, sum_comm_deg_sq) where m = |E|, intra = edges with
+    * both endpoints in the same community, and sum_comm_deg_sq =
+    * Σ_c (Σ_{i∈c} deg i)². Q = intra/m − sum_comm_deg_sq/(4m²) is strictly
+    * downstream float arithmetic (same exact-integer gate philosophy as
+    * [[degreeMomentRow]]). Plan: two label joins on the edge endpoints +
+    * one degree-label join and two aggregates — every join keys on a node
+    * id, so at 100 TB they are plain shuffle-hash joins AQE sizes; no
+    * iteration, no window. */
+  def modularityMoments(und0: DataFrame, labels: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val lu = labels.select(col("id").as("u"), col("lbl").as("lu"))
+    val lv = labels.select(col("id").as("v"), col("lbl").as("lv"))
+    val intra = und.join(lu, Seq("u")).join(lv, Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
+    val commDegSq = degrees(und).join(labels, Seq("id"))
+      .groupBy("lbl").agg(sum(col("deg")).as("cd"))
+      .agg(sum(col("cd") * col("cd")).as("sum_comm_deg_sq"))
+    intra.crossJoin(commDegSq)
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k
     * (iterative peel — the distributed-round form of Batagelj & Zaveršnik's
     * algorithm; Seidman, "Network structure and minimum degree", Social

@@ -206,6 +206,13 @@ object ExplainAudit {
     // N-Triples: render and parse are both shuffle-free map stages
     show("ntriples_roundtrip")(graft.sources.NTriples.triples(
       graft.sources.NTriples.parse(graft.sources.NTriples.render(kb))))
+    // RDFS materialization: every TBox join must be a BroadcastHashJoin;
+    // the ONLY exchange is the final set-semantics aggregate on (node, cls)
+    show("entailed_types")(graft.core.Entailment.entailedTypes(kb))
+    // SPARQL UNION: zero-shuffle unionAll of the two branch BGPs
+    show("bgp_union")(graft.core.Bgp.matchUnion(kb.edges, Seq(
+      Seq(("?o", "placedBy", "?c"), ("?c", "inNation", "?n")),
+      Seq(("?o", "suppliedBy", "?sp"), ("?sp", "inNation", "?n")))))
     spark.stop()
   }
 }

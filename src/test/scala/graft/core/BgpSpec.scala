@@ -68,4 +68,23 @@ class BgpSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bgp.matchOptional(edges,
       Seq(("?x", "knows", "?y")), Seq(("?u", "likes", "?v"))))
   }
+
+  test("UNION: branch-local variables NULL-pad, bag multiplicity, column order") {
+    // { ?x knows ?y } UNION { ?x likes ?z }: y unbound in branch 2, z in
+    // branch 1; schema = union of vars in first-appearance order (x, y, z)
+    val u = Bgp.matchUnion(edges, Seq(
+      Seq(("?x", "knows", "?y")),
+      Seq(("?x", "likes", "?z"))))
+    assert(u.columns.toSeq === Seq("x", "y", "z"))
+    val got = u.collect().map(r => (r.getString(0),
+      Option(r.getString(1)).getOrElse("∅"),
+      Option(r.getString(2)).getOrElse("∅"))).toList.sorted
+    assert(got === List(
+      ("a", "b", "∅"), ("a", "c", "∅"), ("b", "c", "∅"),
+      ("c", "∅", "a"), ("c", "∅", "c"), ("d", "d", "∅")))
+    // bag semantics: identical branches double every solution
+    assert(Bgp.matchUnion(edges, Seq(
+      Seq(("?x", "likes", "?z")), Seq(("?x", "likes", "?z")))).count() === 4L)
+    intercept[IllegalArgumentException](Bgp.matchUnion(edges, Nil))
+  }
 }

@@ -123,6 +123,23 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.assortativity(g) == 0.0)
   }
 
+  test("modularity moments: two bridged triangles by hand; one-community Q = 0") {
+    // triangles {a,b,c} and {d,e,f} bridged by (c,d): m = 7, the natural
+    // 2-community split keeps 6 intra edges; per-community degree sums are
+    // 7 and 7 → Q = 6/7 − 98/196 = 5/14
+    val g = und(("a","b"),("b","c"),("a","c"),("d","e"),("e","f"),("d","f"),("c","d"))
+    val lbl = Seq("a" -> "1", "b" -> "1", "c" -> "1",
+      "d" -> "2", "e" -> "2", "f" -> "2").toDF("id", "lbl")
+    val r = GraphMetrics.modularityMoments(g, lbl).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 6L, 98L)))
+    assert(math.abs((6.0 / 7 - 98.0 / (4 * 49)) - 5.0 / 14) < 1e-12)
+    // everything in one community: intra = m and sum_comm_deg_sq = (2m)²,
+    // so Q = 1 − 1 = 0 — the standard degenerate-partition check
+    val one = GraphMetrics.modularityMoments(g,
+      Seq("a", "b", "c", "d", "e", "f").map(_ -> "x").toDF("id", "lbl")).collect()(0)
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) == ((7L, 7L, 196L)))
+  }
+
   test("k-core: chain peels away, K4 survives as its own 3-core, cascade works") {
     // K4 on a..d plus a pendant chain d-e-f: 3-core = K4 exactly; the
     // chain must cascade (f drops, THEN e drops)
