@@ -113,6 +113,14 @@ object KgQueries {
     "kg_kcore" -> ((s, d) => graft.sample.GraphMetrics.kCore(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
       k = 80)),
+    // 6-truss of the projection — the edge-strength companion of kg_kcore
+    // (TrussProbe: 6 peel rounds at sf0.01 / 7 at sf0.1 with non-trivial
+    // survivors, 114170 of 115729 edges at sf0.01); the oracle replays
+    // each round's triangle enumeration + support filter, unrolled with
+    // margin over the measured depth
+    "kg_ktruss" -> ((s, d) => graft.sample.GraphMetrics.kTruss(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
+      k = 6)),
     // connected components of the projection — at sf0.01 the edge set is
     // above the driver gate, so this row oracles the DISTRIBUTED
     // alternating-star path directly (the oracle replays the star rounds;
@@ -333,6 +341,41 @@ object KgQueries {
          |    AND EXISTS (SELECT 1 FROM kd$i b WHERE b.id = e.v))""".stripMargin
     }.mkString(",\n")
     s"""k0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of the k-truss peel, fixed `rounds` unroll (idempotent
+    * at fixpoint — same argument as [[kcoreCtes]]): each round recomputes
+    * the degree orientation + wedge-close triangle enumeration of the
+    * SURVIVING edge set (the [[triCtes]] shape, re-derived per round
+    * because orientation depends on current degrees), aggregates per-edge
+    * triangle support over the three canonical edge pairs of each
+    * triangle, and keeps edges with support ≥ k−2; an edge in no triangle
+    * has no support row and drops implicitly — exactly
+    * GraphMetrics.kTrussPeel's round op. */
+  private def ktrussCtes(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""xd$i AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS deg
+         |  FROM (SELECT u AS id FROM x${i - 1} UNION ALL SELECT v FROM x${i - 1}) t GROUP BY 1),
+         |xo$i AS MATERIALIZED (
+         |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) THEN e.v ELSE e.u END AS b,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) THEN dv.deg ELSE du.deg END AS bd
+         |  FROM x${i - 1} e JOIN xd$i du ON du.id = e.u JOIN xd$i dv ON dv.id = e.v),
+         |xt$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM xo$i e1
+         |  JOIN xo$i e2 ON e1.a = e2.a AND (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+         |  JOIN xo$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |x$i AS MATERIALIZED (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+         |    SELECT least(x, y) AS u, greatest(x, y) AS v FROM xt$i
+         |    UNION ALL SELECT least(x, z), greatest(x, z) FROM xt$i
+         |    UNION ALL SELECT least(y, z), greatest(y, z) FROM xt$i) p
+         |  GROUP BY u, v HAVING COUNT(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""x0 AS MATERIALIZED (SELECT u, v FROM und),
        |$roundCtes""".stripMargin
   }
 
@@ -600,6 +643,10 @@ object KgQueries {
          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          |    SELECT u AS id FROM k12 UNION ALL SELECT v FROM k12) t GROUP BY id) d
          |WHERE deg >= 80""".stripMargin, inCte = true),
+    "kg_ktruss" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${ktrussCtes(k = 6, rounds = 10)}
+         |SELECT u, v, sup FROM x10""".stripMargin, inCte = true),
     "kg_assortativity" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS pairs,

@@ -207,6 +207,52 @@ object GraphMetrics {
     intra.crossJoin(commDegSq)
   }
 
+  /** k-truss: the maximal subgraph in which every edge closes at least
+    * k−2 triangles (Cohen, "Trusses: cohesive subgraphs for social
+    * network analysis", 2008) — the edge-strength analogue of [[kCore]]
+    * (every k-truss is inside the (k−1)-core, but survives hub-chained
+    * noise the core keeps). Iterative peel: each round is ONE triangle
+    * enumeration ([[triangleRows]]'s orientation + wedge-close joins), a
+    * support aggregate keyed on the canonical (u, v) edge, and the
+    * threshold filter; an edge in no triangle has no support row and
+    * drops implicitly. Converged when no edge dropped — the round op is
+    * idempotent at the fixpoint, so the oracle replays it as a fixed
+    * unroll. Rounds are O(peel depth); each is the triangle-count plan
+    * (the 100-TB refinement — recount only edges whose triangles were
+    * touched — changes the constant, not the shape). Returns the
+    * surviving edges with their in-truss support `(u, v, sup)`. */
+  def kTruss(und0: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
+    kTrussPeel(und0, k, maxRounds)._1
+
+  /** [[kTruss]] plus the converged round count — the probe/evidence
+    * surface the oracle's fixed unroll depth is calibrated from. */
+  private[graft] def kTrussPeel(und0: DataFrame, k: Int,
+                                maxRounds: Int = 100): (DataFrame, Int) = {
+    require(k >= 3, s"k=$k")
+    var und = und0.select(col("u"), col("v")).localCheckpoint(true)
+    var n = und.count()
+    var rounds = 0
+    var sup = und.withColumn("sup", lit(0L)).limit(0)
+    var done = n == 0L
+    while (!done) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(s"k-truss peel not converged after $maxRounds rounds")
+      val tri = triangleRows(und)
+      val triEdges = tri
+        .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+        .unionAll(tri.select(least(col("x"), col("z")).as("u"), greatest(col("x"), col("z")).as("v")))
+        .unionAll(tri.select(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))
+      sup = triEdges.groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2).localCheckpoint(true)
+      val m = sup.count()
+      done = m == n
+      n = m
+      und = sup.select(col("u"), col("v"))
+    }
+    (sup, rounds)
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k
     * (iterative peel — the distributed-round form of Batagelj & Zaveršnik's
     * algorithm; Seidman, "Network structure and minimum degree", Social

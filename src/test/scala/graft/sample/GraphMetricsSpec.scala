@@ -140,6 +140,30 @@ class GraphMetricsSpec extends SparkSpec {
     assert((one.getLong(0), one.getLong(1), one.getLong(2)) == ((7L, 7L, 196L)))
   }
 
+  test("k-truss: pendant drops, shared-edge cascade empties, K4 survives") {
+    // triangle {a,b,c} + pendant (c,d): 3-truss keeps exactly the triangle
+    // (every edge sup 1), the pendant has no support row and drops
+    val g1 = und(("a","b"),("b","c"),("a","c"),("c","d"))
+    val t3 = GraphMetrics.kTruss(g1, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(t3 === Set(("a","b",1L), ("a","c",1L), ("b","c",1L)))
+    // two triangles sharing (b,c): the shared edge starts at sup 2 but its
+    // support lives on sup-1 edges — the 4-truss peel must CASCADE to empty
+    val g2 = und(("a","b"),("b","c"),("a","c"),("b","d"),("c","d"))
+    assert(GraphMetrics.kTruss(g2, 4).count() === 0L)
+    // K4 + triangle {c,d,e} hanging off it: 4-truss peels the appendage
+    // (sup-1 edges) and keeps exactly K4 with every edge at sup 2
+    val g3 = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("c","e"),("d","e"))
+    val t4 = GraphMetrics.kTruss(g3, 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(t4 === Set(("a","b",2L), ("a","c",2L), ("a","d",2L),
+      ("b","c",2L), ("b","d",2L), ("c","d",2L)))
+    // k above anything present → empty; empty input → empty
+    assert(GraphMetrics.kTruss(g3, 5).count() === 0L)
+    assert(GraphMetrics.kTruss(g3.limit(0), 3).count() === 0L)
+  }
+
   test("k-core: chain peels away, K4 survives as its own 3-core, cascade works") {
     // K4 on a..d plus a pendant chain d-e-f: 3-core = K4 exactly; the
     // chain must cascade (f drops, THEN e drops)
