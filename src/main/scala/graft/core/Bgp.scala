@@ -79,6 +79,67 @@ object Bgp {
         .map(col).toSeq: _*)
   }
 
+  /** SPARQL MINUS (SPARQL 1.1 §18.5, Minus(Ω1, Ω2)): keep the left
+    * solutions with no compatible right solution SHARING at least one
+    * variable. BGP solutions bind every variable of their pattern, so
+    * compatibility on the shared variables is plain equality and MINUS
+    * is exactly one LEFT ANTI equi-join on them; when the patterns share
+    * NO variable, dom(μ1) ∩ dom(μ2) = ∅ makes every pair vacuously
+    * disjoint and MINUS removes NOTHING — the spec's deliberate
+    * asymmetry against [[matchNotExists]], preserved here. Plan: both
+    * BGPs keep their own pushdown/join shapes; the anti join shuffles
+    * only the shared-variable key (the right side is projected to the
+    * key before the exchange) and AQE sizes it like any other join. */
+  def matchMinus(edges: DataFrame,
+                 left: Seq[(String, String, String)],
+                 right: Seq[(String, String, String)]): DataFrame = {
+    val l = matchPattern(edges, left)
+    val r = matchPattern(edges, right)
+    val shared = l.columns.filter(r.columns.contains).toSeq
+    if (shared.isEmpty) l
+    else l.join(r.select(shared.map(col): _*), shared, "left_anti")
+      .select(l.columns.map(col).toSeq: _*) // using-join reorders keys first
+  }
+
+  /** SPARQL FILTER NOT EXISTS (SPARQL 1.1 §8.1.1 / §18.6): keep the left
+    * solutions under which the inner pattern, with the solution's
+    * bindings substituted, has no match. With shared variables the
+    * substitution is equality on them — the same anti equi-join as
+    * [[matchMinus]]; with NO shared variable the inner pattern's
+    * matches are binding-independent, so one inner match eliminates
+    * EVERY left row (where MINUS would keep them all). That branch stays
+    * in-plan as an anti join against `limit(1)` of the inner solutions —
+    * a 1-row broadcast, not a driver-side emptiness collect. */
+  def matchNotExists(edges: DataFrame,
+                     left: Seq[(String, String, String)],
+                     inner: Seq[(String, String, String)]): DataFrame = {
+    val l = matchPattern(edges, left)
+    val r = matchPattern(edges, inner)
+    val shared = l.columns.filter(r.columns.contains).toSeq
+    if (shared.nonEmpty)
+      l.join(r.select(shared.map(col): _*), shared, "left_anti")
+        .select(l.columns.map(col).toSeq: _*)
+    else l.join(r.limit(1).select(lit(1).as("__m")), lit(true), "left_anti")
+  }
+
+  /** SPARQL FILTER EXISTS — [[matchNotExists]]'s positive dual: keep the
+    * left solutions under which the inner pattern has at least one match.
+    * Shared variables ⇒ one LEFT SEMI equi-join (left multiplicity
+    * preserved, inner multiplicity ignored — exactly EXISTS semantics);
+    * no shared variable ⇒ any inner match keeps every row, in-plan via a
+    * 1-row semi join. */
+  def matchExists(edges: DataFrame,
+                  left: Seq[(String, String, String)],
+                  inner: Seq[(String, String, String)]): DataFrame = {
+    val l = matchPattern(edges, left)
+    val r = matchPattern(edges, inner)
+    val shared = l.columns.filter(r.columns.contains).toSeq
+    if (shared.nonEmpty)
+      l.join(r.select(shared.map(col): _*), shared, "left_semi")
+        .select(l.columns.map(col).toSeq: _*)
+    else l.join(r.limit(1).select(lit(1).as("__m")), lit(true), "left_semi")
+  }
+
   /** SPARQL UNION: the bag union of the branch solution sequences under a
     * shared schema — the union of all branch variables in first-appearance
     * order, a variable unbound in a branch coming back NULL in that

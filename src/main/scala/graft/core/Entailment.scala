@@ -104,4 +104,68 @@ object Entailment {
       }
     withSup.distinct()
   }
+
+  /** OWL-RL property-semantics closure of the EDGE table — the companion
+    * of [[entailedTypes]] for object assertions, covering the
+    * instance-data rules whose closure needs NO instance-level fixpoint
+    * under a static driver-scale schema (W3C OWL 2 RL/RDF, table 5):
+    *
+    *   - prp-symp       p symmetric:       (s, p, o) ⟹ (o, p, s)
+    *   - prp-inv1/2     p owl:inverseOf q: (s, p, o) ⟺ (o, q, s)
+    *   - prp-spo1       p ⊑ q:             (s, p, o) ⟹ (s, q, o)
+    *
+    * Stratified symmetric → inverse → ⊑p (each rule group fires on the
+    * previous stratum's output), which IS the fixpoint as long as no
+    * DERIVED predicate — a ⊑-superproperty or an inverse target — itself
+    * carries a symmetric/inverse axiom; that precondition is validated
+    * up front so a schema needing true iteration fails LOUDLY instead of
+    * under-deriving. (prp-trp, transitivity, is deliberately out: it IS
+    * an instance-level fixpoint — `Paths.closureFrom` is the bounded
+    * form we offer.) Plan: unions of projections of ONE edge scan with
+    * driver-broadcast axiom tables, a single distinct exchange for set
+    * semantics — the same no-iteration 100-TB shape as entailedTypes. */
+  def entailedEdges(edges0: DataFrame,
+                    subPropertyOf: Seq[(String, String)] = Nil,
+                    inverseOf: Seq[(String, String)] = Nil,
+                    symmetric: Seq[String] = Nil): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val spClo = closure(subPropertyOf)
+    val superProps = spClo.map(_._2).toSet
+    val invPreds = inverseOf.flatMap(p => Seq(p._1, p._2))
+    // one-pass soundness: a predicate DERIVABLE by a later stratum must
+    // not re-trigger an earlier rule group — no symmetric pred touching
+    // an inverse axiom or derivable by ⊑, no ⊑-superproperty in an
+    // inverse axiom, no predicate in two distinct inverse pairs
+    val recursing =
+      (superProps ++ invPreds).intersect(symmetric.toSet) ++
+        superProps.intersect(invPreds.toSet) ++
+        invPreds.groupBy(identity).collect { case (p, xs) if xs.size > 1 => p }
+    require(recursing.isEmpty,
+      s"predicates ${recursing.toSeq.sorted} make the stratified one-pass " +
+        "closure incomplete — this schema needs an iterative closure")
+
+    val e0 = edges0.select(col("src"), col("pred"), col("dst"))
+    val sym =
+      if (symmetric.isEmpty) e0
+      else e0.unionAll(e0
+        .join(broadcast(symmetric.toDF("p")), e0("pred") === col("p"), "left_semi")
+        .select(col("dst").as("src"), col("pred"), col("src").as("dst")))
+    val inv =
+      if (inverseOf.isEmpty) sym
+      else {
+        val both = inverseOf ++ inverseOf.map(_.swap)
+        val iv = broadcast(both.toDF("p", "q"))
+        sym.unionAll(sym.join(iv, sym("pred") === iv("p"))
+          .select(col("dst").as("src"), col("q").as("pred"), col("src").as("dst")))
+      }
+    val sup =
+      if (spClo.isEmpty) inv
+      else {
+        val sp = broadcast(spClo.toDF("p", "q"))
+        inv.unionAll(inv.join(sp, inv("pred") === sp("p"))
+          .select(col("src"), col("q").as("pred"), col("dst")))
+      }
+    sup.distinct()
+  }
 }

@@ -167,11 +167,41 @@ object KgQueries {
       TpchKg.load(s, d).edges, Seq(
         Seq(("?o", "placedBy", "?c"), ("?c", "inNation", "?n")),
         Seq(("?o", "suppliedBy", "?sp"), ("?sp", "inNation", "?n"))))),
+    // SPARQL MINUS: customers-with-nation minus customers who placed an
+    // order — the NULL-free complement of kg_bgp_optional's unmatched
+    // rows; one anti equi-join on the shared ?c
+    "kg_bgp_minus" -> ((s, d) => graft.core.Bgp.matchMinus(
+      TpchKg.load(s, d).edges,
+      left = Seq(("?c", "inNation", "?n")),
+      right = Seq(("?o", "placedBy", "?c")))),
+    // SPARQL FILTER NOT EXISTS with a two-atom inner pattern: orders with
+    // no supplier from nation n:3 (the inner BGP keeps its own join shape
+    // under the anti join); the no-shared-variable asymmetry vs MINUS is
+    // spec-gated in BgpSpec
+    "kg_bgp_notexists" -> ((s, d) => graft.core.Bgp.matchNotExists(
+      TpchKg.load(s, d).edges,
+      left = Seq(("?o", "placedBy", "?c")),
+      inner = Seq(("?o", "suppliedBy", "?s"), ("?s", "inNation", "n:3")))),
+    // SPARQL FILTER EXISTS — the positive dual on the same patterns as
+    // kg_bgp_notexists (the two gates partition the placedBy rows; the
+    // semi join must ignore inner multiplicity, which this pins)
+    "kg_bgp_exists" -> ((s, d) => graft.core.Bgp.matchExists(
+      TpchKg.load(s, d).edges,
+      left = Seq(("?o", "placedBy", "?c")),
+      inner = Seq(("?o", "suppliedBy", "?s"), ("?s", "inNation", "n:3")))),
     // RDFS materialization (ρDF core): asserted types ∪ domain/range
     // derivations ∪ the subClassOf closure, in ter Horst's one-pass
     // stratification — broadcast joins only, one distinct exchange
     "kg_entailed_types" -> ((s, d) =>
       graft.core.Entailment.entailedTypes(TpchKg.load(s, d))),
+    // OWL-RL property closure of the edge table (prp-inv1/2 + prp-spo1;
+    // prp-symp unit-gated): contains gains its inverse partOf, and
+    // placedBy/suppliedBy roll up to their common superproperty involves
+    // — unions of one scan with broadcast axiom tables + one distinct
+    "kg_entailed_edges" -> ((s, d) => graft.core.Entailment.entailedEdges(
+      TpchKg.load(s, d).edges,
+      subPropertyOf = Seq(("placedBy", "involves"), ("suppliedBy", "involves")),
+      inverseOf = Seq(("contains", "partOf")))),
     // Newman modularity of the 4-round label-prop partition over the
     // co-purchase projection, as exact integer moments
     // (Q = intra/m − sum_comm_deg_sq/(4m²) strictly downstream)
@@ -587,6 +617,28 @@ object KgQueries {
         |FROM edges a
         |LEFT JOIN edges b ON b.pred = 'placedBy' AND b.dst = a.src
         |WHERE a.pred = 'inNation'""".stripMargin),
+    "kg_bgp_minus" -> TpchKgSql.withKg(
+      """SELECT a.src AS c, a.dst AS n
+        |FROM edges a
+        |WHERE a.pred = 'inNation'
+        |  AND NOT EXISTS (SELECT 1 FROM edges b
+        |                  WHERE b.pred = 'placedBy' AND b.dst = a.src)""".stripMargin),
+    "kg_bgp_notexists" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c
+        |FROM edges a
+        |WHERE a.pred = 'placedBy'
+        |  AND NOT EXISTS (SELECT 1 FROM edges d
+        |                  JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst
+        |                              AND e.dst = 'n:3'
+        |                  WHERE d.pred = 'suppliedBy' AND d.src = a.src)""".stripMargin),
+    "kg_bgp_exists" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c
+        |FROM edges a
+        |WHERE a.pred = 'placedBy'
+        |  AND EXISTS (SELECT 1 FROM edges d
+        |              JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst
+        |                          AND e.dst = 'n:3'
+        |              WHERE d.pred = 'suppliedBy' AND d.src = a.src)""".stripMargin),
     "kg_bgp_union" -> TpchKgSql.withKg(
       """SELECT a.src AS o, a.dst AS c, b.dst AS n, CAST(NULL AS VARCHAR) AS sp
         |FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
@@ -647,6 +699,13 @@ object KgQueries {
       s"""$projCtes,
          |${ktrussCtes(k = 6, rounds = 10)}
          |SELECT u, v, sup FROM x10""".stripMargin, inCte = true),
+    "kg_entailed_edges" -> TpchKgSql.withKg(
+      """SELECT DISTINCT src, pred, dst FROM (
+        |  SELECT src, pred, dst FROM edges
+        |  UNION ALL SELECT dst AS src, 'partOf' AS pred, src AS dst
+        |    FROM edges WHERE pred = 'contains'
+        |  UNION ALL SELECT src, 'involves' AS pred, dst
+        |    FROM edges WHERE pred IN ('placedBy', 'suppliedBy')) t""".stripMargin),
     "kg_assortativity" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS pairs,

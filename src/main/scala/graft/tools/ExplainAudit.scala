@@ -213,6 +213,16 @@ object ExplainAudit {
     show("bgp_union")(graft.core.Bgp.matchUnion(kb.edges, Seq(
       Seq(("?o", "placedBy", "?c"), ("?c", "inNation", "?n")),
       Seq(("?o", "suppliedBy", "?sp"), ("?sp", "inNation", "?n")))))
+    // SPARQL negation: ONE anti join keyed on the shared variable; the
+    // inner BGP keeps its own join shape under it
+    show("bgp_notexists")(graft.core.Bgp.matchNotExists(kb.edges,
+      Seq(("?o", "placedBy", "?c")),
+      Seq(("?o", "suppliedBy", "?s"), ("?s", "inNation", "n:3"))))
+    // OWL-RL edge closure: broadcast axiom joins only; the single
+    // exchange is the set-semantics distinct
+    show("entailed_edges")(graft.core.Entailment.entailedEdges(kb.edges,
+      subPropertyOf = Seq(("placedBy", "involves"), ("suppliedBy", "involves")),
+      inverseOf = Seq(("contains", "partOf"))))
     spark.stop()
   }
 }

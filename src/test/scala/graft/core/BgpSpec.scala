@@ -87,4 +87,52 @@ class BgpSpec extends SparkSpec {
       Seq(("?x", "likes", "?z")), Seq(("?x", "likes", "?z")))).count() === 4L)
     intercept[IllegalArgumentException](Bgp.matchUnion(edges, Nil))
   }
+
+  test("MINUS: shared-variable anti join, bag multiplicity, disjoint domains remove nothing") {
+    // ?x knows ?y MINUS { ?x likes ?z }: only c likes → no knows-row has
+    // src c, so nothing drops via x... use ?y shared instead:
+    // ?x knows ?y MINUS { ?y likes ?z } drops every row whose y likes
+    val got = Bgp.matchMinus(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?y", "likes", "?z")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(got === List(("a", "b"), ("d", "d"))) // (a,c)/(b,c) drop: c likes
+    // bag multiplicity: duplicate left rows survive in duplicate
+    val dup = edges.unionAll(edges)
+    assert(Bgp.matchMinus(dup,
+      Seq(("?x", "knows", "?y")), Seq(("?y", "likes", "?z"))).count() === 4L)
+    // SPARQL 1.1 §18.5 asymmetry: NO shared variable → every pair is
+    // vacuously disjoint-compatible and MINUS removes NOTHING
+    assert(Bgp.matchMinus(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?u", "likes", "?v"))).count() === 4L)
+  }
+
+  test("NOT EXISTS: same anti join when shared; nonempty disconnected inner removes ALL") {
+    val got = Bgp.matchNotExists(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?y", "likes", "?z")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(got === List(("a", "b"), ("d", "d")))
+    // disconnected inner WITH matches: every left row eliminated (the
+    // asymmetry vs MINUS above, on the identical patterns)
+    assert(Bgp.matchNotExists(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?u", "likes", "?v"))).count() === 0L)
+    // disconnected inner with NO matches: everything kept
+    assert(Bgp.matchNotExists(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?u", "hates", "?v"))).count() === 4L)
+  }
+
+  test("EXISTS: semi join ignores inner multiplicity and complements NOT EXISTS") {
+    // (a,c)/(b,c) each have TWO inner matches (c likes a, c likes c) but
+    // EXISTS keeps left multiplicity exactly — 2 rows, not 4
+    val got = Bgp.matchExists(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?y", "likes", "?z")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(got === List(("a", "c"), ("b", "c")))
+    // EXISTS + NOT EXISTS partition the left solutions, shared or not
+    for (inner <- Seq(Seq(("?y", "likes", "?z")), Seq(("?u", "likes", "?v")),
+                      Seq(("?u", "hates", "?v")))) {
+      val left = Seq(("?x", "knows", "?y"))
+      assert(Bgp.matchExists(edges, left, inner).count() +
+        Bgp.matchNotExists(edges, left, inner).count() === 4L)
+    }
+  }
 }

@@ -64,4 +64,43 @@ class EntailmentSpec extends SparkSpec {
       props = Seq(PropMeta("p", "object", "", ""))))
     assert(typeSet(Entailment.entailedTypes(bare)) === Set("n4" -> "A"))
   }
+
+  test("entailedEdges: symmetric → inverse → subProp strata, each hand-traced") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "near", "b"), ("b", "owns", "c"), ("d", "ownedBy", "e"))
+      .toDF("src", "pred", "dst")
+    val got = Entailment.entailedEdges(edges,
+      subPropertyOf = Seq(("owns", "controls")),
+      inverseOf = Seq(("owns", "ownedBy")),
+      symmetric = Seq("near"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("a", "near", "b"), ("b", "near", "a"),            // prp-symp
+      ("b", "owns", "c"), ("c", "ownedBy", "b"),         // prp-inv1
+      ("d", "ownedBy", "e"), ("e", "owns", "d"),         // prp-inv2
+      ("b", "controls", "c"), ("e", "controls", "d")))   // prp-spo1, incl. on inverse-derived
+    // idempotent at the fixpoint; set semantics dedupe re-derivations
+    assert(Entailment.entailedEdges(got.toSeq.toDF("src", "pred", "dst"),
+      Seq(("owns", "controls")), Seq(("owns", "ownedBy")), Seq("near"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet === got)
+  }
+
+  test("entailedEdges: schemas needing iteration are rejected up front") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "p", "b")).toDF("src", "pred", "dst")
+    // symmetric superproperty: p ⊑ q with q symmetric
+    intercept[IllegalArgumentException](Entailment.entailedEdges(edges,
+      subPropertyOf = Seq(("p", "q")), symmetric = Seq("q")))
+    // inverse of a superproperty
+    intercept[IllegalArgumentException](Entailment.entailedEdges(edges,
+      subPropertyOf = Seq(("p", "q")), inverseOf = Seq(("q", "r"))))
+    // chained inverse pairs sharing a predicate
+    intercept[IllegalArgumentException](Entailment.entailedEdges(edges,
+      inverseOf = Seq(("p", "q"), ("q", "r"))))
+    // symmetric pred inside an inverse axiom
+    intercept[IllegalArgumentException](Entailment.entailedEdges(edges,
+      inverseOf = Seq(("p", "q")), symmetric = Seq("p")))
+  }
 }
