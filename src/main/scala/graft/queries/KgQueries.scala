@@ -194,6 +194,17 @@ object KgQueries {
     // stratification — broadcast joins only, one distinct exchange
     "kg_entailed_types" -> ((s, d) =>
       graft.core.Entailment.entailedTypes(TpchKg.load(s, d))),
+    // DOULION sampled triangle moments at keep ≈ 1/4 (threshold hex
+    // 400000000000 over the 48-bit md5 draw — replayed verbatim by the
+    // oracle): the approximate scale path next to kg_tri_counts' exact one
+    "kg_tri_sampled" -> ((s, d) => graft.sample.GraphMetrics.sampledTriangleMoments(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
+      keepBelowHex = "400000000000")),
+    // Luby maximal independent set on the projection (MisProbe: 7 rounds
+    // at sf0.01 AND sf0.1; oracle unrolls 12 — empty rounds past the
+    // fixpoint are no-ops, a deeper engine run mismatches loudly)
+    "kg_mis" -> ((s, d) => graft.sample.GraphMetrics.maximalIndependentSet(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"))),
     // OWL-RL property closure of the edge table (prp-inv1/2 + prp-spo1;
     // prp-symp unit-gated): contains gains its inverse partOf, and
     // placedBy/suppliedBy roll up to their common superproperty involves
@@ -407,6 +418,43 @@ object KgQueries {
     }.mkString(",\n")
     s"""x0 AS MATERIALIZED (SELECT u, v FROM und),
        |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of the Luby MIS rounds, fixed `rounds` unroll (safe
+    * past the fixpoint: an empty active set yields empty winner sets, so
+    * extra rounds are no-ops; a deeper-than-R engine run mismatches
+    * loudly). Priorities are md5(seed|id) with the id appended — the
+    * same collision-proof total order the engine uses. */
+  private def misCtes(seed: Long, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""msym$i AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM me${i - 1} UNION ALL SELECT v AS a, u AS b FROM me${i - 1}),
+         |mnm$i AS MATERIALIZED (
+         |  SELECT s.a AS id, MIN(p.prio) AS nmin
+         |  FROM msym$i s JOIN ma${i - 1} p ON p.id = s.b GROUP BY s.a),
+         |mw$i AS MATERIALIZED (
+         |  SELECT a.id, $i AS mis_round FROM ma${i - 1} a
+         |  LEFT JOIN mnm$i n ON n.id = a.id
+         |  WHERE n.nmin IS NULL OR a.prio < n.nmin),
+         |mc$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.b AS id FROM msym$i s JOIN mw$i w ON w.id = s.a),
+         |ma$i AS MATERIALIZED (
+         |  SELECT a.id, a.prio FROM ma${i - 1} a
+         |  WHERE NOT EXISTS (SELECT 1 FROM mw$i w WHERE w.id = a.id)
+         |    AND NOT EXISTS (SELECT 1 FROM mc$i c WHERE c.id = a.id)),
+         |me$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM me${i - 1} e
+         |  WHERE EXISTS (SELECT 1 FROM ma$i x WHERE x.id = e.u)
+         |    AND EXISTS (SELECT 1 FROM ma$i y WHERE y.id = e.v))""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to rounds).map(i => s"SELECT id, mis_round FROM mw$i")
+      .mkString("\n  UNION ALL ")
+    s"""ma0 AS MATERIALIZED (
+       |  SELECT id, md5('$seed|' || id) || id AS prio FROM (
+       |    SELECT u AS id FROM und UNION SELECT v FROM und) t),
+       |me0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$roundCtes,
+       |misw AS ($winners)""".stripMargin
   }
 
   /** DuckDB mirror of GraphMetrics.undirected over the contains edges —
@@ -699,6 +747,31 @@ object KgQueries {
       s"""$projCtes,
          |${ktrussCtes(k = 6, rounds = 10)}
          |SELECT u, v, sup FROM x10""".stripMargin, inCte = true),
+    "kg_tri_sampled" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |kept AS MATERIALIZED (
+         |  SELECT u, v FROM und
+         |  WHERE substr(md5('23|' || u || '|' || v), 1, 12) < '400000000000'),
+         |kdeg AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS deg
+         |  FROM (SELECT u AS id FROM kept UNION ALL SELECT v FROM kept) t GROUP BY 1),
+         |kore AS MATERIALIZED (
+         |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND k.u < k.v) THEN k.u ELSE k.v END AS a,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND k.u < k.v) THEN k.v ELSE k.u END AS b,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND k.u < k.v) THEN dv.deg ELSE du.deg END AS bd
+         |  FROM kept k JOIN kdeg du ON du.id = k.u JOIN kdeg dv ON dv.id = k.v),
+         |ktri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM kore e1
+         |  JOIN kore e2 ON e1.a = e2.a AND (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+         |  JOIN kore e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS kept_edges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ktri) AS tri_sampled""".stripMargin,
+      inCte = true),
+    "kg_mis" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${misCtes(seed = 11L, rounds = 12)}
+         |SELECT id, mis_round FROM misw""".stripMargin, inCte = true),
     "kg_entailed_edges" -> TpchKgSql.withKg(
       """SELECT DISTINCT src, pred, dst FROM (
         |  SELECT src, pred, dst FROM edges

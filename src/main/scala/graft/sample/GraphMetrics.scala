@@ -141,6 +141,89 @@ object GraphMetrics {
         (col("tri_cnt") * lit(2.0) / (col("deg") * (col("deg") - 1))).as("cc"))
   }
 
+  /** DOULION sampled triangle moments (Tsourakakis et al., KDD 2009) — the
+    * 100-TB approximate path next to the exact [[globalMetrics]]: keep an
+    * edge iff the first 12 md5 hex chars of (seed|u|v) compare below
+    * `keepBelowHex` (lexicographic on hex = numeric on the 48-bit draw, so
+    * keep probability p = keepBelowHex/16^12 — portable to the oracle
+    * verbatim, no libm), then count triangles of the sparsified graph.
+    * Returns ONE row of exact integers `(kept_edges, tri_sampled)`; the
+    * estimator T̂ = tri_sampled/p³ (unbiased, loc. cit. §3) is the
+    * caller's one float, strictly downstream. The sample never
+    * materializes off-plan: the filter is codegen on the scan feeding the
+    * same degree-oriented wedge-close join as the exact count, so cost
+    * scales with p²·|E| wedges instead of |E| — at web scale run p ≈ 0.1
+    * for a ~100× wedge-work cut at ~1% relative error on 10⁹+ triangles. */
+  def sampledTriangleMoments(und0: DataFrame, keepBelowHex: String,
+                             seed: Long = 23L): DataFrame = {
+    require(keepBelowHex.length == 12, s"need 12 hex chars, got '$keepBelowHex'")
+    val kept = und0.filter(
+      substring(md5(concat_ws("|", lit(seed.toString), col("u"), col("v"))), 1, 12)
+        < lit(keepBelowHex)).localCheckpoint(true)
+    triangleRows(kept).agg(count(lit(1)).as("tri_sampled"))
+      .crossJoin(kept.agg(count(lit(1)).as("kept_edges")))
+      .select(col("kept_edges"), col("tri_sampled"))
+  }
+
+  /** Maximal independent set via Luby-style deterministic-priority rounds
+    * (Luby, SIAM J. Comput. 1986, the priority variant): each node's
+    * priority is the md5 of (seed|id) with the id appended — a total
+    * order even under digest collision — and a round admits every still-
+    * active node whose priority is a strict local minimum among its
+    * ACTIVE neighbors, then retires winners and their neighbors. O(log n)
+    * rounds w.h.p.; each round is one neighbor-min aggregate plus
+    * semi/anti prunes of the (checkpointed) active tables — no global
+    * sort, no driver data. Returns `(id, mis_round)` for the members;
+    * independence and maximality are structural (every admitted node
+    * beat all active neighbors; every retired non-member lost to an
+    * admitted neighbor). Nodes = edge endpoints (isolated nodes are
+    * trivially in any MIS — add them downstream if the caller tracks
+    * them). Raises past maxRounds instead of truncating. */
+  def maximalIndependentSet(und0: DataFrame, seed: Long = 11L,
+                            maxRounds: Int = 40): DataFrame = {
+    val spark = und0.sparkSession
+    var edges = und0.select(col("u"), col("v")).localCheckpoint(true)
+    var active = edges.select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
+      .distinct()
+      .withColumn("prio",
+        concat(md5(concat_ws("|", lit(seed.toString), col("id"))), col("id")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var round = 0
+    var remaining = active.count()
+    while (remaining > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(s"MIS not converged after $maxRounds rounds")
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val nbrMin = sym
+        .join(active.select(col("id").as("b"), col("prio").as("bp")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bp")).as("nmin"))
+      val winners = active.join(nbrMin, Seq("id"), "left_outer")
+        .filter(col("nmin").isNull || col("prio") < col("nmin"))
+        .select(col("id"), lit(round).as("mis_round")).localCheckpoint(true)
+      val covered = sym.join(winners.select(col("id").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("id")).distinct()
+      val retired = winners.select(col("id")).unionAll(covered).distinct()
+      active = active.join(retired, Seq("id"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(active.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      out = if (out == null) winners else out.unionAll(winners)
+      remaining = active.count()
+    }
+    if (out == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            und0.schema("u").dataType),
+          org.apache.spark.sql.types.StructField("mis_round",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    else out
+  }
+
   /** Global structure metrics as exact integers: total triangles T and
     * wedges W = Σ deg·(deg−1)/2. Transitivity = 3T/W, derived by callers. */
   def globalMetrics(und0: DataFrame): DataFrame = {

@@ -164,6 +164,45 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.kTruss(g3.limit(0), 3).count() === 0L)
   }
 
+  test("MIS: independence + maximality invariants, triangle singleton, determinism") {
+    val g = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("c","e"),("d","e"),("f","g"))
+    val mis = GraphMetrics.maximalIndependentSet(g)
+    val members = mis.collect().map(_.getString(0)).toSet
+    val es = g.collect().map(r => (r.getString(0), r.getString(1)))
+    // independence: no edge inside the set
+    assert(!es.exists { case (u, v) => members(u) && members(v) })
+    // maximality: every non-member has a member neighbor
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+    assert((nodes -- members).forall(n => es.exists { case (u, v) =>
+      (u == n && members(v)) || (v == n && members(u)) }))
+    // K4 contributes exactly one member; disjoint f-g edge exactly one
+    assert(members.count(Set("a","b","c","d")) === 1)
+    assert(members.count(Set("f","g")) === 1)
+    // a lone triangle yields a single member
+    assert(GraphMetrics.maximalIndependentSet(
+      und(("x","y"),("y","z"),("x","z"))).count() === 1L)
+    // deterministic across runs and partitionings
+    val again = GraphMetrics.maximalIndependentSet(g.repartition(7))
+      .collect().map(_.getString(0)).toSet
+    assert(again === members)
+  }
+
+  test("DOULION moments: keep-all equals exact, keep-none empty, filter deterministic") {
+    val g = und(("a","b"),("b","c"),("a","c"),("c","d"),("b","d"))
+    // 'g' sorts above every hex digit → keep-all reproduces the exact count
+    val all = GraphMetrics.sampledTriangleMoments(g, "g00000000000").collect()(0)
+    assert((all.getLong(0), all.getLong(1)) === ((5L, 2L)))
+    val none = GraphMetrics.sampledTriangleMoments(g, "000000000000").collect()(0)
+    assert((none.getLong(0), none.getLong(1)) === ((0L, 0L)))
+    // mid threshold: deterministic across partitionings, kept ≤ |E|
+    val a = GraphMetrics.sampledTriangleMoments(g, "800000000000").collect()(0)
+    val b = GraphMetrics.sampledTriangleMoments(g.repartition(5), "800000000000").collect()(0)
+    assert((a.getLong(0), a.getLong(1)) === ((b.getLong(0), b.getLong(1))))
+    assert(a.getLong(0) <= 5L)
+    intercept[IllegalArgumentException](GraphMetrics.sampledTriangleMoments(g, "ff"))
+  }
+
   test("k-core: chain peels away, K4 survives as its own 3-core, cascade works") {
     // K4 on a..d plus a pendant chain d-e-f: 3-core = K4 exactly; the
     // chain must cascade (f drops, THEN e drops)
