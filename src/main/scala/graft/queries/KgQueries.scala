@@ -136,6 +136,12 @@ object KgQueries {
     "kg_reach" -> ((s, d) => graft.sample.GraphMetrics.neighborhoodExact(
       graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
       maxR = 2)),
+    // harmonic centrality over the same bipartite graph, radius 2, exact
+    // integer micro-units ×lcm(1,2)=2 (ring weights 1, 1 — the telescoped
+    // (n_r − n_{r−1})·L/r); the float H is strictly downstream
+    "kg_harmonic" -> ((s, d) => graft.sample.GraphMetrics.harmonicCentrality(
+      graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
+      maxR = 2)),
     // link-prediction candidate features over the same bipartite graph:
     // common-neighbor count + Resource-Allocation index in exact integer
     // micro-units (Zhou-Lü-Zhang EPJ B'09), hub-capped wedges
@@ -638,6 +644,17 @@ object KgQueries {
          |UNION ALL
          |SELECT id, 2 AS r, CAST(COUNT(*) AS BIGINT) FROM r2 GROUP BY id""".stripMargin,
       inCte = true),
+    "kg_harmonic" -> TpchKgSql.withKg(
+      s"""$bipartiteCtes,
+         |h1 AS MATERIALIZED (SELECT u AS id, v AS w FROM bsym),
+         |h2 AS MATERIALIZED (
+         |  SELECT id, w FROM h1
+         |  UNION
+         |  SELECT r.id, s.v AS w FROM h1 r JOIN bsym s ON s.u = r.w WHERE s.v <> r.id)
+         |SELECT id, CAST(SUM(c) AS BIGINT) AS harmonic_micro FROM (
+         |  SELECT id, COUNT(*) * 1 AS c FROM h1 GROUP BY id
+         |  UNION ALL SELECT id, COUNT(*) * 1 AS c FROM h2 GROUP BY id) t
+         |GROUP BY id""".stripMargin, inCte = true),
     "kg_linkpred" -> TpchKgSql.withKg(
       s"""$bipartiteCtes,
          |bdeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM bsym GROUP BY u),

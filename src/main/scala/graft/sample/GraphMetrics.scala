@@ -400,6 +400,30 @@ object GraphMetrics {
     out.select(col("id"), col("r"), col("reach_cnt"))
   }
 
+  /** Bounded-radius harmonic centrality (Boldi & Vigna, "Axioms for
+    * centrality", Internet Mathematics 2014 — the centrality that is
+    * well-defined on disconnected graphs, where closeness is not):
+    * H_R(v) = Σ_{0<d(v,u)≤R} 1/d(v,u), emitted as EXACT integer
+    * micro-units ×lcm(1..maxR) so the gate compares integers and the
+    * one float division stays with the caller. Derived from
+    * [[neighborhoodExact]]'s cumulative rings by a single weighted
+    * aggregate — ring r carries weight L/r − L/(r+1) (closing at L/R),
+    * which telescopes to (n_r − n_{r−1})·L/r without ever materializing
+    * the ring differences. Shares the BFS distinct-reach plan and its
+    * scale ceiling; at 100 TB feed [[hyperBall]] estimates through the
+    * same weights instead. */
+  def harmonicCentrality(und0: DataFrame, maxR: Int): DataFrame = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1 to maxR).foldLeft(1L)((a, r) => a / gcd(a, r) * r)
+    val wcol = (1 to maxR).foldLeft(lit(0L)) { case (acc, r) =>
+      val wt = if (r < maxR) L / r - L / (r + 1) else L / maxR
+      when(col("r") === r, lit(wt)).otherwise(acc)
+    }
+    neighborhoodExact(und0, maxR)
+      .select(col("id"), (col("reach_cnt") * wcol).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("harmonic_micro"))
+  }
+
   /** HyperBall (Boldi & Vigna, "In-core computation of geometric
     * centralities with HyperBall", ICDM'13 workshops): the neighborhood
     * function via HyperLogLog registers instead of exact reach sets — the

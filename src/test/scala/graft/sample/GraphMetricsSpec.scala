@@ -164,6 +164,19 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.kTruss(g3.limit(0), 3).count() === 0L)
   }
 
+  test("harmonic centrality: path-graph micro-units by hand at R=2 and R=3, disconnected ok") {
+    // path a-b-c-d plus the disconnected pair e-f
+    val g = und(("a","b"),("b","c"),("c","d"),("e","f"))
+    def microsAt(r: Int) = GraphMetrics.harmonicCentrality(g, r).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // R=2, L=2: H(a)=1+1/2 → 3; H(b)=1+1+1/2 → 5; H(e)=1 → 2
+    assert(microsAt(2) === Map("a" -> 3L, "b" -> 5L, "c" -> 5L, "d" -> 3L,
+      "e" -> 2L, "f" -> 2L))
+    // R=3, L=6: H(a)=1+1/2+1/3 → 11; H(b)=1+1+1/2 → 15; H(e)=1 → 6
+    assert(microsAt(3) === Map("a" -> 11L, "b" -> 15L, "c" -> 15L, "d" -> 11L,
+      "e" -> 6L, "f" -> 6L))
+  }
+
   test("MIS: independence + maximality invariants, triangle singleton, determinism") {
     val g = und(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
       ("c","e"),("d","e"),("f","g"))
