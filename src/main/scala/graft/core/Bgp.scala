@@ -140,6 +140,45 @@ object Bgp {
     else l.join(r.limit(1).select(lit(1).as("__m")), lit(true), "left_semi")
   }
 
+  /** SPARQL 1.1 aggregation (§18.5.1 Group/Aggregation): group the
+    * pattern's solution bag by `groupVars` and evaluate the (aliased)
+    * aggregate Columns, with HAVING as an optional post-aggregation
+    * filter. The solution bag keeps BGP bag semantics, so COUNT/SUM see
+    * duplicate solutions exactly as the spec requires. Plan: the BGP
+    * keeps its pushdown/join shape; grouping adds ONE partial-aggregate
+    * exchange keyed on the group variables (map-side combine free with
+    * algebraic aggregates), and HAVING is a row-local filter above it. */
+  def aggregatePattern(edges: DataFrame, atoms: Seq[(String, String, String)],
+                       groupVars: Seq[String], aggs: Seq[Column],
+                       having: Option[Column] = None): DataFrame = {
+    require(groupVars.nonEmpty && aggs.nonEmpty, "need group vars and aggregates")
+    val sol = matchPattern(edges, atoms)
+    val g = sol.groupBy(groupVars.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    having.fold(g)(g.filter)
+  }
+
+  /** SPARQL CONSTRUCT (§16.2): instantiate each template triple once per
+    * WHERE solution and return the union as an RDF GRAPH — i.e. with SET
+    * semantics (the spec's result is a graph, so duplicates collapse; the
+    * one distinct exchange is exactly that). BGP solutions bind every
+    * variable, so instantiation is a pure projection of the solution
+    * relation — k template triples are k pipelined projections of ONE
+    * shared solution subtree, not k re-evaluations. */
+  def construct(edges: DataFrame, where: Seq[(String, String, String)],
+                template: Seq[(String, String, String)]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    val sol = matchPattern(edges, where)
+    def term(t: String): Column =
+      if (t.startsWith("?")) {
+        val v = t.stripPrefix("?")
+        require(sol.columns.contains(v), s"unbound template variable $t")
+        col(v)
+      } else lit(t)
+    template.map { case (s, p, o) =>
+      sol.select(term(s).as("src"), term(p).as("pred"), term(o).as("dst"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
   /** SPARQL UNION: the bag union of the branch solution sequences under a
     * shared schema — the union of all branch variables in first-appearance
     * order, a variable unbound in a branch coming back NULL in that

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.{TpchKg, TpchKgSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 /** Core KG emission surface (SURVEY §2.1 S4-S7) as driver-checkable queries:
   * each entry has an exact DuckDB oracle over the same parquet tables. */
@@ -188,6 +188,21 @@ object KgQueries {
       TpchKg.load(s, d).edges,
       left = Seq(("?o", "placedBy", "?c")),
       inner = Seq(("?o", "suppliedBy", "?s"), ("?s", "inNation", "n:3")))),
+    // SPARQL aggregation: orders and distinct customers per nation with a
+    // HAVING floor — bag semantics feed the counts, one keyed aggregate
+    "kg_bgp_agg" -> ((s, d) => graft.core.Bgp.aggregatePattern(
+      TpchKg.load(s, d).edges,
+      atoms = Seq(("?o", "placedBy", "?c"), ("?c", "inNation", "?n")),
+      groupVars = Seq("n"),
+      aggs = Seq(count(lit(1)).as("orders"),
+        countDistinct(col("c")).as("custs")),
+      having = Some(col("orders") >= 100))),
+    // SPARQL CONSTRUCT: one shared WHERE subtree instantiates a 2-triple
+    // template (set semantics — the result is a graph, duplicates collapse)
+    "kg_bgp_construct" -> ((s, d) => graft.core.Bgp.construct(
+      TpchKg.load(s, d).edges,
+      where = Seq(("?o", "placedBy", "?c"), ("?o", "suppliedBy", "?s")),
+      template = Seq(("?o", "involves", "?c"), ("?o", "involves", "?s")))),
     // SPARQL FILTER EXISTS — the positive dual on the same patterns as
     // kg_bgp_notexists (the two gates partition the placedBy rows; the
     // semi join must ignore inner multiplicity, which this pins)
@@ -696,6 +711,20 @@ object KgQueries {
         |                  JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst
         |                              AND e.dst = 'n:3'
         |                  WHERE d.pred = 'suppliedBy' AND d.src = a.src)""".stripMargin),
+    "kg_bgp_agg" -> TpchKgSql.withKg(
+      """SELECT b.dst AS n, CAST(COUNT(*) AS BIGINT) AS orders,
+        |       CAST(COUNT(DISTINCT a.dst) AS BIGINT) AS custs
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |WHERE a.pred = 'placedBy'
+        |GROUP BY b.dst HAVING COUNT(*) >= 100""".stripMargin),
+    "kg_bgp_construct" -> TpchKgSql.withKg(
+      """SELECT DISTINCT src, 'involves' AS pred, dst FROM (
+        |  SELECT a.src, a.dst FROM edges a WHERE a.pred = 'placedBy'
+        |    AND EXISTS (SELECT 1 FROM edges x WHERE x.pred = 'suppliedBy' AND x.src = a.src)
+        |  UNION ALL
+        |  SELECT b.src, b.dst FROM edges b WHERE b.pred = 'suppliedBy'
+        |    AND EXISTS (SELECT 1 FROM edges y WHERE y.pred = 'placedBy' AND y.src = b.src)) t""".stripMargin),
     "kg_bgp_exists" -> TpchKgSql.withKg(
       """SELECT a.src AS o, a.dst AS c
         |FROM edges a

@@ -120,6 +120,45 @@ class BgpSpec extends SparkSpec {
       Seq(("?x", "knows", "?y")), Seq(("?u", "hates", "?v"))).count() === 4L)
   }
 
+  test("aggregation: bag-fed counts, grouping, HAVING") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+    // group ?x knows ?y by x: a→2, b→1, d→1; HAVING ≥ 2 keeps only a
+    val g = Bgp.aggregatePattern(edges, Seq(("?x", "knows", "?y")),
+      groupVars = Seq("x"),
+      aggs = Seq(count(lit(1)).as("n"), countDistinct(col("y")).as("dy")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g === Set(("a", 2L, 2L), ("b", 1L, 1L), ("d", 1L, 1L)))
+    val h = Bgp.aggregatePattern(edges, Seq(("?x", "knows", "?y")),
+      Seq("x"), Seq(count(lit(1)).as("n")), having = Some(col("n") >= 2))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(h === Set(("a", 2L)))
+    // duplicate edges reach the aggregate as duplicate solutions (bags)
+    assert(Bgp.aggregatePattern(edges.unionAll(edges),
+      Seq(("?x", "knows", "?y")), Seq("x"), Seq(count(lit(1)).as("n")))
+      .collect().map(_.getLong(1)).sum === 8L)
+    intercept[IllegalArgumentException](
+      Bgp.aggregatePattern(edges, Seq(("?x", "knows", "?y")), Nil, Nil))
+  }
+
+  test("CONSTRUCT: template instantiation, constants, set semantics, unbound rejected") {
+    // reverse the knows edges under a new predicate; duplicates collapse
+    val rev = Bgp.construct(edges.unionAll(edges), Seq(("?x", "knows", "?y")),
+      template = Seq(("?y", "knownBy", "?x")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rev === Set(("b", "knownBy", "a"), ("c", "knownBy", "b"),
+      ("c", "knownBy", "a"), ("d", "knownBy", "d")))
+    // 2-triple template with a constant subject; ONE where evaluation
+    val two = Bgp.construct(edges, Seq(("?x", "likes", "?z")),
+      template = Seq(("root", "sawLiker", "?x"), ("root", "sawLiked", "?z")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(two === Set(("root", "sawLiker", "c"),
+      ("root", "sawLiked", "a"), ("root", "sawLiked", "c")))
+    intercept[IllegalArgumentException](Bgp.construct(edges,
+      Seq(("?x", "knows", "?y")), Seq(("?x", "p", "?unbound"))))
+    intercept[IllegalArgumentException](Bgp.construct(edges,
+      Seq(("?x", "knows", "?y")), Nil))
+  }
+
   test("EXISTS: semi join ignores inner multiplicity and complements NOT EXISTS") {
     // (a,c)/(b,c) each have TWO inner matches (c likes a, c likes c) but
     // EXISTS keeps left multiplicity exactly — 2 rows, not 4
