@@ -92,6 +92,14 @@ object PipelineQueries {
     // probe side is |discovered urls|, never |links|. By construction:
     // every cdn url (different host), plus the single next-chain target
     // one past the max crawled doc
+    // redirect/pagination chain resolution (Wyllie pointer doubling over
+    // the functional next-link relation): the planted next-chain is a
+    // DELIBERATE worst case — ONE length-n chain — resolved in
+    // ceil(log2 n)+1 self-joins instead of n sequential probes; the
+    // oracle knows terminal + per-row hop counts arithmetically
+    "fe_redirects" -> ((s, d) => Redirects.resolveChains(
+      LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+        .filter(col("anchor") === "next").select(col("src"), col("dst")))),
     "fe_frontier" -> ((s, d) => {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
@@ -621,6 +629,12 @@ object PipelineQueries {
       """SELECT url AS src, 'https://ex.org/doc/' || (doc_id % 97) AS dst, 'hub' AS anchor FROM docs
         |UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1), 'next' FROM docs
         |UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id, 'cdn' FROM docs""".stripMargin),
+    "fe_redirects" -> withDocs(
+      """SELECT url AS src,
+        |       'https://ex.org/doc/' || (SELECT MAX(doc_id) + 1 FROM docs) AS target,
+        |       CAST((SELECT MAX(doc_id) + 1 FROM docs) - doc_id AS BIGINT) AS hops,
+        |       FALSE AS cyclic
+        |FROM docs""".stripMargin),
     "fe_frontier" -> withDocs(
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
