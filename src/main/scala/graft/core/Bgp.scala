@@ -200,4 +200,73 @@ object Bgp {
         else lit(null).cast("string").as(v)): _*)
     }.reduce(_ unionAll _)
   }
+
+  /** SPARQL FILTER (§18.5 Filter(expr, Ω)): a row-local predicate over the
+    * solution relation. The expression is a Catalyst Column, so the
+    * optimizer pushes it THROUGH the BGP's join tree to the earliest atom
+    * scan that binds its variables — `FILTER(?n != ?m)` lands on the join
+    * output, but `FILTER(strstarts(?n, 'n:1'))` reaches the parquet scan
+    * of ?n's atom. That pushdown is the reason FILTER composes here
+    * instead of post-hoc: at 10^12 triples the filter must prune BEFORE
+    * the join fans out. */
+  def matchFilter(edges: DataFrame, atoms: Seq[(String, String, String)],
+                  condition: Column): DataFrame =
+    matchPattern(edges, atoms).filter(condition)
+
+  /** SPARQL VALUES (§10.2 inline data): the solution relation joined with
+    * an explicit multiset of bindings over `vars`. The data block is
+    * driver-literal and therefore BROADCAST — VALUES is SPARQL's way of
+    * shipping a small dim into the query, and that is exactly what the
+    * plan does (no shuffle on the pattern side; the join keys prune via
+    * Catalyst's join-side filter inference / DPP on a partitioned store).
+    * Rows shorter than `vars` or carrying null mean UNDEF in that
+    * position per the spec — UNDEF joins everything — handled by
+    * conditioning each key equality on the literal being non-null. */
+  def matchValues(edges: DataFrame, atoms: Seq[(String, String, String)],
+                  vars: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
+    require(vars.nonEmpty && rows.nonEmpty, "VALUES needs vars and rows")
+    require(rows.forall(_.length == vars.length), "VALUES row arity mismatch")
+    val sol = matchPattern(edges, atoms)
+    require(vars.forall(sol.columns.contains), s"VALUES vars $vars must be bound by the pattern")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val data = rows.map(r => (r.lift(0).orNull, r.lift(1).orNull))
+    val dataDf = vars.length match {
+      case 1 => rows.map(_.head).toDF(s"__v_${vars.head}")
+      case 2 => data.toDF(s"__v_${vars(0)}", s"__v_${vars(1)}")
+      case n => throw new IllegalArgumentException(s"VALUES arity $n unsupported (1-2)")
+    }
+    val cond = vars.map(v =>
+      col(s"__v_$v").isNull || (col(v) === col(s"__v_$v"))).reduce(_ && _)
+    sol.join(broadcast(dataDf), cond)
+      .drop(vars.map(v => s"__v_$v"): _*)
+  }
+
+  /** SPARQL ASK (§16.3): does the pattern have at least one solution?
+    * One row, one boolean column. The LocalLimit(1) under the count makes
+    * this a short-circuit probe — executors stop producing past the first
+    * match, so a satisfiable ASK over 10^12 triples costs one partition's
+    * first hit, not a full join. */
+  def ask(edges: DataFrame, atoms: Seq[(String, String, String)]): DataFrame =
+    matchPattern(edges, atoms).limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
+
+  /** SPARQL solution modifiers (§15): DISTINCT → ORDER BY → LIMIT, applied
+    * in the spec's order. `orderBy` lists solution variables ('-' prefix
+    * for DESC). With a LIMIT, Spark plans the pair as
+    * TakeOrderedAndProject — per-partition top-k + a driver-side k-way
+    * merge, NEVER a global sort, which is what makes "first 25 of 10^12
+    * solutions" a real query. Hash-gate callers must order by a key that
+    * totally orders the solution set (the gate compares sets; a
+    * nondeterministic cut would flake).
+    */
+  def solutions(sol: DataFrame, distinct: Boolean = false,
+                orderBy: Seq[String] = Nil, limit: Int = -1): DataFrame = {
+    var df = if (distinct) sol.distinct() else sol
+    if (orderBy.nonEmpty)
+      df = df.orderBy(orderBy.map(v =>
+        if (v.startsWith("-")) col(v.stripPrefix("-")).desc else col(v).asc): _*)
+    if (limit >= 0) df = df.limit(limit)
+    df
+  }
 }

@@ -143,4 +143,71 @@ object KgStats {
     }
     colors
   }
+
+  /** Predicate functionality / inverse functionality (Suchanek et al.,
+    * "PARIS: Probabilistic alignment of relations, instances, and schema",
+    * VLDB'12 §4; the score AMIE mines rules with): per predicate,
+    * fun(p) = |distinct src| / |distinct (src,dst)| and the inverse form
+    * over dst. fun(p) = 1 means p is observed-functional (every subject
+    * has one object) — the precondition for using p as an identity key in
+    * [[keyCollisions]]-style entity resolution — while a near-1 score
+    * flags predicates whose few violators are extraction errors worth a
+    * repair pass. Scores are reported as exact integer micro-units
+    * (10⁶·n div pairs — the float division never touches the gate
+    * surface, like transitivity).
+    *
+    * Plan shape: ONE aggregate over one scan — the multi-count-distinct
+    * compiles to an Expand (×3) with map-side partials, keyed by the
+    * predicate vocabulary, so no join and no per-subject state. Output is
+    * |preds| rows. Input follows the edge table's distinct-triple
+    * invariant; a true multigraph should distinct() first (duplicate
+    * assertions would deflate both scores).
+    */
+  def functionality(edges: DataFrame): DataFrame =
+    edges.groupBy(col("pred"))
+      .agg(
+        countDistinct(col("src"), col("dst")).as("n_pairs"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"))
+      .select(col("pred"), col("n_pairs"), col("n_src"), col("n_dst"),
+        expr("1000000 * n_src div n_pairs").as("fun_micro"),
+        expr("1000000 * n_dst div n_pairs").as("ifun_micro"))
+
+  /** Composite-key duplicate candidates — the inverse-functional-key step
+    * of entity resolution (Fellegi-Sunter blocking on agreeing key
+    * attributes; owl:InverseFunctionalProperty semantics applied to a key
+    * SET): nodes whose lexical values agree on EVERY property in
+    * `keyProps` are duplicate-listing candidates and collapse to a
+    * canonical representative (min node id — a total order, so the pick
+    * is partitioning-invariant). Emits one row per member of a colliding
+    * group: (node, canon, grp_n). Nodes missing any key attribute carry
+    * no evidence and are excluded (inner semantics), mirroring how a
+    * product-catalog dedup keys on (brand, type, size) only where all
+    * three were extracted.
+    *
+    * Plan shape: assembling the composite key is ONE aggregate keyed by
+    * node (conditional max per key prop — no self-join chain over attrs),
+    * then ONE aggregate keyed by the composite key whose per-key state is
+    * (min, count) — a boilerplate mega-key costs its member list only at
+    * emission, and the final member join is key-equi (AQE skew-splits a
+    * pathological key). At 10⁹ nodes both shuffles carry one row per
+    * node, nothing per-pair: the quadratic pair space is never formed —
+    * that is the whole point of blocking on a key.
+    */
+  def keyCollisions(attrs: DataFrame, keyProps: Seq[String]): DataFrame = {
+    require(keyProps.nonEmpty, "keyProps must be non-empty")
+    val keyCols = keyProps.map(p =>
+      max(when(col("prop") === p, col("lexical"))).as(s"k_$p"))
+    val keyed = attrs
+      .filter(col("prop").isin(keyProps: _*))
+      .groupBy(col("node"))
+      .agg(keyCols.head, keyCols.tail: _*)
+      .filter(keyProps.map(p => col(s"k_$p").isNotNull).reduce(_ && _))
+    val groups = keyed
+      .groupBy(keyProps.map(p => col(s"k_$p")): _*)
+      .agg(min(col("node")).as("canon"), count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") >= 2L)
+    keyed.join(groups, keyProps.map(p => s"k_$p"))
+      .select(col("node"), col("canon"), col("grp_n"))
+  }
 }

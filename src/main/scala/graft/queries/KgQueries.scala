@@ -297,6 +297,62 @@ object KgQueries {
     // orderdate→date, mixed/textual props degrade to string)
     "kg_infer_schema" -> ((s, d) => graft.core.KgStats.inferDatatypes(
       TpchKg.load(s, d).attrs)),
+    // predicate functionality / inverse functionality (PARIS VLDB'12):
+    // placedBy scores fun=1 (observed-functional — an identity-key
+    // candidate), contains/suppliedBy score low in BOTH directions; exact
+    // integer micro-units keep the division off the gate surface
+    "kg_functionality" -> ((s, d) => graft.core.KgStats.functionality(
+      TpchKg.load(s, d).edges)),
+    // composite-key duplicate candidates: parts agreeing on
+    // (brand, psize) collapse to a canonical representative — the
+    // inverse-functional-key blocking step of entity resolution; groups
+    // of every size ≥2 occur at all sf, so the HAVING cut binds
+    "kg_key_collisions" -> ((s, d) => graft.core.KgStats.keyCollisions(
+      TpchKg.load(s, d).attrs, Seq("brand", "psize"))),
+    // SPARQL FILTER with a join-output predicate: cross-nation orders
+    // (customer nation ≠ any supplier nation) — the inequality can only
+    // evaluate above the join, so the gate proves the filtered BGP
+    // composes; pushdown-able filters reach the scans (PlanShapeSpec)
+    "kg_bgp_filter" -> ((s, d) => graft.core.Bgp.matchFilter(
+      TpchKg.load(s, d).edges, Seq(
+        ("?o", "placedBy", "?c"),
+        ("?c", "inNation", "?n"),
+        ("?o", "suppliedBy", "?s"),
+        ("?s", "inNation", "?m")),
+      org.apache.spark.sql.functions.col("n") =!=
+        org.apache.spark.sql.functions.col("m"))),
+    // SPARQL VALUES inline data: orders supplied from an explicit nation
+    // list — the broadcast-dim query shape
+    "kg_bgp_values" -> ((s, d) => graft.core.Bgp.matchValues(
+      TpchKg.load(s, d).edges, Seq(
+        ("?o", "suppliedBy", "?s"),
+        ("?s", "inNation", "?n")),
+      vars = Seq("n"), rows = Seq(Seq("n:3"), Seq("n:12"), Seq("n:24")))),
+    // SPARQL ASK, one satisfiable + one unsatisfiable probe (n:999 names
+    // no nation) — the boolean short-circuit form
+    "kg_bgp_ask" -> ((s, d) => {
+      val e = TpchKg.load(s, d).edges
+      graft.core.Bgp.ask(e, Seq(("?c", "inNation", "?n"), ("?n", "inRegion", "r:0")))
+        .withColumn("q", org.apache.spark.sql.functions.lit("sat"))
+        .unionAll(graft.core.Bgp.ask(e, Seq(("?c", "inNation", "n:999")))
+          .withColumn("q", org.apache.spark.sql.functions.lit("unsat")))
+    }),
+    // SPARQL SELECT DISTINCT with projection: the (supplier, nation)
+    // pairs that actually supply orders — projection creates the bag
+    // duplicates DISTINCT must collapse
+    "kg_bgp_distinct" -> ((s, d) => graft.core.Bgp.solutions(
+      graft.core.Bgp.matchPattern(TpchKg.load(s, d).edges, Seq(
+        ("?o", "suppliedBy", "?s"),
+        ("?s", "inNation", "?n"))).select("s", "n"),
+      distinct = true)),
+    // SPARQL ORDER BY + LIMIT: first 25 orders (by IRI — ?o is unique, so
+    // the cut is a total order) of nation n:7's customers; plans as
+    // TakeOrderedAndProject, never a global sort
+    "kg_bgp_topk" -> ((s, d) => graft.core.Bgp.solutions(
+      graft.core.Bgp.matchPattern(TpchKg.load(s, d).edges, Seq(
+        ("?o", "placedBy", "?c"),
+        ("?c", "inNation", "n:7"))),
+      orderBy = Seq("o"), limit = 25)),
     // SHACL-lite validation report: cardinality (both directions of
     // `contains`), value-class, datatype, and numeric-range constraints;
     // the >3-parts orders, >40-orders parts and negative acctbal rows are
@@ -594,6 +650,60 @@ object KgQueries {
         |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:date'
         |       ELSE 'xsd:string' END AS inferred
         |FROM attrs GROUP BY prop""".stripMargin),
+    "kg_functionality" -> TpchKgSql.withKg(
+      """SELECT pred,
+        |  CAST(COUNT(DISTINCT src || '|' || dst) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+        |  CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst,
+        |  CAST(1000000 * COUNT(DISTINCT src) // COUNT(DISTINCT src || '|' || dst) AS BIGINT) AS fun_micro,
+        |  CAST(1000000 * COUNT(DISTINCT dst) // COUNT(DISTINCT src || '|' || dst) AS BIGINT) AS ifun_micro
+        |FROM edges GROUP BY pred""".stripMargin),
+    "kg_key_collisions" -> TpchKgSql.withKg(
+      """keyed AS MATERIALIZED (
+        |  SELECT node,
+        |    MAX(CASE WHEN prop = 'brand' THEN lexical END) AS k_brand,
+        |    MAX(CASE WHEN prop = 'psize' THEN lexical END) AS k_psize
+        |  FROM attrs WHERE prop IN ('brand', 'psize') GROUP BY node
+        |  HAVING MAX(CASE WHEN prop = 'brand' THEN lexical END) IS NOT NULL
+        |     AND MAX(CASE WHEN prop = 'psize' THEN lexical END) IS NOT NULL),
+        |grp AS MATERIALIZED (
+        |  SELECT k_brand, k_psize, MIN(node) AS canon, CAST(COUNT(*) AS BIGINT) AS grp_n
+        |  FROM keyed GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT k.node, g.canon, g.grp_n
+        |FROM keyed k JOIN grp g ON g.k_brand = k.k_brand AND g.k_psize = k.k_psize""".stripMargin,
+      inCte = true),
+    "kg_bgp_filter" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s, e.dst AS m
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |JOIN edges d ON d.pred = 'suppliedBy' AND d.src = a.src
+        |JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst
+        |WHERE a.pred = 'placedBy' AND b.dst <> e.dst""".stripMargin),
+    "kg_bgp_values" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS s, b.dst AS n
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |JOIN (VALUES ('n:3'), ('n:12'), ('n:24')) v(n) ON v.n = b.dst
+        |WHERE a.pred = 'suppliedBy'""".stripMargin),
+    "kg_bgp_ask" -> TpchKgSql.withKg(
+      """SELECT EXISTS(
+        |    SELECT 1 FROM edges a
+        |    JOIN edges b ON b.pred = 'inRegion' AND b.src = a.dst AND b.dst = 'r:0'
+        |    WHERE a.pred = 'inNation') AS ask, 'sat' AS q
+        |UNION ALL
+        |SELECT EXISTS(
+        |    SELECT 1 FROM edges WHERE pred = 'inNation' AND dst = 'n:999'), 'unsat'""".stripMargin),
+    "kg_bgp_distinct" -> TpchKgSql.withKg(
+      """SELECT DISTINCT a.dst AS s, b.dst AS n
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |WHERE a.pred = 'suppliedBy'""".stripMargin),
+    "kg_bgp_topk" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst AND b.dst = 'n:7'
+        |WHERE a.pred = 'placedBy'
+        |ORDER BY o LIMIT 25""".stripMargin),
     "kg_freq_pairs" -> TpchKgSql.withKg(
       """fcp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
         |fok AS MATERIALIZED (SELECT src FROM fcp GROUP BY src HAVING COUNT(*) <= 1024),

@@ -174,4 +174,51 @@ class BgpSpec extends SparkSpec {
         Bgp.matchNotExists(edges, left, inner).count() === 4L)
     }
   }
+
+  test("FILTER: row-local predicate over the solution relation") {
+    import org.apache.spark.sql.functions.col
+    val got = Bgp.matchFilter(edges, Seq(("?x", "knows", "?y")),
+        col("x") =!= col("y"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("b", "c"), ("a", "c"))) // d-d dropped
+  }
+
+  test("VALUES: inline bindings restrict; UNDEF (null) joins everything") {
+    val got = Bgp.matchValues(edges, Seq(("?x", "knows", "?y")),
+        vars = Seq("y"), rows = Seq(Seq("b"), Seq("d")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("d", "d")))
+    // 2-var block with an UNDEF: (b, null) matches every x=b row
+    val undef = Bgp.matchValues(edges, Seq(("?x", "knows", "?y")),
+        vars = Seq("x", "y"), rows = Seq(Seq("a", "c"), Seq("b", null)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(undef === Set(("a", "c"), ("b", "c")))
+    intercept[IllegalArgumentException](
+      Bgp.matchValues(edges, Seq(("?x", "knows", "?y")), Seq("z"), Seq(Seq("b"))))
+    intercept[IllegalArgumentException](
+      Bgp.matchValues(edges, Seq(("?x", "knows", "?y")), Seq("x"), Seq(Seq("a", "b"))))
+  }
+
+  test("ASK: satisfiable true, unsatisfiable false, one row each") {
+    assert(Bgp.ask(edges, Seq(("?x", "likes", "?y"))).collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
+    assert(Bgp.ask(edges, Seq(("?x", "hates", "?y"))).collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+  }
+
+  test("solution modifiers: DISTINCT collapses projection bags; ORDER+LIMIT cuts on the total order") {
+    val sol = Bgp.matchPattern(edges, Seq(("?x", "knows", "?y"))).select("x")
+    assert(Bgp.solutions(sol).count() === 4L)          // bag: a,a,b,d
+    assert(Bgp.solutions(sol, distinct = true).count() === 3L)
+    val top = Bgp.solutions(
+      Bgp.matchPattern(edges, Seq(("?x", "knows", "?y"))),
+      orderBy = Seq("x", "y"), limit = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top === Seq(("a", "b"), ("a", "c")))
+    val desc = Bgp.solutions(
+      Bgp.matchPattern(edges, Seq(("?x", "knows", "?y"))),
+      orderBy = Seq("-x", "y"), limit = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc === Seq(("d", "d")))
+  }
 }

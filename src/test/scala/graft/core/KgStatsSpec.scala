@@ -136,4 +136,37 @@ class KgStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(a === b)
   }
+
+  test("functionality: hand-traced scores, micro division is floor") {
+    val e = Seq(
+      // f: functional (every src once) but NOT inverse-functional (x shared)
+      ("a", "f", "x"), ("b", "f", "x"), ("c", "f", "y"),
+      // g: one violator — a has two objects → fun = 2/3 floored in micros
+      ("a", "g", "x"), ("a", "g", "y"), ("b", "g", "z"))
+      .toDF("src", "pred", "dst")
+    val got = KgStats.functionality(e).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("f") === ((3L, 3L, 2L, 1000000L, 666666L)))
+    assert(got("g") === ((3L, 2L, 3L, 666666L, 1000000L)))
+  }
+
+  test("keyCollisions: composite equality, missing-key exclusion, canonical min") {
+    val attrs = Seq(
+      ("p1", "brand", "B1", "?"), ("p1", "size", "5", "?"),
+      ("p3", "brand", "B1", "?"), ("p3", "size", "5", "?"),  // collides with p1
+      ("p2", "brand", "B1", "?"), ("p2", "size", "6", "?"),  // size differs → alone
+      ("p4", "brand", "B1", "?"),                            // size missing → excluded
+      ("p5", "brand", "B2", "?"), ("p5", "size", "5", "?"),  // brand differs → alone
+      ("p0", "brand", "B1", "?"), ("p0", "size", "5", "?"))  // collides; canon (min id)
+      .toDF("node", "prop", "lexical", "dtype")
+    val got = KgStats.keyCollisions(attrs, Seq("brand", "size")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("p0", "p0", 3L), ("p1", "p0", 3L), ("p3", "p0", 3L)))
+    // partitioning cannot move the canonical pick
+    val re = KgStats.keyCollisions(attrs.repartition(7), Seq("brand", "size"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(re === got)
+    intercept[IllegalArgumentException](KgStats.keyCollisions(attrs, Nil))
+  }
 }
