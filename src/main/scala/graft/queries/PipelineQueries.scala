@@ -129,6 +129,47 @@ object PipelineQueries {
       Robots.filterAllowed(
         KgPipeline.run(s, d, ck(d), "pages").select("url"), rules)
     }),
+    // sitemap discovery end-to-end: shard urlsets GENERATED from the
+    // pages table (ordered collect per shard — the spec's 50k-url cap is
+    // the per-group bound), a literal <sitemapindex> expanded via
+    // indexChildren, entries() parsing every field back out, and the
+    // crawled-set probe. One planted uncrawled loc per shard makes the
+    // frontier flag binding; the oracle recomputes every row
+    // arithmetically from docs, so generator AND parser must invert
+    // exactly (the WARC-roundtrip pattern)
+    "fe_sitemap" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val docId = regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
+      val entryXml = concat(
+        lit("<url><loc>"), col("url"), lit("</loc>"),
+        lit("<lastmod>"), date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit("</lastmod>"),
+        when(docId % 4 === 0, lit("<changefreq>daily</changefreq>")).otherwise(lit("")),
+        when(docId % 3 === 0, lit("<priority>0.8</priority>")).otherwise(lit("")),
+        lit("</url>"))
+      val shards = pages
+        .select((docId % 5).as("shard"), docId.as("doc_id"), entryXml.as("xml"))
+        .groupBy(col("shard"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("xml")))),
+          x => x.getField("xml")), "").as("es"))
+        .select(
+          concat(lit("https://ex.org/sitemap/"), col("shard"), lit(".xml")).as("url"),
+          concat(lit("<urlset>"), col("es"),
+            lit("<url><loc>https://ex.org/new/"), col("shard"),
+            lit("</loc><priority>1.0</priority></url></urlset>")).as("body"))
+      val indexXml = (0 until 5)
+        .map(i => s"<sitemap><loc>https://ex.org/sitemap/$i.xml</loc></sitemap>")
+        .mkString("<sitemapindex>", "", "</sitemapindex>")
+      import s.implicits._
+      val index = Seq(("https://ex.org/sitemap_index.xml", indexXml)).toDF("url", "body")
+      val fetched = Sitemaps.indexChildren(index)
+        .join(shards, col("child_loc") === col("url")).select("url", "body")
+      Sitemaps.entries(fetched)
+        .join(pages.select(col("url").as("loc"), lit(true).as("known")), Seq("loc"), "left")
+        .select(col("loc"), col("lastmod"), col("changefreq"), col("priority_milli"),
+          coalesce(col("known"), lit(false)).as("known"))
+    }),
     // WARC interchange roundtrip: the REAL pages table rendered as
     // ISO-28500 response records (one file per partition), parsed back by
     // the file-per-task reader, reduced to (url, ts, md5(html)) — the
@@ -663,6 +704,17 @@ object PipelineQueries {
       """SELECT url FROM docs
         |WHERE NOT (CAST(doc_id AS VARCHAR) LIKE '1%' AND doc_id <> 1)
         |  AND CAST(doc_id AS VARCHAR) NOT LIKE '%7'""".stripMargin),
+    "fe_sitemap" -> withDocs(
+      """SELECT url AS loc,
+        |  strftime(TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+        |           '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'daily' END AS changefreq,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 800 ELSE 500 END AS BIGINT) AS priority_milli,
+        |  TRUE AS known
+        |FROM docs
+        |UNION ALL
+        |SELECT 'https://ex.org/new/' || s, NULL, NULL, 1000, FALSE
+        |FROM generate_series(0, 4) t(s)""".stripMargin),
     "fe_warc_roundtrip" -> withDocs(
       s"""SELECT url,
          |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
