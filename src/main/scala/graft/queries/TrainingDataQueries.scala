@@ -226,6 +226,16 @@ object TrainingDataQueries {
       graft.streaming.Temporal.funnelStreamOnce(
         s, s"$base/events", Seq("view", "click", "purchase"),
         s"$base/out", s"$base/ck")
+    }),
+    // streaming exact dedup: the duplicate-bearing corpus drained one
+    // FILE per micro-batch (maxFilesPerTrigger=1 over a 6-file stage), so
+    // first-occurrence state must hold across batches; the emitted key
+    // SET is arrival-order-independent — the deterministic gate surface
+    "td_stream_dedup" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_dedup_").toString
+      corpus(s, d).repartition(6).write.mode("overwrite").parquet(s"$base/in")
+      graft.streaming.StreamDedup.firstKeysOnce(
+        s, s"$base/in", s"$base/out", s"$base/ck")
     }))
 
   private val corpusCte =
@@ -427,6 +437,7 @@ object TrainingDataQueries {
 
   def oracleSql: Map[String, String] = Map(
     "td_dedup_exact" -> s"WITH $corpusCte\nSELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text",
+    "td_stream_dedup" -> s"WITH $corpusCte\nSELECT DISTINCT md5(text) AS text_md5 FROM corpus",
     "td_shingle_count" -> s"WITH $corpusCte, $shCte\nSELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id",
     "td_minhash" -> s"WITH $corpusCte, $shCte, $mhCte\nSELECT doc_id, j, mh FROM mh",
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
