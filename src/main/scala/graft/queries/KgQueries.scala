@@ -297,6 +297,17 @@ object KgQueries {
     // orderdate→date, mixed/textual props degrade to string)
     "kg_infer_schema" -> ((s, d) => graft.core.KgStats.inferDatatypes(
       TpchKg.load(s, d).attrs)),
+    // AMIE chain-rule mining over the KG ∪ a planted composition
+    // (orderNation := suppliedBy∘inNation): mining must REDISCOVER the
+    // plant at confidence exactly 1, and score the non-trivial
+    // (placedBy, inNation ⇒ orderNation) rule — "the customer's nation is
+    // one of the order's supplier nations" — with exact-integer
+    // support/PCA arithmetic
+    "kg_rule_mine" -> ((s, d) => {
+      val e = TpchKg.load(s, d).edges
+      graft.core.Rules.mineChains(
+        e.unionAll(graft.core.Rules.compose(e, "suppliedBy", "inNation", "orderNation")))
+    }),
     // predicate functionality / inverse functionality (PARIS VLDB'12):
     // placedBy scores fun=1 (observed-functional — an identity-key
     // candidate), contains/suppliedBy score low in BOTH directions; exact
@@ -650,6 +661,35 @@ object KgQueries {
         |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:date'
         |       ELSE 'xsd:string' END AS inferred
         |FROM attrs GROUP BY prop""".stripMargin),
+    "kg_rule_mine" -> TpchKgSql.withKg(
+      """en AS MATERIALIZED (
+        |  SELECT src, pred, dst FROM edges
+        |  UNION ALL
+        |  SELECT DISTINCT a.src, 'orderNation', b.dst
+        |  FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |  WHERE a.pred = 'suppliedBy'),
+        |zok AS MATERIALIZED (
+        |  SELECT i.z FROM (SELECT dst AS z, COUNT(*) AS din FROM en GROUP BY 1) i
+        |  JOIN (SELECT src AS z, COUNT(*) AS dout FROM en GROUP BY 1) o ON o.z = i.z
+        |  WHERE i.din * o.dout <= 1048576),
+        |bodies AS MATERIALIZED (
+        |  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.src AS x, e2.dst AS y
+        |  FROM en e1 JOIN zok ON zok.z = e1.dst JOIN en e2 ON e2.src = e1.dst),
+        |px AS MATERIALIZED (SELECT DISTINCT src AS x, pred AS p3 FROM en),
+        |cand AS MATERIALIZED (
+        |  SELECT b.p1, b.p2, px.p3, CASE WHEN h.src IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM bodies b
+        |  JOIN px ON px.x = b.x
+        |  LEFT JOIN en h ON h.src = b.x AND h.pred = px.p3 AND h.dst = b.y),
+        |bn AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_n FROM bodies GROUP BY 1, 2),
+        |r AS (SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS pca_n,
+        |        CAST(SUM(hit) AS BIGINT) AS support
+        |      FROM cand GROUP BY 1, 2, 3 HAVING SUM(hit) >= 2)
+        |SELECT r.p1, r.p2, r.p3, bn.body_n, r.pca_n, r.support,
+        |  CAST(1000000 * r.support // bn.body_n AS BIGINT) AS conf_micro,
+        |  CAST(1000000 * r.support // r.pca_n AS BIGINT) AS pca_conf_micro
+        |FROM r JOIN bn ON bn.p1 = r.p1 AND bn.p2 = r.p2""".stripMargin,
+      inCte = true),
     "kg_functionality" -> TpchKgSql.withKg(
       """SELECT pred,
         |  CAST(COUNT(DISTINCT src || '|' || dst) AS BIGINT) AS n_pairs,

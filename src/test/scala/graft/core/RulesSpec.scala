@@ -1,0 +1,63 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** AMIE chain-rule mining: hand-traced support / CWA / PCA counts,
+  * multi-witness dedup, the wedge-product cap, and compose(). */
+class RulesSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  // (p,q) bodies: (a,u) head-hit; (b,v) x emits r elsewhere (PCA counter-
+  // evidence, no hit); (c,t) x never emits r (invisible to PCA); (d,u)
+  // reached via TWO z-witnesses (m and m4) — counted once
+  private lazy val edges = Seq(
+    ("a", "p", "m"), ("m", "q", "u"), ("a", "r", "u"),
+    ("b", "p", "m2"), ("m2", "q", "v"), ("b", "r", "w"),
+    ("c", "p", "m3"), ("m3", "q", "t"),
+    ("d", "p", "m"), ("d", "p", "m4"), ("m4", "q", "u"))
+    .toDF("src", "pred", "dst")
+
+  test("support / conf / pca_conf hand-traced; zero-support rules dropped") {
+    val got = Rules.mineChains(edges, minSupport = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // body_n 4: (a,u),(b,v),(c,t),(d,u); pca_n 2: a and b emit r; support 1
+    assert(got === Map(("p", "q", "r") -> ((4L, 2L, 1L, 250000L, 500000L))))
+    // d emits only p → (p,q ⇒ p) candidates all miss → support 0 → dropped
+  }
+
+  test("wedge-product cap excludes only true product hubs") {
+    // hub h: din 2 · dout 2 = 4; chain z m5: 1·1
+    val e = Seq(
+      ("x1", "p", "h"), ("x2", "p", "h"), ("h", "q", "y1"), ("h", "q", "y2"),
+      ("x1", "r", "y1"), ("x2", "r", "y1"),
+      ("x1", "p", "m5"), ("m5", "q", "y1"))
+      .toDF("src", "pred", "dst")
+    val full = Rules.mineChains(e, maxWedge = 4L, minSupport = 1L).collect()
+      .map(r => (r.getLong(3), r.getLong(5))).toSet
+    // bodies (x1,y1)(x1,y2)(x2,y1)(x2,y2) — the m5 wedge re-derives
+    // (x1,y1), distinct keeps 4; heads hit (x1,y1),(x2,y1) → support 2
+    assert(full === Set((4L, 2L)))
+    val capped = Rules.mineChains(e, maxWedge = 3L, minSupport = 1L).collect()
+      .map(r => (r.getLong(3), r.getLong(5))).toSet
+    assert(capped === Set((1L, 1L))) // only the m5 wedge survives
+  }
+
+  test("compose materializes distinct pairs under the derived predicate") {
+    val got = Rules.compose(edges, "p", "q", "pq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("a", "pq", "u"), ("b", "pq", "v"),
+      ("c", "pq", "t"), ("d", "pq", "u")))
+  }
+
+  test("mining the graph ∪ its own composition rediscovers it at confidence 1") {
+    val e = edges.unionAll(Rules.compose(edges, "p", "q", "pq"))
+    val got = Rules.mineChains(e, minSupport = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(6)))).toMap
+    assert(got(("p", "q", "pq")) === ((4L, 1000000L)))
+  }
+}
