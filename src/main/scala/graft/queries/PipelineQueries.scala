@@ -48,6 +48,17 @@ object PipelineQueries {
     "fe_extract" -> ((s, d) => KgPipeline.run(s, d, ck(d), "extracted")),
     "fe_mentions" -> ((s, d) => KgPipeline.run(s, d, ck(d), "mentions")),
     "fe_linked" -> ((s, d) => KgPipeline.run(s, d, ck(d), "linked")),
+    // dictionary-free alignment of the two linked namespaces (entA_* vs
+    // entB_*) from shared-fact evidence alone — the PARIS path a pipeline
+    // falls back to when no alias catalog exists; RA-weighted, top-3 per
+    // a, every score exact integer micro-units
+    "fe_align" -> ((s, d) => {
+      val l = KgPipeline.run(s, d, ck(d), "linked")
+        .select(col("subj_id").as("subj"), col("pred"), col("obj_id").as("obj"))
+      Align.alignByEvidence(
+        l.filter(col("subj").startsWith("entA_")),
+        l.filter(col("subj").startsWith("entB_")))
+    }),
     "fe_canonical_map" -> ((s, d) => Canonicalize.canonicalMap(Pages.aliases(s))),
     // the MinHash-LSH-blocked canonicalization path end-to-end (bands →
     // Jaccard verify → CC) composed with the exact key: the synthetic
@@ -581,6 +592,26 @@ object PipelineQueries {
     "fe_extract" -> withDocs("SELECT url, body AS text FROM docs"),
     "fe_mentions" -> withDocs(mentionsSql),
     "fe_linked" -> withDocs(linkedSql),
+    "fe_align" -> withDocs(
+      s""", lk AS MATERIALIZED ($linkedSql),
+         |s1 AS MATERIALIZED (SELECT DISTINCT subj_id AS a, pred, obj_id AS o FROM lk WHERE subj_id LIKE 'entA_%'),
+         |s2 AS MATERIALIZED (SELECT DISTINCT subj_id AS b, pred, obj_id AS o FROM lk WHERE subj_id LIKE 'entB_%'),
+         |n1 AS (SELECT pred, o, COUNT(*) AS c1 FROM s1 GROUP BY 1, 2),
+         |n2 AS (SELECT pred, o, COUNT(*) AS c2 FROM s2 GROUP BY 1, 2),
+         |vok AS MATERIALIZED (
+         |  SELECT n1.pred, n1.o, 1000000 // (n1.c1 + n2.c2) AS w
+         |  FROM n1 JOIN n2 ON n2.pred = n1.pred AND n2.o = n1.o
+         |  WHERE n1.c1 * n2.c2 <= 1048576),
+         |g AS (
+         |  SELECT s1.a, s2.b, CAST(COUNT(*) AS BIGINT) AS shared_n,
+         |         CAST(SUM(v.w) AS BIGINT) AS ra_micros
+         |  FROM s1 JOIN vok v ON v.pred = s1.pred AND v.o = s1.o
+         |  JOIN s2 ON s2.pred = s1.pred AND s2.o = s1.o
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT a, b, shared_n, ra_micros, arank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ra_micros DESC, b) AS INT) AS arank
+         |  FROM g) t
+         |WHERE arank <= 3""".stripMargin),
     "fe_canonical_map" -> withDocs(
       """SELECT DISTINCT entity_id,
         |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
