@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Truth discovery over conflicting web claims — the conflict-resolution
+  * stage a KG-construction pipeline needs once the SAME (subject,
+  * predicate) data item arrives with DIFFERENT object values from
+  * different pages (the reference's single-ontology world never conflicts;
+  * a 10^12-doc crawl always does).
+  *
+  * Algorithm: fixed-round iterative source-trust voting — the Sums /
+  * TruthFinder family (Yin, Han, Yu, TKDE'08) reduced to its exact-
+  * arithmetic core so the result is engine-portable and oracle-checkable:
+  *
+  *   trust_1(src)          = 10^6                       (uniform)
+  *   belief_r(item, v)     = Σ_{src asserts (item,v)} trust_r(src)
+  *   winner_r(item)        = argmax_v belief_r  (value-asc tiebreak)
+  *   trust_{r+1}(src)      = 10^6 · |claims of src agreeing with winner_r|
+  *                                 // |claims of src|
+  *
+  * All quantities are int64 micro-units; the only division is one integer
+  * division per source per round (both engines truncate non-negative
+  * division identically), so belief/trust match DuckDB bit-for-bit — no
+  * float fixpoint, no dampening constants to drift.
+  *
+  * Scale shape (the 100-TB contract):
+  *   - belief is ONE map-side-combinable aggregate keyed (subj, pred, obj);
+  *   - the winner is ONE min(struct(-belief, obj)) aggregate per
+  *     (subj, pred) — never a per-item window sort, so a head data item
+  *     asserted by millions of pages costs its reducer one struct;
+  *   - the trust update joins claims to the winner table on (subj, pred)
+  *     (both sides just shuffled on that key — co-partitioned) and
+  *     re-aggregates keyed src, map-side-combinable again;
+  *   - rounds are FIXED and small (default 2); each round's trust table is
+  *     |sources|-sized and localCheckpointed so lineage stays flat and the
+  *     next round's join starts from materialized partitions.
+  *   - skewed head items (a fact asserted by every page of a mirror farm)
+  *     ride AQE's skew split on the (subj, pred) shuffle; the aggregates
+  *     themselves never hold more than one partial per key.
+  */
+object Truth {
+
+  val TrustScale = 1000000L
+
+  private def beliefOf(claims: DataFrame, trust: DataFrame): DataFrame =
+    claims.join(trust, "src")
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(sum(col("trust_micros")).as("belief_micros"),
+        count(lit(1)).as("n_src"))
+
+  private def winnersOf(belief: DataFrame): DataFrame =
+    belief.groupBy(col("subj"), col("pred"))
+      .agg(min(struct((-col("belief_micros")).as("nb"), col("obj").as("obj"),
+        col("n_src").as("n_src"))).as("w"))
+      .select(col("subj"), col("pred"), col("w.obj").as("obj"),
+        (-col("w.nb")).as("belief_micros"), col("w.n_src").as("n_src"))
+
+  private def trustOf(claims: DataFrame, winners: DataFrame): DataFrame =
+    claims
+      .join(winners.select(col("subj"), col("pred"), col("obj").as("__wobj")),
+        Seq("subj", "pred"))
+      .groupBy(col("src"))
+      .agg(expr(s"$TrustScale * sum(CASE WHEN obj = __wobj THEN 1 ELSE 0 END) div count(1)")
+        .as("trust_micros"))
+
+  /** claims(src, subj, pred, obj) — distinct single-valued assertions —
+    * → the round-`rounds` winner per (subj, pred) with its belief mass
+    * and supporting-source count. */
+  def resolve(claims: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "at least one voting round")
+    val c = claims.select(col("src"), col("subj"), col("pred"), col("obj"))
+      .distinct().localCheckpoint(true)
+    var trust = c.select(col("src")).distinct()
+      .withColumn("trust_micros", lit(TrustScale))
+    var winners = winnersOf(beliefOf(c, trust))
+    for (_ <- 2 to rounds) {
+      trust = trustOf(c, winners.localCheckpoint(true)).localCheckpoint(true)
+      winners = winnersOf(beliefOf(c, trust))
+    }
+    winners
+  }
+
+  /** The per-source trust table entering the FINAL voting round — the
+    * source-reliability artifact (crawl-prioritization / domain-quality
+    * signal) the iteration produces as a byproduct. Round 1 is uniform by
+    * definition, so `rounds` ≥ 2 is required for a meaningful table. */
+  def sourceTrust(claims: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 2, "trust is uniform before round 2")
+    val c = claims.select(col("src"), col("subj"), col("pred"), col("obj"))
+      .distinct().localCheckpoint(true)
+    var trust = c.select(col("src")).distinct()
+      .withColumn("trust_micros", lit(TrustScale))
+    var winners = winnersOf(beliefOf(c, trust))
+    for (_ <- 3 to rounds) {
+      trust = trustOf(c, winners.localCheckpoint(true)).localCheckpoint(true)
+      winners = winnersOf(beliefOf(c, trust))
+    }
+    trustOf(c, winners.localCheckpoint(true))
+  }
+
+  /** Temporal scoping of facts from crawl provenance: per canonical
+    * triple, the first/last snapshot timestamp observing it and the
+    * number of distinct observing pages — the valid-time annotation a
+    * temporal KG keeps per edge (and the freshness/support signal fact
+    * ranking uses). ONE aggregate over the ts-carrying claim stream
+    * (min/max/count-distinct partials are all map-side-combinable; the
+    * count-distinct expands to (triple, url) partials, still one shuffle
+    * keyed by the triple). */
+  def factIntervals(claims: DataFrame): DataFrame =
+    claims.groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(min(col("warc_ts")).as("first_ts"),
+        max(col("warc_ts")).as("last_ts"),
+        countDistinct(col("url")).as("n_docs"))
+}

@@ -35,12 +35,33 @@ object PipelineQueries {
       |Disallow: /doc/*7$
       |""".stripMargin
 
+  // the canonical claim stream replayed arithmetically (shared by the
+  // truth-discovery oracles): linked triples with BOTH entA_/entB_ subject
+  // namespaces collapsed to the canonical entA_ id (what Canonicalize does
+  // via the alias-catalog connected components), provenance url as src.
+  // Rows are distinct per (src, subj, pred, obj) by construction — one
+  // claim per (doc, pred) branch and urls are unique per doc — so the
+  // oracle's COUNT(*) equals the engine's count over distinct claims.
+  private val claimsCte =
+    """cl AS MATERIALIZED (
+      |  SELECT url AS src, 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM docs
+      |  UNION ALL SELECT url, 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM docs WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT url, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM docs WHERE doc_id % 3 = 0)""".stripMargin
+
   // the planted hyperlink set, recomputed arithmetically (shared by the
   // host-graph / frontier / crawl-depth oracles)
   private val linksCte =
     """l AS MATERIALIZED (SELECT url AS src, 'https://ex.org/doc/' || (doc_id % 97) AS dst FROM docs
       |  UNION ALL SELECT url, 'https://ex.org/doc/' || (doc_id + 1) FROM docs
       |  UNION ALL SELECT url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id FROM docs)""".stripMargin
+
+  // canonical (src page, subj, pred, obj) claim stream — the truth-
+  // discovery input: provenance kept through linking + canonicalization
+  private def canonicalClaims(s: SparkSession, d: String): DataFrame = {
+    val linked = KgPipeline.run(s, d, ck(d), "linked")
+    Canonicalize(linked, Pages.aliases(s), keep = Seq("url"))
+      .withColumnRenamed("url", "src")
+  }
 
   def queries: Map[String, Q] = Map(
     "fe_pages" -> ((s, d) => KgPipeline.run(s, d, ck(d), "pages")
@@ -58,6 +79,29 @@ object PipelineQueries {
       Align.alignByEvidence(
         l.filter(col("subj").startsWith("entA_")),
         l.filter(col("subj").startsWith("entB_")))
+    }),
+    // truth discovery over the CONFLICTING canonical claims (the fixture
+    // genuinely conflicts: docs with the same doc_id%97 subject assert
+    // different doc_id%31 birth cities): 2-round iterative source-trust
+    // voting in exact integer micro-units — round 1 is the uniform
+    // majority, round 2 re-votes with each page's trust set to its
+    // round-1 agreement rate; beliefs (and near-tie winners) shift, so
+    // the iteration itself is hash-load-bearing
+    "fe_truth" -> ((s, d) => Truth.resolve(canonicalClaims(s, d), rounds = 2)),
+    // the per-source trust table entering the final round — the
+    // source-reliability byproduct (domain-quality / crawl-priority signal)
+    "fe_truth_trust" -> ((s, d) =>
+      Truth.sourceTrust(canonicalClaims(s, d), rounds = 2)),
+    // temporal scoping: per canonical triple, first/last observing
+    // snapshot + distinct-page support, from the ts-carrying extract →
+    // mention → link → canonicalize chain (warc_ts rides the `keep`
+    // pass-throughs; ONE aggregate at the end)
+    "fe_fact_intervals" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val mentions = Mentions.withTs(Extract.withTs(pages)).toDF()
+      val linked = Link(mentions, Pages.aliases(s), keep = Seq("warc_ts"))
+      Truth.factIntervals(
+        Canonicalize(linked, Pages.aliases(s), keep = Seq("url", "warc_ts")))
     }),
     "fe_canonical_map" -> ((s, d) => Canonicalize.canonicalMap(Pages.aliases(s))),
     // the MinHash-LSH-blocked canonicalization path end-to-end (bands →
@@ -612,6 +656,34 @@ object PipelineQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ra_micros DESC, b) AS INT) AS arank
          |  FROM g) t
          |WHERE arank <= 3""".stripMargin),
+    "fe_truth" -> withDocs(
+      s""", $claimsCte,
+         |b1 AS (SELECT subj, pred, obj, CAST(1000000 * COUNT(*) AS BIGINT) AS bel FROM cl GROUP BY 1, 2, 3),
+         |w1 AS MATERIALIZED (SELECT subj, pred, obj AS wobj FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY bel DESC, obj) AS rn FROM b1) t WHERE rn = 1),
+         |t2 AS MATERIALIZED (SELECT src, CAST(1000000 * SUM(CASE WHEN obj = wobj THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS trust
+         |    FROM cl JOIN w1 USING (subj, pred) GROUP BY src),
+         |b2 AS (SELECT subj, pred, obj, CAST(SUM(trust) AS BIGINT) AS belief_micros, CAST(COUNT(*) AS BIGINT) AS n_src
+         |    FROM cl JOIN t2 USING (src) GROUP BY 1, 2, 3)
+         |SELECT subj, pred, obj, belief_micros, n_src FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY belief_micros DESC, obj) AS rn FROM b2) t
+         |WHERE rn = 1""".stripMargin),
+    "fe_truth_trust" -> withDocs(
+      s""", $claimsCte,
+         |b1 AS (SELECT subj, pred, obj, CAST(1000000 * COUNT(*) AS BIGINT) AS bel FROM cl GROUP BY 1, 2, 3),
+         |w1 AS MATERIALIZED (SELECT subj, pred, obj AS wobj FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY bel DESC, obj) AS rn FROM b1) t WHERE rn = 1)
+         |SELECT src, CAST(1000000 * SUM(CASE WHEN obj = wobj THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS trust_micros
+         |FROM cl JOIN w1 USING (subj, pred) GROUP BY src""".stripMargin),
+    "fe_fact_intervals" -> withDocs(
+      """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
+        |cl AS MATERIALIZED (
+        |  SELECT url, wts, 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM tsd
+        |  UNION ALL SELECT url, wts, 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM tsd WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT url, wts, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM tsd WHERE doc_id % 3 = 0)
+        |SELECT subj, pred, obj, MIN(wts) AS first_ts, MAX(wts) AS last_ts,
+        |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1, 2, 3""".stripMargin),
     "fe_canonical_map" -> withDocs(
       """SELECT DISTINCT entity_id,
         |  MIN(entity_id) OVER (PARTITION BY lower(substr(surface,1,3)) || '|' || regexp_extract(surface, '(\d+)', 1)) AS canonical
