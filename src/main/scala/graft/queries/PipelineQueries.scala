@@ -63,7 +63,44 @@ object PipelineQueries {
       .withColumnRenamed("url", "src")
   }
 
+  // fixture pages carrying structured markup, generated ARITHMETICALLY from
+  // docs (SF-scaled, fully distributed — one projection, no driver data):
+  // a JSON-LD block with a nested object (plus a malformed block FIRST on
+  // every 10th doc that must be skipped whole without shifting node ids),
+  // a microdata Article with meta/href/nested-itemscope value sources, and
+  // two tables (headed + headerless). The parsers must invert all of it.
+  private def structPages(s: SparkSession, d: String): DataFrame = {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val k = col("doc_id") % 97
+    val w = col("doc_id") % 13
+    val html = concat(
+      lit("<html><head>"),
+      when(col("doc_id") % 10 === 0,
+        lit("""<script type="application/ld+json">{"@type":"X","bad": }</script>"""))
+        .otherwise(lit("")),
+      lit("""<script type="application/ld+json">{"@type":"Person","name":"Ent """),
+      k, lit("""","worksFor":{"@type":"Organization","name":"Org """), w,
+      lit(""""},"age":"""), col("doc_id") % 80, lit("}</script></head>"),
+      lit("""<body itemscope itemtype="https://schema.org/Article">"""),
+      lit("""<span itemprop="author">Ent """), k, lit("</span>"),
+      lit("""<meta itemprop="datePublished" content="2025-01-"""),
+      col("doc_id") % 28 + 1, lit("\">"),
+      lit("""<a itemprop="url" href=""""), col("url"), lit("\">x</a>"),
+      lit("""<div itemprop="publisher" itemscope itemtype="https://schema.org/Organization"><span itemprop="name">Org """),
+      w, lit("</span></div>"),
+      lit("<table><tr><th>key</th><th>val</th></tr><tr><td>city</td><td>city_"),
+      col("doc_id") % 31, lit("</td></tr><tr><td>country</td><td>country_"),
+      col("doc_id") % 7, lit("</td></tr></table>"),
+      lit("<table><tr><td>r1</td><td>"), col("doc_id"),
+      lit("</td></tr></table></body></html>"))
+    docs.select(concat(lit("https://ex.org/doc/"), col("doc_id")).as("url"),
+      encode(html, "UTF-8").as("html"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "fe_microdata" -> ((s, d) => Structured.microdata(structPages(s, d)).toDF()),
+    "fe_jsonld" -> ((s, d) => Structured.jsonLd(structPages(s, d)).toDF()),
+    "fe_web_tables" -> ((s, d) => Structured.tables(structPages(s, d)).toDF()),
     "fe_pages" -> ((s, d) => KgPipeline.run(s, d, ck(d), "pages")
       .select(col("url"), col("warc_ts"), col("lang"), col("text"))),
     "fe_extract" -> ((s, d) => KgPipeline.run(s, d, ck(d), "extracted")),
@@ -630,6 +667,24 @@ object PipelineQueries {
   private val htmlSql = Pages.Sql.html
 
   def oracleSql: Map[String, String] = Map(
+    "fe_microdata" -> withDocs(
+      """SELECT url, CAST(1 AS BIGINT) AS item, 'https://schema.org/Article' AS itemtype, 'author' AS prop, 'Ent ' || (doc_id % 97) AS value FROM docs
+        |UNION ALL SELECT url, 1, 'https://schema.org/Article', 'datePublished', '2025-01-' || (doc_id % 28 + 1) FROM docs
+        |UNION ALL SELECT url, 1, 'https://schema.org/Article', 'url', url FROM docs
+        |UNION ALL SELECT url, 1, 'https://schema.org/Article', 'publisher', '#2' FROM docs
+        |UNION ALL SELECT url, CAST(2 AS BIGINT), 'https://schema.org/Organization', 'name', 'Org ' || (doc_id % 13) FROM docs""".stripMargin),
+    "fe_jsonld" -> withDocs(
+      """SELECT url, CAST(1 AS BIGINT) AS node, 'Person' AS nodetype, 'name' AS prop, 'Ent ' || (doc_id % 97) AS value FROM docs
+        |UNION ALL SELECT url, 1, 'Person', 'worksFor', '#2' FROM docs
+        |UNION ALL SELECT url, CAST(2 AS BIGINT), 'Organization', 'name', 'Org ' || (doc_id % 13) FROM docs
+        |UNION ALL SELECT url, 1, 'Person', 'age', CAST(doc_id % 80 AS VARCHAR) FROM docs""".stripMargin),
+    "fe_web_tables" -> withDocs(
+      """SELECT url, CAST(1 AS BIGINT) AS table_idx, CAST(1 AS BIGINT) AS row_idx, CAST(1 AS BIGINT) AS col_idx, 'key' AS header, 'city' AS value FROM docs
+        |UNION ALL SELECT url, 1, 1, 2, 'val', 'city_' || (doc_id % 31) FROM docs
+        |UNION ALL SELECT url, 1, 2, 1, 'key', 'country' FROM docs
+        |UNION ALL SELECT url, 1, 2, 2, 'val', 'country_' || (doc_id % 7) FROM docs
+        |UNION ALL SELECT url, CAST(2 AS BIGINT), 1, 1, 'col_1', 'r1' FROM docs
+        |UNION ALL SELECT url, 2, 1, 2, 'col_2', CAST(doc_id AS VARCHAR) FROM docs""".stripMargin),
     "fe_pages" -> withDocs(
       """SELECT url, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
         |       lang, body AS text FROM docs""".stripMargin),
