@@ -34,6 +34,15 @@ object PathExpr {
   final case class PSeq(a: PathExpr, b: PathExpr) extends PathExpr
   /** Alternation (`a|b`). */
   final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+  /** Zero-or-one (`e?`): the zero-length path relates every term of the
+    * graph's active domain to itself, so evaluation is DISTINCT by spec
+    * (ZeroOrOnePath, SPARQL 1.1 §18.4) — unlike the bag-semantics
+    * closure-free operators. */
+  final case class ZeroOrOne(e: PathExpr) extends PathExpr
+  /** Negated property set `!(p1|…|pn)` — one hop over any predicate NOT
+    * in the set; `inv = true` is the inverse form `!(^p1|…|^pn)` (the
+    * spec splits a mixed set into exactly this forward|inverse pair). */
+  final case class NegSet(preds: Seq[String], inv: Boolean = false) extends PathExpr
 }
 
 object Paths {
@@ -51,13 +60,31 @@ object Paths {
     case Inv(Inv(x))    => pairs(edges, x)
     case Inv(PSeq(a, b)) => pairs(edges, PSeq(Inv(b), Inv(a)))
     case Inv(Alt(a, b))  => pairs(edges, Alt(Inv(a), Inv(b)))
+    case Inv(ZeroOrOne(x)) => pairs(edges, ZeroOrOne(Inv(x))) // identity is symmetric
+    case Inv(NegSet(ps, i)) => pairs(edges, NegSet(ps, !i))
     case PSeq(a, b) =>
       val pa = pairs(edges, a).withColumnRenamed("o", "m")
       val pb = pairs(edges, b).withColumnRenamed("s", "m")
       pa.join(pb, "m").select(col("s"), col("o"))
     case Alt(a, b) =>
       pairs(edges, a).unionAll(pairs(edges, b))
+    case ZeroOrOne(x) =>
+      // identity over the active domain (every term in the edge table) ∪
+      // pairs(x), DISTINCT per spec. One extra scan for the term set —
+      // both branches prune to (src, dst) / the x-relevant predicates.
+      terms(edges).select(col("t").as("s"), col("t").as("o"))
+        .unionAll(pairs(edges, x)).distinct()
+    case NegSet(ps, false) =>
+      edges.filter(!col("pred").isin(ps: _*))
+        .select(col("src").as("s"), col("dst").as("o"))
+    case NegSet(ps, true) =>
+      edges.filter(!col("pred").isin(ps: _*))
+        .select(col("dst").as("s"), col("src").as("o"))
   }
+
+  /** The graph's active domain: every term appearing as subject or object. */
+  private def terms(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("t")).unionAll(edges.select(col("dst").as("t"))).distinct()
 
   /** Nodes reachable from `sources` via 1..n applications of `e` (SPARQL
     * `e+` with the subject side bound to a seed set), with the BFS level
@@ -72,7 +99,8 @@ object Paths {
       e: PathExpr,
       sources: Seq[String],
       maxRounds: Int = 64,
-      depthLimit: Option[Int] = None): DataFrame = {
+      depthLimit: Option[Int] = None,
+      includeZero: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "closureFrom needs at least one seed")
     require(depthLimit.forall(_ >= 1), "depthLimit must be >= 1")
     val spark = edges.sparkSession
@@ -80,10 +108,17 @@ object Paths {
     val step = pairs(edges, e).distinct().localCheckpoint(true)
     try {
       val seed = sources.toDF("node")
+      // includeZero = SPARQL `e*`: the seeds themselves are reachable by
+      // the zero-length path at dist 0 — a seed re-reached through a cycle
+      // keeps MIN dist 0 because the anti-join below already knows it
+      val zero = seed.withColumn("dist", lit(0))
       var frontier = step.join(broadcast(seed), step("s") === seed("node"))
         .select(step("o").as("node")).distinct()
-        .withColumn("dist", lit(1)).localCheckpoint(true)
-      var reach = frontier
+        .withColumn("dist", lit(1))
+      if (includeZero)
+        frontier = frontier.join(zero.select("node"), Seq("node"), "left_anti")
+      frontier = frontier.localCheckpoint(true)
+      var reach = if (includeZero) zero.unionAll(frontier) else frontier
       var round = 1
       var done = frontier.isEmpty
       // depthLimit = bounded BFS (crawl-to-depth-D semantics): stop

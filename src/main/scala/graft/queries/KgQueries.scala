@@ -262,6 +262,31 @@ object KgQueries {
       graft.core.Paths.closureFrom(TpchKg.load(s, d).edges,
         PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"))
     }),
+    // `e*` (ZeroOrMorePath): the same co-purchase closure with the seed
+    // reachable at dist 0 by the zero-length path — p:1 is ALSO re-reached
+    // through its own 2-hop cycle, so MIN(0, cycle dist) = 0 is binding
+    "kg_path_star" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Paths.closureFrom(TpchKg.load(s, d).edges,
+        PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"),
+        includeZero = true)
+    }),
+    // `e?` (ZeroOrOnePath): identity over the ACTIVE DOMAIN (every term of
+    // the edge table) ∪ one inRegion hop, DISTINCT per spec — the identity
+    // rows are the load-bearing part (a pairs-only evaluation misses every
+    // non-nation term)
+    "kg_path_zeroorone" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Paths.pairs(TpchKg.load(s, d).edges, ZeroOrOne(Pred("inRegion")))
+    }),
+    // negated property set `!(contains)` composed in a sequence: part ↦
+    // its orders (inverse hop) ↦ every NON-contains neighbor (placedBy and
+    // suppliedBy edges survive the negation), bag semantics
+    "kg_path_negset" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Paths.pairs(TpchKg.load(s, d).edges,
+        PSeq(Inv(Pred("contains")), NegSet(Seq("contains"))))
+    }),
     // frequent co-purchase pairs (the market-basket length-2 miner):
     // baskets capped before the quadratic fan-out, support threshold at
     // the aggregate — all orders are under the cap here, so the cap is
@@ -639,6 +664,22 @@ object KgQueries {
       s"""${pathClosureCtes(8)}
          |SELECT node, CAST(MIN(lvl) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin,
       inCte = true),
+    "kg_path_star" -> TpchKgSql.withKg(
+      s"""${pathClosureCtes(8)}
+         |SELECT node, CAST(MIN(lvl) AS INT) AS dist
+         |FROM (SELECT node, lvl FROM lvl UNION ALL SELECT 'p:1', 0) z
+         |GROUP BY node""".stripMargin,
+      inCte = true),
+    "kg_path_zeroorone" -> TpchKgSql.withKg(
+      """SELECT DISTINCT s, o FROM (
+        |  SELECT t AS s, t AS o FROM (
+        |    SELECT src AS t FROM edges UNION SELECT dst FROM edges) d
+        |  UNION ALL
+        |  SELECT src, dst FROM edges WHERE pred = 'inRegion') u""".stripMargin),
+    "kg_path_negset" -> TpchKgSql.withKg(
+      """SELECT c.dst AS s, n.dst AS o
+        |FROM edges c JOIN edges n ON n.src = c.src AND n.pred <> 'contains'
+        |WHERE c.pred = 'contains'""".stripMargin),
     "kg_char_sets" -> TpchKgSql.withKg(
       """cs AS MATERIALIZED (
         |  SELECT src, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,

@@ -94,6 +94,43 @@ class PathsSpec extends SparkSpec {
     }
   }
 
+  test("ZeroOrOne: identity over the active domain, DISTINCT semantics") {
+    val e = edges(("a", "p", "b"), ("b", "q", "c"), ("a", "p2", "a"))
+    // every term relates to itself; (a,b) once even though the self-loop
+    // p2 and the identity could both produce (a,a)
+    val got = pairBag(Paths.pairs(e, ZeroOrOne(Pred("p"))))
+    assert(got === Map(("a", "a") -> 1L, ("b", "b") -> 1L, ("c", "c") -> 1L,
+      ("a", "b") -> 1L))
+    // inverse of e? is (^e)? — identity unchanged, hop flipped
+    val inv = pairBag(Paths.pairs(e, Inv(ZeroOrOne(Pred("p")))))
+    assert(inv === Map(("a", "a") -> 1L, ("b", "b") -> 1L, ("c", "c") -> 1L,
+      ("b", "a") -> 1L))
+  }
+
+  test("NegSet: forward and inverse negated property sets, bag semantics") {
+    val e = edges(("a", "p", "b"), ("a", "q", "b"), ("a", "r", "c"))
+    assert(pairBag(Paths.pairs(e, NegSet(Seq("p")))) ===
+      Map(("a", "b") -> 1L, ("a", "c") -> 1L))
+    assert(pairBag(Paths.pairs(e, NegSet(Seq("p", "q", "r")))) === Map.empty)
+    // !(^p) = inverse hops over everything but p
+    assert(pairBag(Paths.pairs(e, NegSet(Seq("p"), inv = true))) ===
+      Map(("b", "a") -> 1L, ("c", "a") -> 1L))
+    // Inv(!(x)) = !(^x)
+    assert(pairBag(Paths.pairs(e, Inv(NegSet(Seq("p"))))) ===
+      pairBag(Paths.pairs(e, NegSet(Seq("p"), inv = true))))
+  }
+
+  test("closureFrom includeZero: star semantics — seed at dist 0 beats its cycle") {
+    val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"))
+    val star = Paths.closureFrom(e, Pred("p"), Seq("a"), includeZero = true)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(star === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // a seed with no outgoing step is still reachable at 0
+    val lone = Paths.closureFrom(e, Pred("p"), Seq("z"), includeZero = true)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(lone === Map("z" -> 0))
+  }
+
   test("closureFrom is invariant under input partitioning") {
     val e = edges(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"), ("c", "p", "d"))
     val one = Paths.closureFrom(e, Pred("p"), Seq("a"))
