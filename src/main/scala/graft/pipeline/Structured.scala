@@ -178,6 +178,7 @@ object Structured {
               else if (html.regionMatches(true, c, close, 0, close.length)) found = c
               else k = c + 1
             }
+            if (found < 0) found = n // raw tag opened at end of input
             emit(RawTok(name, html.substring(i, math.min(found, n))))
             // consume the close tag itself (if present)
             if (found < n) {
