@@ -101,6 +101,61 @@ object PipelineQueries {
     "fe_microdata" -> ((s, d) => Structured.microdata(structPages(s, d)).toDF()),
     "fe_jsonld" -> ((s, d) => Structured.jsonLd(structPages(s, d)).toDF()),
     "fe_web_tables" -> ((s, d) => Structured.tables(structPages(s, d)).toDF()),
+    // markup → KG fusion: microdata claims (author --worksFor--> publisher
+    // name, the "#k" item reference resolved for real) case-folded,
+    // dictionary-linked, canonicalized, and UNIONed with the text-extracted
+    // triples. Markup asserts worksFor on EVERY doc while text only does on
+    // even doc_ids — the odd-doc rows exist only via this path, so the
+    // fusion (and the reference resolution feeding it) is hash-load-bearing
+    "fe_structured_triples" -> ((s, d) => {
+      val md = Structured.microdata(structPages(s, d)).toDF()
+      val authors = md.filter(col("prop") === "author")
+        .select(col("url"), col("value").as("subjSurface"))
+      val pubRef = md.filter(col("prop") === "publisher")
+        .select(col("url"),
+          expr("CAST(substring(value, 2) AS BIGINT)").as("item"))
+      val orgName = md.filter(col("prop") === "name")
+        .select(col("url"), col("item"), lower(col("value")).as("objSurface"))
+      val mentions = authors
+        .join(pubRef, Seq("url"))
+        .join(orgName, Seq("url", "item"))
+        .select(col("url"), col("subjSurface"), lit("worksFor").as("pred"),
+          col("objSurface"))
+      val markup = Canonicalize(Link(mentions, Pages.aliases(s)), Pages.aliases(s))
+      KgPipeline.run(s, d, ck(d), "triples")
+        .unionAll(markup.select(col("subj"), col("pred"), col("obj")))
+        .distinct()
+    }),
+    // contextual disambiguation over an arithmetically planted ambiguity:
+    // surface amb_(d%20) has candidates ea (prior 0.9) / eb (prior 0.3);
+    // even docs carry TWO ca_* context mentions (c1 entities — ea's
+    // neighborhood, coherence 2), odd docs ONE cb_* mention (c2 — eb's,
+    // coherence 1). Odd docs must flip the prior on evidence; even docs
+    // must count BOTH context entities. Every score replays in SQL.
+    "fe_disambiguate" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(concat(lit("https://ex.org/doc/"), col("doc_id")).as("url"),
+          col("doc_id"))
+      val even = col("doc_id") % 2 === 0
+      val mentions = docs.select(col("url"),
+          concat(lit("amb_"), col("doc_id") % 20).as("surface"))
+        .unionAll(docs.select(col("url"),
+          concat(when(even, "ca_").otherwise("cb_"), col("doc_id") % 10)))
+        .unionAll(docs.filter(even).select(col("url"),
+          concat(lit("ca_"), (col("doc_id") + 3) % 10)))
+      val candidates =
+        (0 until 20).flatMap(k => Seq((s"amb_$k", s"ea_$k", 900000L),
+            (s"amb_$k", s"eb_$k", 300000L)))
+          .++((0 until 10).flatMap(j => Seq((s"ca_$j", s"c1_$j", 1000000L),
+            (s"cb_$j", s"c2_$j", 1000000L))))
+          .toDF("surface", "entity_id", "prior_micros")
+      val edges =
+        (for (k <- 0 until 20; j <- 0 until 10)
+          yield Seq((s"ea_$k", s"c1_$j"), (s"eb_$k", s"c2_$j"))).flatten
+          .toDF("src", "dst")
+      Disambiguate.link(mentions, candidates, edges)
+    }),
     "fe_pages" -> ((s, d) => KgPipeline.run(s, d, ck(d), "pages")
       .select(col("url"), col("warc_ts"), col("lang"), col("text"))),
     "fe_extract" -> ((s, d) => KgPipeline.run(s, d, ck(d), "extracted")),
@@ -685,6 +740,16 @@ object PipelineQueries {
         |UNION ALL SELECT url, 1, 2, 2, 'val', 'country_' || (doc_id % 7) FROM docs
         |UNION ALL SELECT url, CAST(2 AS BIGINT), 1, 1, 'col_1', 'r1' FROM docs
         |UNION ALL SELECT url, 2, 1, 2, 'col_2', CAST(doc_id AS VARCHAR) FROM docs""".stripMargin),
+    "fe_disambiguate" -> withDocs(
+      """SELECT url, 'amb_' || (doc_id % 20) AS surface,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ea_' ELSE 'eb_' END || (doc_id % 20) AS entity_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS coherence,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 900000 ELSE 300000 END AS BIGINT) AS prior_micros
+        |FROM docs""".stripMargin),
+    "fe_structured_triples" -> withDocs(
+      s"""SELECT subj, pred, obj FROM ($triplesSql) t
+         |UNION
+         |SELECT DISTINCT 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM docs""".stripMargin),
     "fe_pages" -> withDocs(
       """SELECT url, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
         |       lang, body AS text FROM docs""".stripMargin),
