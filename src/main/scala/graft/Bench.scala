@@ -213,7 +213,19 @@ object Bench {
       "kg_linkpred" -> (s => graft.sample.GraphMetrics.linkPredFeatures(
         graft.sample.GraphMetrics.undirected(
           graft.sources.TpchKg.load(s, sfDir).edges, "contains"),
-        maxZDeg = 32, minSupport = 2).count()))
+        maxZDeg = 32, minSupport = 2).count()),
+      // truth discovery over the canonical claim stream: two voting
+      // rounds, each one map-side-combinable belief aggregate + one
+      // min-struct winner pick + one co-partitioned trust join — the
+      // iterative-aggregation scale shape (reuses the fe checkpoint dir,
+      // so the number is the voting loop, not the pipeline re-run)
+      "fe_truth" -> (s =>
+        graft.queries.PipelineQueries.queries("fe_truth")(s, sfDir).count()),
+      // JSON-LD extraction over SF-scaled markup: the map-only
+      // single-pass-parser shape (tokenizer + recursive-descent JSON per
+      // page, zero shuffle)
+      "fe_jsonld" -> (s =>
+        graft.queries.PipelineQueries.queries("fe_jsonld")(s, sfDir).count()))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 

@@ -110,6 +110,11 @@ object SamplerQueries {
     // every draw oracle-replayed byte-identically
     "smp_kge_negatives" -> ((s, d) =>
       KgeNegatives.negatives(TpchKg.load(s, d), k = 2, seed = Seed)),
+    // filtered ranking eval (Bordes et al. filtered setting): each distinct
+    // positive ranked against its corruptions under the frequency-baseline
+    // scorer; ONE exact-integer row (rank/reciprocal-rank sums, Hits@1/3)
+    "smp_kge_eval" -> ((s, d) =>
+      KgeEval.rankingEval(TpchKg.load(s, d), k = 2, seed = Seed)),
     "smp_pagerank_props" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
       val pr = PageRank.compute(kb, iterations = 30)
@@ -200,6 +205,33 @@ object SamplerQueries {
       sampled.edges.join(sampled.nodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti").isEmpty &&
       sampled.edges.join(sampled.nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti").isEmpty
     Row(name, countOk, lpRetained, edgesOk)
+  }
+
+  /** byte-exact replay of KgeNegatives.negatives(k=2, seed=42) as CTEs
+    * ending in `fneg(src, pred, dst, i, neg_src, neg_dst)` — shared by the
+    * negatives gate and the ranking-eval gate built on top of it */
+  private val kgeNegCtes: String = {
+    val keyC = "'42|c|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+    val keyD = "'42|d|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+    s"""nidx AS MATERIALIZED (
+       |  SELECT id, row_number() OVER (
+       |    ORDER BY ${Determinism.md5IntDuck("id")}, id) - 1 AS draw FROM nodes),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |draws AS MATERIALIZED (
+       |  SELECT e.src, e.pred, e.dst, g.i,
+       |    (${Determinism.md5IntDuck(keyC)}) % 2 AS corrupt_head,
+       |    (${Determinism.md5IntDuck(keyD)}) % nn.n AS draw
+       |  FROM edges e CROSS JOIN generate_series(0, 1) g(i) CROSS JOIN nn),
+       |neg AS MATERIALIZED (
+       |  SELECT d.src, d.pred, d.dst, CAST(d.i AS INT) AS i,
+       |    CASE WHEN d.corrupt_head = 1 THEN x.id ELSE d.src END AS neg_src,
+       |    CASE WHEN d.corrupt_head = 1 THEN d.dst ELSE x.id END AS neg_dst
+       |  FROM draws d JOIN nidx x ON x.draw = d.draw),
+       |fneg AS MATERIALIZED (
+       |  SELECT src, pred, dst, i, neg_src, neg_dst FROM neg
+       |  WHERE (neg_src <> src OR neg_dst <> dst)
+       |    AND NOT EXISTS (SELECT 1 FROM edges t
+       |      WHERE t.src = neg.neg_src AND t.pred = neg.pred AND t.dst = neg.neg_dst))""".stripMargin
   }
 
   private val lcgOrder = Determinism.lcgDuck("k", Seed)
@@ -313,28 +345,37 @@ object SamplerQueries {
          |JOIN cs c ON c.context = p.context
          |WHERE p.cnt * t.total > r.center_sum * c.context_sum""".stripMargin,
       inCte = true),
-    "smp_kge_negatives" -> TpchKgSql.withKg({
-      val keyC = "'42|c|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
-      val keyD = "'42|d|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
-      s"""nidx AS MATERIALIZED (
-         |  SELECT id, row_number() OVER (
-         |    ORDER BY ${Determinism.md5IntDuck("id")}, id) - 1 AS draw FROM nodes),
-         |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |draws AS MATERIALIZED (
-         |  SELECT e.src, e.pred, e.dst, g.i,
-         |    (${Determinism.md5IntDuck(keyC)}) % 2 AS corrupt_head,
-         |    (${Determinism.md5IntDuck(keyD)}) % nn.n AS draw
-         |  FROM edges e CROSS JOIN generate_series(0, 1) g(i) CROSS JOIN nn),
-         |neg AS MATERIALIZED (
-         |  SELECT d.src, d.pred, d.dst, CAST(d.i AS INT) AS i,
-         |    CASE WHEN d.corrupt_head = 1 THEN x.id ELSE d.src END AS neg_src,
-         |    CASE WHEN d.corrupt_head = 1 THEN d.dst ELSE x.id END AS neg_dst
-         |  FROM draws d JOIN nidx x ON x.draw = d.draw)
-         |SELECT src, pred, dst, i, neg_src, neg_dst FROM neg
-         |WHERE (neg_src <> src OR neg_dst <> dst)
-         |  AND NOT EXISTS (SELECT 1 FROM edges t
-         |    WHERE t.src = neg.neg_src AND t.pred = neg.pred AND t.dst = neg.neg_dst)""".stripMargin
-    }, inCte = true),
+    "smp_kge_negatives" -> TpchKgSql.withKg(
+      s"""$kgeNegCtes
+         |SELECT src, pred, dst, i, neg_src, neg_dst FROM fneg""".stripMargin,
+      inCte = true),
+    // filtered ranking eval over the SAME corruption draw: frequency-
+    // baseline scores, per-positive rank window (score desc, candidate-id
+    // tiebreak), exact-integer MR/MRR/Hits sums — rr uses per-query
+    // truncating integer division in BOTH engines
+    "smp_kge_eval" -> TpchKgSql.withKg(
+      s"""$kgeNegCtes,
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT src, pred, dst, neg_src AS cand_src, neg_dst AS cand_dst, 0 AS is_pos FROM fneg
+         |  UNION ALL SELECT DISTINCT src, pred, dst, src, dst, 1 FROM edges),
+         |sp AS (SELECT src AS cand_src, pred, COUNT(*) AS n_sp FROM edges GROUP BY 1, 2),
+         |po AS (SELECT pred, dst AS cand_dst, COUNT(*) AS n_po FROM edges GROUP BY 1, 2),
+         |scored AS MATERIALIZED (
+         |  SELECT c.src, c.pred, c.dst, c.cand_src, c.cand_dst, c.is_pos,
+         |         COALESCE(sp.n_sp, 0) + COALESCE(po.n_po, 0) AS score
+         |  FROM cand c
+         |  LEFT JOIN sp ON sp.cand_src = c.cand_src AND sp.pred = c.pred
+         |  LEFT JOIN po ON po.pred = c.pred AND po.cand_dst = c.cand_dst),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src, pred, dst
+         |    ORDER BY score DESC, cand_src, cand_dst) AS cand_rank FROM scored)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(cand_rank) AS BIGINT) AS rank_sum,
+         |       CAST(SUM(1000000 // cand_rank) AS BIGINT) AS rr_sum_micros,
+         |       CAST(SUM(CASE WHEN cand_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+         |       CAST(SUM(CASE WHEN cand_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3
+         |FROM rk WHERE is_pos = 1""".stripMargin,
+      inCte = true),
     "smp_pagerank_props" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive",
     "smp_ppr_props" ->
