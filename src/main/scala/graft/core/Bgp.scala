@@ -57,6 +57,47 @@ object Bgp {
     acc.select(bound.map(col): _*)
   }
 
+  /** BGP whose atoms carry property PATHS in the predicate position
+    * (SPARQL 1.1 §9: `?x ex:a/ex:b+ ?y` inside a pattern) — the algebra
+    * the plain string form can't express. Each atom's relation is
+    * [[Paths.pairs]] of its path (bag semantics for closure-free paths,
+    * DISTINCT inside `?` per spec); constants at either endpoint push down
+    * as filters into the path's leaf scans, repeated variables inside one
+    * atom become a same-relation filter (cycle queries), and atoms fold
+    * into equi-joins exactly like [[matchPattern]] — same join-order
+    * contract, same AQE sizing. Predicate-position variables don't exist
+    * here by construction (a path is a constant expression). */
+  def matchPathPattern(edges: DataFrame,
+                       atoms: Seq[(String, PathExpr, String)]): DataFrame = {
+    require(atoms.nonEmpty, "empty pattern")
+    def isVar(t: String) = t.startsWith("?")
+    def vn(t: String) = t.stripPrefix("?")
+
+    def atomDf(a: (String, PathExpr, String)): (DataFrame, Seq[String]) = {
+      val (s, e, o) = a
+      var df = Paths.pairs(edges, e)
+      if (!isVar(s)) df = df.filter(col("s") === s)
+      if (!isVar(o)) df = df.filter(col("o") === o)
+      if (isVar(s) && isVar(o) && vn(s) == vn(o)) df = df.filter(col("s") === col("o"))
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      if (isVar(s)) cols.getOrElseUpdate(vn(s), col("s"))
+      if (isVar(o)) cols.getOrElseUpdate(vn(o), col("o"))
+      require(cols.nonEmpty, s"path atom ($s, $e, $o) binds no variable")
+      (df.select(cols.map { case (n, c) => c.as(n) }.toSeq: _*), cols.keys.toSeq)
+    }
+
+    val (headDf, headVars) = atomDf(atoms.head)
+    var acc = headDf
+    var bound = headVars
+    atoms.tail.foreach { a =>
+      val (df, vars) = atomDf(a)
+      val shared = vars.filter(bound.contains)
+      acc = if (shared.nonEmpty) acc.join(df, shared) else acc.crossJoin(df)
+      bound = bound ++ vars.filterNot(bound.contains)
+    }
+    acc.select(bound.map(col): _*)
+  }
+
   /** SPARQL OPTIONAL (one block, the well-designed case of Pérez et al.
     * TODS'09 §4: the optional part shares variables with the required
     * part): solutions of `required` LEFT-JOINED with solutions of

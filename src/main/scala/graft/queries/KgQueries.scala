@@ -271,6 +271,16 @@ object KgQueries {
         PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"),
         includeZero = true)
     }),
+    // property paths INSIDE a BGP (SPARQL 1.1 §9): orders containing part
+    // p:1 joined with the 3-hop path to their customer's region — the
+    // path atom folds into the same equi-join chain as plain atoms, bag
+    // semantics end to end
+    "kg_bgp_path" -> ((s, d) => {
+      import graft.core.PathExpr._
+      graft.core.Bgp.matchPathPattern(TpchKg.load(s, d).edges, Seq(
+        ("?o", Pred("contains"), "p:1"),
+        ("?o", PSeq(Pred("placedBy"), PSeq(Pred("inNation"), Pred("inRegion"))), "?r")))
+    }),
     // `e?` (ZeroOrOnePath): identity over the ACTIVE DOMAIN (every term of
     // the edge table) ∪ one inRegion hop, DISTINCT per spec — the identity
     // rows are the load-bearing part (a pairs-only evaluation misses every
@@ -670,6 +680,13 @@ object KgQueries {
          |FROM (SELECT node, lvl FROM lvl UNION ALL SELECT 'p:1', 0) z
          |GROUP BY node""".stripMargin,
       inCte = true),
+    "kg_bgp_path" -> TpchKgSql.withKg(
+      """SELECT c.src AS o, rg.dst AS r
+        |FROM edges c
+        |JOIN edges pb ON pb.pred = 'placedBy' AND pb.src = c.src
+        |JOIN edges n ON n.pred = 'inNation' AND n.src = pb.dst
+        |JOIN edges rg ON rg.pred = 'inRegion' AND rg.src = n.dst
+        |WHERE c.pred = 'contains' AND c.dst = 'p:1'""".stripMargin),
     "kg_path_zeroorone" -> TpchKgSql.withKg(
       """SELECT DISTINCT s, o FROM (
         |  SELECT t AS s, t AS o FROM (

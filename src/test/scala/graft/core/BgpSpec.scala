@@ -183,6 +183,38 @@ class BgpSpec extends SparkSpec {
     assert(got === Set(("a", "b"), ("b", "c"), ("a", "c"))) // d-d dropped
   }
 
+  test("path atoms inside a BGP: sequence path joins plain atoms, bag semantics") {
+    import PathExpr._
+    // ?x knows/knows ?z joined with ?z likes ?w: chains a-b-c and a-c
+    // (direct)... knows/knows from a: via b → c; likes from c: a and c.
+    // d-d-d self loop: d likes nothing → dropped.
+    val got = Bgp.matchPathPattern(edges, Seq(
+      ("?x", PSeq(Pred("knows"), Pred("knows")), "?z"),
+      ("?z", Pred("likes"), "?w"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // bag: (a,c) reached once via b; likes fans to a and c
+    assert(got.sorted.toSeq == Seq(("a", "c", "a"), ("a", "c", "c")))
+  }
+
+  test("path atom: repeated variable is a cycle query; constant endpoint filters") {
+    import PathExpr._
+    // knows/likes pairs: a→c→{a,c}, b→c→{a,c}; cycle (s = o) keeps only a
+    val cyc = Bgp.matchPathPattern(edges, Seq(
+      ("?x", PSeq(Pred("knows"), Pred("likes")), "?x"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(cyc == Seq("a"))
+    // constant object pushes into the path's leaf scans
+    val toA = Bgp.matchPathPattern(edges, Seq(
+      ("?x", PSeq(Pred("knows"), Pred("likes")), "a"))).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(toA == Seq("a", "b"))
+    // ZeroOrOne inside a BGP keeps its DISTINCT identity semantics
+    val zo = Bgp.matchPathPattern(edges, Seq(
+      ("c", ZeroOrOne(Pred("likes")), "?y"))).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(zo == Seq("a", "c")) // identity (c,c) + likes a + likes c, distinct
+  }
+
   test("VALUES: inline bindings restrict; UNDEF (null) joins everything") {
     val got = Bgp.matchValues(edges, Seq(("?x", "knows", "?y")),
         vars = Seq("y"), rows = Seq(Seq("b"), Seq("d")))
