@@ -197,6 +197,58 @@ object Dedup {
     * broadcast memory envelope as Canonicalize's 2·10⁷-row string map). */
   val JaccardBroadcastMaxDocs = 250000L
 
+  /** The raw blocking output: DISTINCT band-bucket collision pairs
+    * (a < b), BEFORE the signature-agreement prefilter and the exact
+    * verify — the candidate set whose size/recall trade [[blockingQuality]]
+    * measures. One self-join keyed (band, key); never all-pairs. */
+  def candidatePairs(corpus: DataFrame): DataFrame = {
+    val b = lshBands(corpus)
+    b.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(b.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Blocking-quality evaluation (Christen, "Data Matching" §7: reduction
+    * ratio + pair completeness — the two numbers that justify a blocking
+    * scheme): candidates = [[candidatePairs]], ground truth = ALL
+    * shingle-sharing pairs at exact Jaccard ≥ `tau` (pairs sharing no
+    * shingle have J = 0 and cannot be matches). One exact-integer row:
+    *   rr_micros = 10^6 − 10^6·|C| // (n(n−1)/2)   (work avoided)
+    *   pc_micros = 10^6·|C ∩ M| // |M|             (matches retained)
+    * Evaluating tau BELOW the banding design point (e.g. 0.5 against
+    * 0.8-tuned bands) makes pc the honest number — the probability curve
+    * says mid-similarity pairs get missed, and pc reports exactly how
+    * many. Scale shape: the truth side is the shingle self-join — at
+    * corpus scale this is an EVALUATION job over a sample, not a per-crawl
+    * stage (all-pairs truth is quadratic by definition); candidates,
+    * intersections and counts are keyed joins + one-row aggregates. */
+  def blockingQuality(corpus: DataFrame, tau: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val cand = candidatePairs(corpus).localCheckpoint(true)
+    val sh = TextOps.shingleArrays(corpus)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val sharing = sh.select(col("h"), col("doc_id").as("a"))
+      .join(sh.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    val truth = jaccardOf(corpus, sharing, atLeast = Some(tau))
+      .filter(col("jaccard") >= tau).select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    val nc = cand.count()
+    val nt = truth.count()
+    val tp = truth.join(cand, Seq("a", "b"), "left_semi").count()
+    val allPairs = n * (n - 1) / 2
+    spark.range(1).select(
+      lit(n).as("n_records"),
+      lit(nc).as("n_candidates"),
+      lit(nt).as("n_truth"),
+      lit(tp).as("true_positives"),
+      lit(1000000L - 1000000L * nc / allPairs).as("rr_micros"),
+      lit(if (nt == 0) 1000000L else 1000000L * tp / nt).as("pc_micros"))
+  }
+
   def jaccardOf(corpus: DataFrame, pairs: DataFrame,
                 atLeast: Option[Double] = None,
                 broadcastMaxDocs: Long = JaccardBroadcastMaxDocs): DataFrame = {

@@ -165,6 +165,30 @@ object LinkGraph {
       .filter(col("arank") <= k)
   }
 
+  /** Anchor-text entity-linking dictionary (Spitkovsky & Chang, "A
+    * cross-lingual dictionary for English Wikipedia concepts", LREC'12 —
+    * the web-scale way an alias catalog is MINED rather than curated):
+    * per (anchor, target) the link count and the anchor's commonness
+    * P(target | anchor) in truncating integer micro-units, top-k targets
+    * per anchor. Feeds [[Link]]/[[Disambiguate]] as (surface, entity_id,
+    * prior) directly. Two map-side-combinable aggregates + one per-anchor
+    * top-k window (keyed, never global); at web scale hot anchors ("here")
+    * have huge target fan-in but the window only sorts that anchor's
+    * DISTINCT targets, already reduced by the count aggregate. */
+  def anchorDict(anchors: DataFrame, k: Int = 3): DataFrame = {
+    val counts = anchors.groupBy(col("anchor"), col("dst"))
+      .agg(count(lit(1)).as("n_links"))
+    val tot = counts.groupBy(col("anchor")).agg(sum(col("n_links")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("n_links").desc, col("dst"))
+    counts.join(tot, "anchor")
+      .withColumn("commonness_micros", expr("1000000 * n_links div t"))
+      .withColumn("arank", row_number().over(w).cast("long"))
+      .filter(col("arank") <= k)
+      .select(col("anchor"), col("dst"), col("n_links"),
+        col("commonness_micros"), col("arank"))
+  }
+
   /** The link graph as a first-class [[Kb]] (nodes = every url on either
     * side, edges under a single `links` predicate, empty ABox/TBox) — so
     * the whole sampler/analytics stack (PageRank, samplers, k-core,

@@ -266,6 +266,14 @@ object PipelineQueries {
       LinkGraph.schedule(
         LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages), 1000L)
     }),
+    // anchor-text EL dictionary (Spitkovsky-Chang): per anchor the top-3
+    // targets with link counts + integer commonness P(dst|anchor) — 'hub'
+    // spreads over 97 targets with near-uniform-but-not-equal counts (the
+    // remainder docs make top-3 selection binding), 'next'/'cdn' targets
+    // are singletons cut by the (n desc, dst) total order
+    "fe_anchor_dict" -> ((s, d) =>
+      LinkGraph.anchorDict(
+        LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF(), 3)),
     // anchor-text index: top-3 anchor terms per link target — the planted
     // constant anchors make every (dst, term, n) row arithmetically known
     "fe_anchor_index" -> ((s, d) =>
@@ -886,6 +894,18 @@ object PipelineQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1 AS BIGINT) AS slot,
          |  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1) * 1000 AS BIGINT) AS fetch_at_ms
          |FROM s""".stripMargin),
+    "fe_anchor_dict" -> withDocs(
+      """, a AS (SELECT 'hub' AS anchor, 'https://ex.org/doc/' || (doc_id % 97) AS dst FROM docs
+        |  UNION ALL SELECT 'next', 'https://ex.org/doc/' || (doc_id + 1) FROM docs
+        |  UNION ALL SELECT 'cdn', 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id FROM docs),
+        |c AS (SELECT anchor, dst, CAST(COUNT(*) AS BIGINT) AS n_links FROM a GROUP BY 1, 2),
+        |t AS (SELECT anchor, CAST(SUM(n_links) AS BIGINT) AS t FROM c GROUP BY 1)
+        |SELECT anchor, dst, n_links,
+        |       CAST(1000000 * n_links // t AS BIGINT) AS commonness_micros, arank
+        |FROM (SELECT c.anchor, c.dst, c.n_links, t.t,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY c.anchor ORDER BY c.n_links DESC, c.dst) AS BIGINT) AS arank
+        |      FROM c JOIN t USING (anchor)) x
+        |WHERE arank <= 3""".stripMargin),
     "fe_anchor_index" -> withDocs(
       """, a AS (SELECT 'https://ex.org/doc/' || (doc_id % 97) AS dst, 'hub' AS term FROM docs
         |  UNION ALL SELECT 'https://ex.org/doc/' || (doc_id + 1), 'next' FROM docs

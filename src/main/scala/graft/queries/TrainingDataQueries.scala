@@ -45,6 +45,11 @@ object TrainingDataQueries {
       TextOps.shingles(corpus(s, d)).groupBy("doc_id").agg(count(lit(1)).as("n"))),
     "td_minhash" -> ((s, d) => Dedup.minhash(corpus(s, d))),
     "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
+    // blocking-quality eval (reduction ratio + pair completeness) at
+    // tau = 0.5, BELOW the 0.8 banding design point — pc measures exactly
+    // how many mid-similarity true pairs the bands miss, rr how much of
+    // the quadratic pair space the blocking avoided; both exact integers
+    "td_er_quality" -> ((s, d) => Dedup.blockingQuality(corpus(s, d), 0.5)),
     "td_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(corpus(s, d), 0.8)),
     "td_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(corpus(s, d), 0.8)),
     // incremental dedup: the planted dup rows (doc_id ≥ 100000) arrive as a
@@ -441,6 +446,39 @@ object TrainingDataQueries {
     "td_shingle_count" -> s"WITH $corpusCte, $shCte\nSELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id",
     "td_minhash" -> s"WITH $corpusCte, $shCte, $mhCte\nSELECT doc_id, j, mh FROM mh",
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
+    "td_er_quality" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
+      """cand0 AS MATERIALIZED (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+        |  JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        |share AS MATERIALIZED (
+        |  SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM sh sa JOIN sh sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i FROM share c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+        |  GROUP BY c.a, c.b),
+        |truthp AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT c.a, c.b,
+        |      ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 5) AS jaccard
+        |    FROM share c
+        |    JOIN inter i ON i.a = c.a AND i.b = c.b
+        |    JOIN sizes na ON na.doc_id = c.a
+        |    JOIN sizes nb ON nb.doc_id = c.b) q
+        |  WHERE jaccard >= 0.5),
+        |agg AS (SELECT
+        |  (SELECT COUNT(*) FROM corpus) AS n_records,
+        |  (SELECT COUNT(*) FROM cand0) AS n_candidates,
+        |  (SELECT COUNT(*) FROM truthp) AS n_truth,
+        |  (SELECT COUNT(*) FROM truthp t JOIN cand0 c ON c.a = t.a AND c.b = t.b) AS true_positives)
+        |SELECT CAST(n_records AS BIGINT) AS n_records,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates,
+        |       CAST(n_truth AS BIGINT) AS n_truth,
+        |       CAST(true_positives AS BIGINT) AS true_positives,
+        |       CAST(1000000 - 1000000 * n_candidates // (n_records * (n_records - 1) // 2) AS BIGINT) AS rr_micros,
+        |       CAST(CASE WHEN n_truth = 0 THEN 1000000 ELSE 1000000 * true_positives // n_truth END AS BIGINT) AS pc_micros
+        |FROM agg""".stripMargin),
     "td_dedup_minhash" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
       jaccardSql(candCtes) + "\nWHERE jaccard >= 0.8"),
     "td_dedup_incremental" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
