@@ -35,6 +35,26 @@ final case class Kb(
       .unionAll(attrs.select(col("node").as("subj"), col("prop").as("pred"), col("lexical").as("obj")))
       .unionAll(edges.select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
 
+  /** SPARQL DESCRIBE of a resource set — symmetric CBD (this model has no
+    * blank nodes, so the W3C's bnode closure is vacuous and the common
+    * symmetric form applies): the resources' rdf:type rows, data-property
+    * rows (lexical as object), and outgoing AND incoming object-property
+    * rows. Four IN-filtered scans (the filters push into parquet) unioned,
+    * DISTINCT per RDF graph set semantics. Resource lists are user-scale —
+    * an IN-list, never a join. */
+  def describe(ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, "DESCRIBE needs at least one resource")
+    types.filter(col("node").isin(ids: _*))
+      .select(col("node").as("subj"), lit(RdfType).as("pred"), col("cls").as("obj"))
+      .unionAll(attrs.filter(col("node").isin(ids: _*))
+        .select(col("node").as("subj"), col("prop").as("pred"), col("lexical").as("obj")))
+      .unionAll(edges.filter(col("src").isin(ids: _*))
+        .select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
+      .unionAll(edges.filter(col("dst").isin(ids: _*))
+        .select(col("src").as("subj"), col("pred"), col("dst").as("obj")))
+      .distinct()
+  }
+
   /** TBox triples, iri mode (reference knowledge_base.py:308-434; dp ranges
     * skipped per the reference quirk). Driver-scale. */
   def tboxTriples: DataFrame =

@@ -61,6 +61,28 @@ object Materialize {
       .select(when(col("in2") === 1, lit("add")).otherwise(lit("del")).as("op"),
         col("subj"), col("pred"), col("obj"))
 
+  /** Apply a [[changeset]] to a (distinct) base triple set: base ∖ dels
+    * ∪ adds — the version-roll primitive (v1 + changeset(v1→v2) ≡ v2
+    * exactly, and applying [[invertChangeset]] rolls back). One anti-join
+    * keyed on the full triple + one union; both sides hash-partition on
+    * the same key. With changesets persisted per crawl, any historical
+    * version reconstructs by folding — the store keeps ONE base + deltas
+    * instead of full snapshots. */
+  def applyChangeset(base: DataFrame, changes: DataFrame): DataFrame = {
+    val dels = changes.filter(col("op") === "del").select("subj", "pred", "obj")
+    val adds = changes.filter(col("op") === "add").select("subj", "pred", "obj")
+    base.select("subj", "pred", "obj")
+      .join(dels, Seq("subj", "pred", "obj"), "left_anti")
+      .unionAll(adds)
+  }
+
+  /** The inverse changeset: swap add/del. applyChangeset(v2, invert(cs))
+    * = v1 for cs = changeset(v1, v2) — rollback is free. */
+  def invertChangeset(changes: DataFrame): DataFrame =
+    changes.select(
+      when(col("op") === "add", lit("del")).otherwise(lit("add")).as("op"),
+      col("subj"), col("pred"), col("obj"))
+
   /** Write edges salted + partitioned; returns the written path. */
   def writeEdges(triples: DataFrame, path: String): Unit =
     triples.select(col("subj").as("src"), col("pred"), col("obj").as("dst"))

@@ -271,6 +271,10 @@ object KgQueries {
         PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"),
         includeZero = true)
     }),
+    // SPARQL DESCRIBE (symmetric CBD — no blank nodes in this model):
+    // rdf:type + data properties + outgoing AND incoming object properties
+    // of a two-resource set, distinct per RDF graph semantics
+    "kg_describe" -> ((s, d) => TpchKg.load(s, d).describe(Seq("c:1", "p:1"))),
     // property paths INSIDE a BGP (SPARQL 1.1 §9): orders containing part
     // p:1 joined with the 3-hop path to their customer's region — the
     // path atom folds into the same equi-join chain as plain atoms, bag
@@ -680,6 +684,12 @@ object KgQueries {
          |FROM (SELECT node, lvl FROM lvl UNION ALL SELECT 'p:1', 0) z
          |GROUP BY node""".stripMargin,
       inCte = true),
+    "kg_describe" -> TpchKgSql.withKg(
+      """SELECT DISTINCT subj, pred, obj FROM (
+        |  SELECT node AS subj, 'rdf:type' AS pred, cls AS obj FROM types WHERE node IN ('c:1', 'p:1')
+        |  UNION ALL SELECT node, prop, lexical FROM attrs WHERE node IN ('c:1', 'p:1')
+        |  UNION ALL SELECT src, pred, dst FROM edges WHERE src IN ('c:1', 'p:1')
+        |  UNION ALL SELECT src, pred, dst FROM edges WHERE dst IN ('c:1', 'p:1')) u""".stripMargin),
     "kg_bgp_path" -> TpchKgSql.withKg(
       """SELECT c.src AS o, rg.dst AS r
         |FROM edges c

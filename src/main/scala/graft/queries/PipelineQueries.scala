@@ -523,6 +523,26 @@ object PipelineQueries {
         Pages.fromDocuments(docs.filter(col("doc_id") % 7 =!= 3)), als)
       Materialize.changeset(v1, v2)
     }),
+    // version roll: v1 + changeset(v1→v2) must equal v2 EXACTLY (the v2
+    // oracle applies verbatim), and rolling v2 back with the inverted
+    // changeset must equal v1 — asserted in-query so a broken anti-join
+    // fails loudly rather than hash-mismatching downstream
+    "fe_changeset_apply" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val als = Pages.aliases(s)
+      val v1 = KgPipeline.triplesOf(
+        Pages.fromDocuments(docs.filter(col("doc_id") % 5 =!= 4)), als)
+        .localCheckpoint(true)
+      val v2 = KgPipeline.triplesOf(
+        Pages.fromDocuments(docs.filter(col("doc_id") % 7 =!= 3)), als)
+        .localCheckpoint(true)
+      val cs = Materialize.changeset(v1, v2).localCheckpoint(true)
+      val rolledBack = Materialize.applyChangeset(v2,
+        Materialize.invertChangeset(cs))
+      require(Materialize.changeset(rolledBack, v1).isEmpty,
+        "inverted changeset did not roll v2 back to v1")
+      Materialize.applyChangeset(v1, cs)
+    }),
     "fe_snapshot_latest" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       def pagesOf(df: org.apache.spark.sql.DataFrame) =
@@ -863,6 +883,11 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY sentence ORDER BY docn, pos) AS rn
         |       FROM se WHERE length(sentence) > 0)
         |SELECT docn, CAST(pos AS BIGINT) AS sent_idx, sentence FROM fi WHERE rn = 1""".stripMargin),
+    // applying the changeset reconstructs v2 exactly — the v2 triple
+    // arithmetic IS the oracle
+    "fe_changeset_apply" -> withDocs(
+      s""", d2 AS (SELECT * FROM docs WHERE doc_id % 7 <> 3)
+         |${triplesSqlFrom("d2")}""".stripMargin),
     "fe_changeset" -> withDocs(
       s""", d1 AS (SELECT * FROM docs WHERE doc_id % 5 <> 4),
          |d2 AS (SELECT * FROM docs WHERE doc_id % 7 <> 3),
