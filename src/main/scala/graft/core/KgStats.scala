@@ -37,6 +37,37 @@ object KgStats {
         count(lit(1)).as("n_subjects"),
         sum(col("deg")).as("n_edges"))
 
+  /** Characteristic-set cardinality estimation for a 2-atom star query
+    * (Neumann & Moerkotte, "Characteristic sets: Accurate cardinality
+    * estimation for RDF queries with multiple joins", ICDE'11 §3): per
+    * characteristic set containing BOTH predicates, the estimate
+    * n · (t1/n) · (t2/n) = t1·t2/n assumes within-set independence of the
+    * two predicates' multiplicities; the true star cardinality is
+    * Σ_subject c1·c2. The output row carries the exact distinct-subject
+    * count (which CS estimation gets EXACTLY right — the paper's point),
+    * the estimate in integer micro-rows (per-set truncating division, so
+    * it replays in SQL), and the actual row count — on positively
+    * correlated predicates (an order's contains and suppliedBy counts are
+    * equal) actual > estimate by Cauchy-Schwarz, so the gap itself is
+    * load-bearing arithmetic. One aggregate pair over the edge table plus
+    * a one-row reduction; the optimizer-statistics job, not a join. */
+  def estimateStarCardinality(edges: DataFrame, p1: String, p2: String): DataFrame = {
+    val per = edges.groupBy(col("src")).agg(
+      concat_ws("|", sort_array(collect_set(col("pred")))).as("char_set"),
+      sum(when(col("pred") === p1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("pred") === p2, 1L).otherwise(0L)).as("c2"))
+      .filter(col("c1") >= 1 && col("c2") >= 1)
+    val perSet = per.groupBy(col("char_set")).agg(
+      count(lit(1)).as("n"),
+      sum(col("c1")).as("t1"),
+      sum(col("c2")).as("t2"),
+      sum(col("c1") * col("c2")).as("actual"))
+    perSet.agg(
+      sum(col("n")).as("n_subjects"),
+      sum(expr("1000000 * t1 * t2 div n")).as("est_rows_micros"),
+      sum(col("actual")).as("actual_rows"))
+  }
+
   // anchored RE2-compatible lexical-space probes, shared verbatim with the
   // DuckDB oracle: what a value-space parser would accept for each type
   private val LongRe = "^[+-]?[0-9]+$"

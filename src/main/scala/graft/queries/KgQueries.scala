@@ -271,6 +271,13 @@ object KgQueries {
         PSeq(Inv(Pred("contains")), Pred("contains")), Seq("p:1"),
         includeZero = true)
     }),
+    // characteristic-set cardinality estimation (Neumann-Moerkotte
+    // ICDE'11) for the contains⋈suppliedBy star: exact subject count,
+    // independence-assumption estimate in micro-rows, and the true
+    // cardinality — the predicates covary (both count lineitems), so
+    // actual > estimate and all three numbers are binding arithmetic
+    "kg_card_estimate" -> ((s, d) => graft.core.KgStats.estimateStarCardinality(
+      TpchKg.load(s, d).edges, "contains", "suppliedBy")),
     // SPARQL DESCRIBE (symmetric CBD — no blank nodes in this model):
     // rdf:type + data properties + outgoing AND incoming object properties
     // of a two-resource set, distinct per RDF graph semantics
@@ -683,6 +690,21 @@ object KgQueries {
          |SELECT node, CAST(MIN(lvl) AS INT) AS dist
          |FROM (SELECT node, lvl FROM lvl UNION ALL SELECT 'p:1', 0) z
          |GROUP BY node""".stripMargin,
+      inCte = true),
+    "kg_card_estimate" -> TpchKgSql.withKg(
+      """per AS MATERIALIZED (
+        |  SELECT src, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
+        |         SUM(CASE WHEN pred = 'contains' THEN 1 ELSE 0 END) AS c1,
+        |         SUM(CASE WHEN pred = 'suppliedBy' THEN 1 ELSE 0 END) AS c2
+        |  FROM edges GROUP BY src),
+        |q AS (SELECT * FROM per WHERE c1 >= 1 AND c2 >= 1),
+        |g AS (SELECT char_set, COUNT(*) AS n, SUM(c1) AS t1, SUM(c2) AS t2,
+        |             SUM(c1 * c2) AS actual
+        |      FROM q GROUP BY char_set)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_subjects,
+        |       CAST(SUM(1000000 * t1 * t2 // n) AS BIGINT) AS est_rows_micros,
+        |       CAST(SUM(actual) AS BIGINT) AS actual_rows
+        |FROM g""".stripMargin,
       inCte = true),
     "kg_describe" -> TpchKgSql.withKg(
       """SELECT DISTINCT subj, pred, obj FROM (
