@@ -64,6 +64,37 @@ object Rules {
         expr("1000000 * support div pca_n").as("pca_conf_micro"))
   }
 
+  /** Rule APPLICATION — AMIE's completion step: for every mined chain
+    * rule at pca_conf ≥ `minPcaConfMicro`, derive the head pairs its body
+    * produces over `edges` and keep those NOT already in the KG, each
+    * carrying the best confidence among the rules deriving it. These are
+    * the completion candidates a curation queue (or a downstream
+    * embedding re-ranker) consumes.
+    *
+    * Plan shape: the selected rule set is vocabulary-scale (broadcast by
+    * AQE into both predicate joins); the z-equi-join is the only fan-out
+    * and is restricted to the selected rules' body predicates (the miner
+    * already excluded product hubs via `maxWedge`, and a rule whose body
+    * explodes quadratically would not have cleared minSupport counting in
+    * the first place); dedup + max-conf is one keyed aggregate; known
+    * facts drop via one full-key anti-join. */
+  def applyChains(edges: DataFrame, rules: DataFrame,
+                  minPcaConfMicro: Long = 900000L): DataFrame = {
+    val sel = rules.filter(col("pca_conf_micro") >= minPcaConfMicro)
+      .select("p1", "p2", "p3", "pca_conf_micro")
+    val e = edges.select(col("src"), col("pred"), col("dst"))
+    val derived = sel
+      .join(e.select(col("src").as("x"), col("pred").as("p1"), col("dst").as("z")), Seq("p1"))
+      .join(e.select(col("src").as("z"), col("pred").as("p2"), col("dst").as("y")), Seq("z", "p2"))
+      .groupBy(col("x"), col("p3"), col("y"))
+      .agg(max(col("pca_conf_micro")).as("conf_micro"))
+    derived.join(
+      e.select(col("src").as("x"), col("pred").as("p3"), col("dst").as("y")),
+      Seq("x", "p3", "y"), "left_anti")
+      .select(col("x").as("subj"), col("p3").as("pred"), col("y").as("obj"),
+        col("conf_micro"))
+  }
+
   /** Materialize the composition p1∘p2 as a derived predicate `as` —
     * the planted-rule helper (and the generic property-path single-step
     * as a persistent edge set): distinct (x, as, y) with ∃z p1(x,z) ∧

@@ -354,6 +354,17 @@ object KgQueries {
       graft.core.Rules.mineChains(
         e.unionAll(graft.core.Rules.compose(e, "suppliedBy", "inNation", "orderNation")))
     }),
+    // rule-based completion: the perfect (pca = 10^6) rules mined on the
+    // ENRICHED graph applied back to the BASE graph — the planted
+    // suppliedBy∧inNation ⇒ orderNation rule re-derives every composite
+    // pair as a prediction (none exist in the base KG), known facts drop
+    // via the anti-join, each prediction carries its best confidence
+    "kg_rule_apply" -> ((s, d) => {
+      val e = TpchKg.load(s, d).edges
+      val rules = graft.core.Rules.mineChains(
+        e.unionAll(graft.core.Rules.compose(e, "suppliedBy", "inNation", "orderNation")))
+      graft.core.Rules.applyChains(e, rules, minPcaConfMicro = 1000000L)
+    }),
     // predicate functionality / inverse functionality (PARIS VLDB'12):
     // placedBy scores fun=1 (observed-functional — an identity-key
     // candidate), contains/suppliedBy score low in BOTH directions; exact
@@ -603,6 +614,40 @@ object KgQueries {
     * to a fixed `rounds` (reach sets are cumulative, so MIN(lvl) = the
     * BFS first-reach level; idempotent at fixpoint — same argument as
     * [[starCtes]], a deeper engine run hash-mismatches loudly). */
+  /** AMIE chain-rule mining replay (edges + the planted orderNation
+    * composition) ending in `rulez(p1, p2, p3, body_n, pca_n, support,
+    * conf_micro, pca_conf_micro)` — shared by the mining gate and the
+    * rule-application gate built on top of it. */
+  private val ruleMineCtes: String =
+    """en AS MATERIALIZED (
+      |  SELECT src, pred, dst FROM edges
+      |  UNION ALL
+      |  SELECT DISTINCT a.src, 'orderNation', b.dst
+      |  FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+      |  WHERE a.pred = 'suppliedBy'),
+      |zok AS MATERIALIZED (
+      |  SELECT i.z FROM (SELECT dst AS z, COUNT(*) AS din FROM en GROUP BY 1) i
+      |  JOIN (SELECT src AS z, COUNT(*) AS dout FROM en GROUP BY 1) o ON o.z = i.z
+      |  WHERE i.din * o.dout <= 1048576),
+      |bodies AS MATERIALIZED (
+      |  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.src AS x, e2.dst AS y
+      |  FROM en e1 JOIN zok ON zok.z = e1.dst JOIN en e2 ON e2.src = e1.dst),
+      |px AS MATERIALIZED (SELECT DISTINCT src AS x, pred AS p3 FROM en),
+      |cand AS MATERIALIZED (
+      |  SELECT b.p1, b.p2, px.p3, CASE WHEN h.src IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM bodies b
+      |  JOIN px ON px.x = b.x
+      |  LEFT JOIN en h ON h.src = b.x AND h.pred = px.p3 AND h.dst = b.y),
+      |bn AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_n FROM bodies GROUP BY 1, 2),
+      |r AS (SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS pca_n,
+      |        CAST(SUM(hit) AS BIGINT) AS support
+      |      FROM cand GROUP BY 1, 2, 3 HAVING SUM(hit) >= 2),
+      |rulez AS MATERIALIZED (
+      |  SELECT r.p1, r.p2, r.p3, bn.body_n, r.pca_n, r.support,
+      |    CAST(1000000 * r.support // bn.body_n AS BIGINT) AS conf_micro,
+      |    CAST(1000000 * r.support // r.pca_n AS BIGINT) AS pca_conf_micro
+      |  FROM r JOIN bn ON bn.p1 = r.p1 AND bn.p2 = r.p2)""".stripMargin
+
   private def pathClosureCtes(rounds: Int): String = {
     val roundCtes = (2 to rounds).map { i =>
       s"""pc$i AS MATERIALIZED (
@@ -752,33 +797,21 @@ object KgQueries {
         |       ELSE 'xsd:string' END AS inferred
         |FROM attrs GROUP BY prop""".stripMargin),
     "kg_rule_mine" -> TpchKgSql.withKg(
-      """en AS MATERIALIZED (
-        |  SELECT src, pred, dst FROM edges
-        |  UNION ALL
-        |  SELECT DISTINCT a.src, 'orderNation', b.dst
-        |  FROM edges a JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
-        |  WHERE a.pred = 'suppliedBy'),
-        |zok AS MATERIALIZED (
-        |  SELECT i.z FROM (SELECT dst AS z, COUNT(*) AS din FROM en GROUP BY 1) i
-        |  JOIN (SELECT src AS z, COUNT(*) AS dout FROM en GROUP BY 1) o ON o.z = i.z
-        |  WHERE i.din * o.dout <= 1048576),
-        |bodies AS MATERIALIZED (
-        |  SELECT DISTINCT e1.pred AS p1, e2.pred AS p2, e1.src AS x, e2.dst AS y
-        |  FROM en e1 JOIN zok ON zok.z = e1.dst JOIN en e2 ON e2.src = e1.dst),
-        |px AS MATERIALIZED (SELECT DISTINCT src AS x, pred AS p3 FROM en),
-        |cand AS MATERIALIZED (
-        |  SELECT b.p1, b.p2, px.p3, CASE WHEN h.src IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM bodies b
-        |  JOIN px ON px.x = b.x
-        |  LEFT JOIN en h ON h.src = b.x AND h.pred = px.p3 AND h.dst = b.y),
-        |bn AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_n FROM bodies GROUP BY 1, 2),
-        |r AS (SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS pca_n,
-        |        CAST(SUM(hit) AS BIGINT) AS support
-        |      FROM cand GROUP BY 1, 2, 3 HAVING SUM(hit) >= 2)
-        |SELECT r.p1, r.p2, r.p3, bn.body_n, r.pca_n, r.support,
-        |  CAST(1000000 * r.support // bn.body_n AS BIGINT) AS conf_micro,
-        |  CAST(1000000 * r.support // r.pca_n AS BIGINT) AS pca_conf_micro
-        |FROM r JOIN bn ON bn.p1 = r.p1 AND bn.p2 = r.p2""".stripMargin,
+      s"$ruleMineCtes\nSELECT * FROM rulez", inCte = true),
+    "kg_rule_apply" -> TpchKgSql.withKg(
+      s"""$ruleMineCtes,
+         |sel AS (SELECT p1, p2, p3, pca_conf_micro FROM rulez WHERE pca_conf_micro >= 1000000),
+         |drv AS (
+         |  SELECT e1.src AS x, s.p3, e2.dst AS y, MAX(s.pca_conf_micro) AS conf_micro
+         |  FROM sel s
+         |  JOIN edges e1 ON e1.pred = s.p1
+         |  JOIN edges e2 ON e2.src = e1.dst AND e2.pred = s.p2
+         |  GROUP BY 1, 2, 3)
+         |SELECT d.x AS subj, d.p3 AS pred, d.y AS obj,
+         |       CAST(d.conf_micro AS BIGINT) AS conf_micro
+         |FROM drv d
+         |LEFT JOIN edges k ON k.src = d.x AND k.pred = d.p3 AND k.dst = d.y
+         |WHERE k.src IS NULL""".stripMargin,
       inCte = true),
     "kg_functionality" -> TpchKgSql.withKg(
       """SELECT pred,
