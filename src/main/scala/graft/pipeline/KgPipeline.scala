@@ -58,6 +58,19 @@ object KgPipeline {
     Canonicalize(Link(mentions, aliases), aliases).distinct()
   }
 
+  /** The canonical (src page, subj, pred, obj) CLAIM stream of a page set
+    * — triples with provenance kept, the truth-discovery input. Same stage
+    * kernels as [[triplesOf]] with `url` riding the keep pass-throughs. */
+  def claimsOf(pages: org.apache.spark.sql.DataFrame,
+               aliases: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val extracted = Extract(pages).toDF()
+    val mentions = Mentions(extracted.as[Extract.Extracted](
+      Encoders.product[Extract.Extracted])).toDF()
+    Canonicalize(Link(mentions, aliases), aliases, keep = Seq("url"))
+      .withColumnRenamed("url", "src")
+  }
+
   /** Full run + materialization into a Kb. */
   def buildKb(spark: SparkSession, dataDir: String, checkpointDir: String): Kb =
     Materialize.asKb(run(spark, dataDir, checkpointDir))

@@ -174,6 +174,45 @@ object StreamingKg {
     hostGraphFromStore(io, prefix)
   }
 
+  /** Streaming conflict resolution: the claim stream accumulates under
+    * batch-id-idempotent appends (a crash replay or a wiped-checkpoint
+    * re-run appends only unseen batch ids; identical replayed rows also
+    * collapse under the reader's distinct), and TRUTH is recomputed over
+    * the ACCUMULATED store after the drain — the canonical-map refresh
+    * contract applied to source-trust voting. Recompute, not incremental:
+    * the vote is a fixed-round iteration over ALL claims, and a per-batch
+    * trust update would change its semantics (late evidence must be able
+    * to flip any earlier winner). */
+  def runTruthAvailableNow(spark: SparkSession, pagesDir: String,
+                           io: graft.core.ParquetTableIO, prefix: String,
+                           checkpointDir: String, rounds: Int = 2): DataFrame = {
+    val aliases = Pages.aliases(spark)
+    val schema = spark.read.parquet(pagesDir).schema
+    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val table = s"$prefix/claims"
+        val seen = io.exists(table) &&
+          !io.read(table).filter(col("batch_id") === batchId).isEmpty
+        if (!seen)
+          KgPipeline.claimsOf(batch, aliases)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("batch_id")
+            .parquet(io.pathOf(table))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    truthFromStore(io, prefix, rounds)
+  }
+
+  /** Current truth table from the accumulated claim store. */
+  def truthFromStore(io: graft.core.ParquetTableIO, prefix: String,
+                     rounds: Int = 2): DataFrame =
+    Truth.resolve(io.read(s"$prefix/claims")
+      .select("src", "subj", "pred", "obj").distinct(), rounds)
+
   /** Current host graph from the per-batch partial-count store: distinct
     * (replay-identical rows collapse) → one sum aggregate. */
   def hostGraphFromStore(io: graft.core.ParquetTableIO, prefix: String): DataFrame =

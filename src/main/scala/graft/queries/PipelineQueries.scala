@@ -180,6 +180,19 @@ object PipelineQueries {
     // round-1 agreement rate; beliefs (and near-tie winners) shift, so
     // the iteration itself is hash-load-bearing
     "fe_truth" -> ((s, d) => Truth.resolve(canonicalClaims(s, d), rounds = 2)),
+    // the SAME truth table via the STREAMING claim path: pages replayed as
+    // a bounded stream, claims accumulated under batch-id-idempotent
+    // appends, run TWICE with the second pass's checkpoint wiped so every
+    // batch replays against the built store — the result must hash-equal
+    // the batch fe_truth oracle verbatim (idempotence + the recompute
+    // refresh contract, both load-bearing)
+    "fe_stream_truth" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_truth_").toString
+      Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
+      val io = new graft.core.ParquetTableIO(s, s"$base/store")
+      StreamingKg.runTruthAvailableNow(s, s"$base/pages", io, "tr", s"$base/ck1")
+      StreamingKg.runTruthAvailableNow(s, s"$base/pages", io, "tr", s"$base/ck2")
+    }),
     // the per-source trust table entering the final round — the
     // source-reliability byproduct (domain-quality / crawl-priority signal)
     "fe_truth_trust" -> ((s, d) =>
@@ -778,6 +791,21 @@ object PipelineQueries {
   // html reconstruction for byte-length checks (ASCII boilerplate + body)
   private val htmlSql = Pages.Sql.html
 
+  /** 2-round source-trust voting replay — shared by the batch and
+    * streaming truth gates (both must land on the identical table). */
+  private val truthOracleSql: String = withDocs(
+      s""", $claimsCte,
+         |b1 AS (SELECT subj, pred, obj, CAST(1000000 * COUNT(*) AS BIGINT) AS bel FROM cl GROUP BY 1, 2, 3),
+         |w1 AS MATERIALIZED (SELECT subj, pred, obj AS wobj FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY bel DESC, obj) AS rn FROM b1) t WHERE rn = 1),
+         |t2 AS MATERIALIZED (SELECT src, CAST(1000000 * SUM(CASE WHEN obj = wobj THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS trust
+         |    FROM cl JOIN w1 USING (subj, pred) GROUP BY src),
+         |b2 AS (SELECT subj, pred, obj, CAST(SUM(trust) AS BIGINT) AS belief_micros, CAST(COUNT(*) AS BIGINT) AS n_src
+         |    FROM cl JOIN t2 USING (src) GROUP BY 1, 2, 3)
+         |SELECT subj, pred, obj, belief_micros, n_src FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY belief_micros DESC, obj) AS rn FROM b2) t
+         |WHERE rn = 1""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
     "fe_microdata" -> withDocs(
       """SELECT url, CAST(1 AS BIGINT) AS item, 'https://schema.org/Article' AS itemtype, 'author' AS prop, 'Ent ' || (doc_id % 97) AS value FROM docs
@@ -833,18 +861,9 @@ object PipelineQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ra_micros DESC, b) AS INT) AS arank
          |  FROM g) t
          |WHERE arank <= 3""".stripMargin),
-    "fe_truth" -> withDocs(
-      s""", $claimsCte,
-         |b1 AS (SELECT subj, pred, obj, CAST(1000000 * COUNT(*) AS BIGINT) AS bel FROM cl GROUP BY 1, 2, 3),
-         |w1 AS MATERIALIZED (SELECT subj, pred, obj AS wobj FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY bel DESC, obj) AS rn FROM b1) t WHERE rn = 1),
-         |t2 AS MATERIALIZED (SELECT src, CAST(1000000 * SUM(CASE WHEN obj = wobj THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS trust
-         |    FROM cl JOIN w1 USING (subj, pred) GROUP BY src),
-         |b2 AS (SELECT subj, pred, obj, CAST(SUM(trust) AS BIGINT) AS belief_micros, CAST(COUNT(*) AS BIGINT) AS n_src
-         |    FROM cl JOIN t2 USING (src) GROUP BY 1, 2, 3)
-         |SELECT subj, pred, obj, belief_micros, n_src FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY belief_micros DESC, obj) AS rn FROM b2) t
-         |WHERE rn = 1""".stripMargin),
+    "fe_truth" -> truthOracleSql,
+    // streaming path lands on the identical truth table
+    "fe_stream_truth" -> truthOracleSql,
     "fe_truth_trust" -> withDocs(
       s""", $claimsCte,
          |b1 AS (SELECT subj, pred, obj, CAST(1000000 * COUNT(*) AS BIGINT) AS bel FROM cl GROUP BY 1, 2, 3),
