@@ -208,6 +208,16 @@ object PipelineQueries {
       Truth.factIntervals(
         Canonicalize(linked, Pages.aliases(s), keep = Seq("url", "warc_ts")))
     }),
+    // N-Quads interchange roundtrip for the provenance-carrying claim
+    // stream (named-graph-per-source): render → text files → parse must be
+    // the identity on (src, subj, pred, obj) — the claims oracle applies
+    // verbatim, so a mangled escape, a swapped term, or a lost line breaks
+    // the hash
+    "fe_nquads_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_nq_").toString
+      graft.sources.NTriples.writeQuads(canonicalClaims(s, d), dir)
+      graft.sources.NTriples.readQuads(s, dir)
+    }),
     "fe_canonical_map" -> ((s, d) => Canonicalize.canonicalMap(Pages.aliases(s))),
     // the MinHash-LSH-blocked canonicalization path end-to-end (bands →
     // Jaccard verify → CC) composed with the exact key: the synthetic
@@ -861,6 +871,9 @@ object PipelineQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ra_micros DESC, b) AS INT) AS arank
          |  FROM g) t
          |WHERE arank <= 3""".stripMargin),
+    "fe_nquads_roundtrip" -> withDocs(
+      s""", $claimsCte
+         |SELECT src, subj, pred, obj FROM cl""".stripMargin),
     "fe_truth" -> truthOracleSql,
     // streaming path lands on the identical truth table
     "fe_stream_truth" -> truthOracleSql,

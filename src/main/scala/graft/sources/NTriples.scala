@@ -155,4 +155,59 @@ object NTriples {
 
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     parse(spark.read.textFile(path))
+
+  // ---- N-Quads (W3C RDF 1.1 N-Quads) ---------------------------------------
+  // The 4th term names the graph — here the PROVENANCE url of a claim, so
+  // the (src, subj, pred, obj) claim stream interchanges losslessly (the
+  // named-graph-per-source convention). Graph labels are already IRIs
+  // (urls), so they render bare — percent-encoded for forbidden
+  // characters but WITHOUT the urn:graft: base the CURIE-ish ids need;
+  // `unbase` strips the base only when present, so both forms roundtrip
+  // through one parser. IRI-object quads only (claims carry entity ids);
+  // literal quads would compose exactly like renderLiteralLine.
+
+  final case class NqRow(src: String, subj: String, pred: String, obj: String)
+
+  /** Graph labels render bare; one adversarial case is disambiguated
+    * explicitly — a label that itself STARTS with the urn:graft: base
+    * would be mis-stripped by `unbase` on parse, so its first ':' is
+    * percent-encoded (decodeIri restores it; the rendered IRI no longer
+    * matches the base prefix). Totality over prettiness. */
+  private def graphIri(g: String): String = {
+    val enc = encodeIri(g)
+    if (enc.startsWith(Base)) "<" + enc.replaceFirst(":", "%3A") + ">"
+    else s"<$enc>"
+  }
+
+  def renderQuadLine(src: String, subj: String, pred: String, obj: String): String =
+    s"${iriRef(subj)} ${iriRef(pred)} ${iriRef(obj)} ${graphIri(src)} ."
+
+  private val quadLine =
+    """^<([^>]*)> <([^>]*)> <([^>]*)> <([^>]*)> \.$""".r
+
+  def parseQuadLine(line: String): Option[NqRow] = line.trim match {
+    case "" => None
+    case l if l.startsWith("#") => None
+    case quadLine(s, p, o, g) => Some(NqRow(unbase(g), unbase(s), unbase(p), unbase(o)))
+    case _ => None
+  }
+
+  /** claims(src, subj, pred, obj) → one N-Quads line per claim. Row-local
+    * map, no shuffle. */
+  def renderQuads(claims: DataFrame): Dataset[String] =
+    claims.select(col("src"), col("subj"), col("pred"), col("obj"))
+      .as[(String, String, String, String)](Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .map { case (g, s, p, o) => renderQuadLine(g, s, p, o) }(Encoders.STRING)
+
+  /** Lines → (src, subj, pred, obj); unparseable/comment/blank lines drop
+    * (quarantine-sink note as [[parse]]). */
+  def parseQuads(lines: Dataset[String]): DataFrame =
+    lines.mapPartitions(_.flatMap(parseQuadLine))(Encoders.product[NqRow]).toDF()
+
+  def writeQuads(claims: DataFrame, path: String): Unit =
+    renderQuads(claims).write.mode("overwrite").text(path)
+
+  def readQuads(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    parseQuads(spark.read.textFile(path))
 }

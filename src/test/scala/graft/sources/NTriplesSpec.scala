@@ -51,6 +51,35 @@ class NTriplesSpec extends SparkSpec {
     assert(parsed.filter(parsed("kind") === "literal").count() === kb.attrs.count())
   }
 
+  test("n-quads: graph term carries provenance, hostile urls roundtrip") {
+    val rows = Seq(
+      ("https://ex.org/doc/1?a=b&c=d", "entA_1", "bornIn", "city_2"),
+      ("https://ex.org/white space<>", "e \"q\"", "p|p", "o\\o"),
+      ("urn:graft:looks-like-base", "s", "p", "o"))
+    rows.foreach { case (g, s, p, o) =>
+      val line = NTriples.renderQuadLine(g, s, p, o)
+      assert(NTriples.parseQuadLine(line) === Some(NTriples.NqRow(g, s, p, o)))
+    }
+    assert(NTriples.parseQuadLine("# comment").isEmpty)
+    assert(NTriples.parseQuadLine("").isEmpty)
+    assert(NTriples.parseQuadLine("<a> <b> <c> .").isEmpty) // triple, not quad
+  }
+
+  test("n-quads write/read file roundtrip on a claim set") {
+    import spark.implicits._
+    val claims = Seq(
+      ("https://ex.org/1", "a", "p", "b"),
+      ("https://ex.org/2", "a", "p", "c"),
+      ("https://ex.org/2", "x y", "q", "z"))
+      .toDF("src", "subj", "pred", "obj")
+    val dir = java.nio.file.Files.createTempDirectory("nq_spec_").toString
+    NTriples.writeQuads(claims, dir)
+    val back = NTriples.readQuads(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(back === claims.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+  }
+
   test("write/read file roundtrip") {
     val kb = TpchKg.load(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("nt_").toString
