@@ -112,4 +112,26 @@ object Truth {
       .agg(min(col("warc_ts")).as("first_ts"),
         max(col("warc_ts")).as("last_ts"),
         countDistinct(col("url")).as("n_docs"))
+
+  /** SCD-type-2 fact timeline: per (subj, pred), the succession of
+    * observed values ordered by FIRST observation (ties broken on the
+    * value — total order, partitioning-invariant), each with its
+    * [valid_from, valid_until) interval — valid_until is the next value's
+    * valid_from, NULL for the current value. The versioned-edge table a
+    * temporal KG serves "as of T" queries from (valid_from ≤ T < until).
+    * One aggregate keyed by the full triple + one lead() window keyed by
+    * (subj, pred) — per-key version counts are small (distinct values per
+    * data item), so the window never sees corpus-scale partitions. */
+  def factTimeline(claims: DataFrame): DataFrame = {
+    val firsts = claims.groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(min(col("warc_ts")).as("valid_from"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("subj"), col("pred"))
+      .orderBy(col("valid_from"), col("obj"))
+    firsts
+      .withColumn("valid_until", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("subj"), col("pred"), col("obj"),
+        col("valid_from"), col("valid_until"), col("version"))
+  }
 }

@@ -208,6 +208,18 @@ object PipelineQueries {
       Truth.factIntervals(
         Canonicalize(linked, Pages.aliases(s), keep = Seq("url", "warc_ts")))
     }),
+    // SCD-2 fact timeline over the same ts-carrying claims: per (subj,
+    // pred), values versioned by first observation with [valid_from,
+    // valid_until) intervals — subjects genuinely churn values (the %97 /
+    // %31 cycles misalign), so versions, interval chaining, and the NULL
+    // current-row are all hash-load-bearing
+    "fe_fact_timeline" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val mentions = Mentions.withTs(Extract.withTs(pages)).toDF()
+      val linked = Link(mentions, Pages.aliases(s), keep = Seq("warc_ts"))
+      Truth.factTimeline(
+        Canonicalize(linked, Pages.aliases(s), keep = Seq("warc_ts")))
+    }),
     // N-Quads interchange roundtrip for the provenance-carrying claim
     // stream (named-graph-per-source): render → text files → parse must be
     // the identity on (src, subj, pred, obj) — the claims oracle applies
@@ -884,6 +896,17 @@ object PipelineQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY bel DESC, obj) AS rn FROM b1) t WHERE rn = 1)
          |SELECT src, CAST(1000000 * SUM(CASE WHEN obj = wobj THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS trust_micros
          |FROM cl JOIN w1 USING (subj, pred) GROUP BY src""".stripMargin),
+    "fe_fact_timeline" -> withDocs(
+      """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
+        |cl AS MATERIALIZED (
+        |  SELECT wts, 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM tsd
+        |  UNION ALL SELECT wts, 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM tsd WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT wts, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM tsd WHERE doc_id % 3 = 0),
+        |f AS (SELECT subj, pred, obj, MIN(wts) AS valid_from FROM cl GROUP BY 1, 2, 3)
+        |SELECT subj, pred, obj, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS valid_until,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS BIGINT) AS version
+        |FROM f""".stripMargin),
     "fe_fact_intervals" -> withDocs(
       """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
         |cl AS MATERIALIZED (
