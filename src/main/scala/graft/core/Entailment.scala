@@ -119,9 +119,10 @@ object Entailment {
     * DERIVED predicate — a ⊑-superproperty or an inverse target — itself
     * carries a symmetric/inverse axiom; that precondition is validated
     * up front so a schema needing true iteration fails LOUDLY instead of
-    * under-deriving. (prp-trp, transitivity, is deliberately out: it IS
-    * an instance-level fixpoint — `Paths.closureFrom` is the bounded
-    * form we offer.) Plan: unions of projections of ONE edge scan with
+    * under-deriving. (prp-trp, transitivity, is out of THIS one-pass
+    * operator because it IS an instance-level fixpoint —
+    * [[transitiveClosure]] materializes it, `Paths.closureFrom` is the
+    * bounded seeded form.) Plan: unions of projections of ONE edge scan with
     * driver-broadcast axiom tables, a single distinct exchange for set
     * semantics — the same no-iteration 100-TB shape as entailedTypes. */
   def entailedEdges(edges0: DataFrame,
@@ -167,5 +168,91 @@ object Entailment {
           .select(col("src"), col("q").as("pred"), col("dst")))
       }
     sup.distinct()
+  }
+
+  /** OWL-RL prp-trp — ALL-PAIRS transitive closure of one predicate's edge
+    * relation (the rule [[entailedEdges]] deliberately excludes because it
+    * IS an instance-level fixpoint). `Paths.closureFrom` is the bounded
+    * seeded form; this is the materialization form a pipeline runs once so
+    * downstream consumers read `p+` as a plain table.
+    *
+    * PATH DOUBLING (R ← R ∪ R∘R), not semi-naive frontier expansion:
+    * semi-naive needs O(diameter) rounds and the web relations worth
+    * closing — redirect/pagination `next` chains, nested-category
+    * partOf — chain hundreds deep, so at cluster scale (where every round
+    * is a full shuffle BARRIER) doubling's O(log diameter) rounds win even
+    * though each round's join is denser. Each round is ONE self-equi-join
+    * on the mid column + a distinct, localCheckpointed so the convergence
+    * count and the next round's two scans re-read materialized rows
+    * instead of re-running the whole chain. Cycles saturate instead of
+    * looping: closure of a cycle contains (x, x) — e+ semantics, no
+    * reflexive padding for nodes not on a cycle.
+    *
+    * 100-TB note: the output is Θ(reachable pairs) — quadratic in
+    * component size for dense reachability. That is inherent to
+    * MATERIALIZING p+ (the operator's contract), not to the plan; bound
+    * the input to the predicate slice being closed (callers pass one
+    * predicate's edges, never the whole KG) and prefer `Paths.closureFrom`
+    * when only seeded reachability is needed. Non-convergence within
+    * `maxRounds` raises — a silent cap would return a WRONG (partial)
+    * closure. */
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var n = cur.count()
+    var round = 0
+    while (true) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"transitive closure not converged after $maxRounds doubling rounds " +
+            s"(diameter > ${BigInt(2).pow(maxRounds)})")
+      val next = cur.unionAll(
+          cur.select(col("src"), col("dst").as("mid"))
+            .join(cur.select(col("src").as("mid"), col("dst")), Seq("mid"))
+            .select(col("src"), col("dst")))
+        .distinct().localCheckpoint(true)
+      val m = next.count()
+      val prev = cur
+      cur = next
+      if (m == n) { prev.unpersist(); return cur }
+      prev.unpersist()
+      n = m
+    }
+    cur // unreachable
+  }
+
+  /** OWL-RL equality rules (eq-sym, eq-trans, eq-rep-s, eq-rep-o) over a
+    * triple table, materialized the only way that survives web scale:
+    * REPRESENTATIVE REWRITE, not sameAs-pair explosion. Naively chaining
+    * eq-trans + eq-rep multiplies every triple by the size of its
+    * subject's AND object's equality clique — a k-clique of aliases (dbpedia
+    * sameAs hubs run to hundreds) inflates each fact k² times. Rewriting
+    * every id to its clique representative keeps the output ≤ |triples| and
+    * IS the closure up to renaming: any entailed triple is recovered by
+    * substituting clique members back.
+    *
+    * `rep` is the (id, rep) map — eq-sym/eq-trans are exactly connected
+    * components over the sameAs pair graph, so callers feed
+    * `ConnectedComponents.run(sameAsPairs)` (alternating-star / union-find,
+    * already size-gated there); this operator is the eq-rep half: two
+    * left joins (subject, object) + coalesce + one distinct. The rep map is
+    * |aliased ids|-sized — orders of magnitude below the triple table — so
+    * at or below `broadcastMaxRows` it rides two BroadcastHashJoins (the
+    * fact stream never shuffles before the final distinct); above, the
+    * same plan shuffles on the join keys and AQE's skew split handles hub
+    * representatives (same gate philosophy as Canonicalize.saltedMapJoin,
+    * which is where a pipeline with a measured-skewed alias map should
+    * route instead). */
+  def sameAsRewrite(triples: DataFrame, rep: DataFrame,
+                    broadcastMaxRows: Long = 10L * 1000 * 1000): DataFrame = {
+    val r0 = rep.select(col("id"), col("rep"))
+    val r = if (r0.count() <= broadcastMaxRows) broadcast(r0) else r0
+    val bySubj = triples.select(col("subj"), col("pred"), col("obj"))
+      .join(r.withColumnRenamed("id", "subj"), Seq("subj"), "left")
+      .select(coalesce(col("rep"), col("subj")).as("subj"), col("pred"), col("obj"))
+    bySubj
+      .join(r.withColumnRenamed("id", "obj"), Seq("obj"), "left")
+      .select(col("subj"), col("pred"), coalesce(col("rep"), col("obj")).as("obj"))
+      .distinct()
   }
 }

@@ -282,6 +282,17 @@ object PipelineQueries {
     "fe_redirects" -> ((s, d) => Redirects.resolveChains(
       LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF()
         .filter(col("anchor") === "next").select(col("src"), col("dst")))),
+    // OWL-RL prp-trp materialization (Entailment.transitiveClosure): path
+    // doubling (R ∪ R∘R per round, O(log diameter) shuffle barriers) over
+    // the same planted next-chain, bounded to doc ids ≤ 255 so the closure
+    // is C(256,2) = 32,640 pairs at EVERY sf — 9 engine rounds, a genuinely
+    // deep fixpoint; the oracle unrolls 10 idempotent doubling rounds
+    "fe_trans_closure" -> ((s, d) => graft.core.Entailment.transitiveClosure(
+      LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+        .filter(col("anchor") === "next")
+        .filter(org.apache.spark.sql.functions
+          .regexp_extract(col("dst"), "(\\d+)$", 1).cast("long") <= 255)
+        .select(col("src"), col("dst")))),
     "fe_frontier" -> ((s, d) => {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
@@ -1028,6 +1039,18 @@ object PipelineQueries {
         |       CAST((SELECT MAX(doc_id) + 1 FROM docs) - doc_id AS BIGINT) AS hops,
         |       FALSE AS cyclic
         |FROM docs""".stripMargin),
+    "fe_trans_closure" -> withDocs(
+      s""", ch AS MATERIALIZED (
+         |  SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS src,
+         |         'https://ex.org/doc/' || CAST(doc_id + 1 AS VARCHAR) AS dst
+         |  FROM docs WHERE doc_id + 1 <= 255),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ch),
+         |${(1 to 10).map(i =>
+             s"""c$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                |  SELECT src, dst FROM c${i - 1}
+                |  UNION ALL SELECT a.src, b.dst FROM c${i - 1} a JOIN c${i - 1} b ON a.dst = b.src))"""
+               .stripMargin).mkString(",\n")}
+         |SELECT src, dst FROM c10""".stripMargin),
     "fe_frontier" -> withDocs(
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l

@@ -86,6 +86,74 @@ class EntailmentSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet === got)
   }
 
+  test("transitiveClosure: path, cycle, branching — hand-traced; idempotent") {
+    val s = spark
+    import s.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // 5-node path: all 10 ordered (i, j), i before j
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e").toDF("src", "dst")
+    val pathClo = Entailment.transitiveClosure(path)
+    assert(pairs(pathClo) === Set(
+      "a" -> "b", "a" -> "c", "a" -> "d", "a" -> "e",
+      "b" -> "c", "b" -> "d", "b" -> "e",
+      "c" -> "d", "c" -> "e", "d" -> "e"))
+    // 3-cycle saturates to ALL 9 ordered pairs including (x, x) — e+
+    // semantics: x reaches x via the cycle, no reflexive padding elsewhere
+    val cyc = Seq("x" -> "y", "y" -> "z", "z" -> "x").toDF("src", "dst")
+    assert(pairs(Entailment.transitiveClosure(cyc)) ===
+      (for (a <- Seq("x", "y", "z"); b <- Seq("x", "y", "z")) yield (a, b)).toSet)
+    // branching: closure is reachability, not path counting (set semantics)
+    val tree = Seq("r" -> "l", "r" -> "m", "l" -> "t", "m" -> "t").toDF("src", "dst")
+    assert(pairs(Entailment.transitiveClosure(tree)) ===
+      Set("r" -> "l", "r" -> "m", "r" -> "t", "l" -> "t", "m" -> "t"))
+    // idempotent: closing the closure adds nothing
+    assert(pairs(Entailment.transitiveClosure(pathClo)) === pairs(pathClo))
+  }
+
+  test("transitiveClosure: maxRounds raises instead of returning a partial closure") {
+    val s = spark
+    import s.implicits._
+    // an 8-edge chain needs paths of length 8 = 2^3: rounds 1..3 still
+    // grow, round 4 confirms — maxRounds = 2 must raise, never truncate
+    val chain = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    intercept[IllegalStateException](
+      Entailment.transitiveClosure(chain, maxRounds = 2))
+    assert(Entailment.transitiveClosure(chain).count() === 9L * 8 / 2)
+  }
+
+  test("transitiveClosure: partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 40).map(i => (s"v${i % 13}", s"v${(i * 7 + 3) % 13}"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Entailment.transitiveClosure(df)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(run(edges.repartition(1)) === run(edges.repartition(17)))
+  }
+
+  test("sameAsRewrite: eq-rep on both endpoints, merge dedup, unmapped ids pass through") {
+    val s = spark
+    import s.implicits._
+    val triples = Seq(
+      ("a2", "knows", "b9"),   // both endpoints aliased
+      ("a1", "knows", "b1"),   // the rewritten form of the row above — must merge
+      ("c", "near", "a3"),     // object-only rewrite
+      ("d", "rdf:type", "T")   // untouched
+    ).toDF("subj", "pred", "obj")
+    // cliques {a1, a2, a3} → a1 and {b1, b9} → b1, as a CC-style rep map
+    val rep = Seq(("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b1", "b1"), ("b9", "b1"))
+      .toDF("id", "rep")
+    val got = Entailment.sameAsRewrite(triples, rep)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("a1", "knows", "b1"), ("c", "near", "a1"), ("d", "rdf:type", "T")))
+    // empty map: plain distinct of the input
+    assert(Entailment.sameAsRewrite(triples,
+        Seq.empty[(String, String)].toDF("id", "rep")).count() === 4)
+  }
+
   test("entailedEdges: schemas needing iteration are rejected up front") {
     val s = spark
     import s.implicits._
