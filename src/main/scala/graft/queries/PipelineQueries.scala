@@ -384,6 +384,36 @@ object PipelineQueries {
       graft.sources.Warc.read(s, wdir)
         .select(col("url"), col("warc_ts"), md5(col("html")).as("html_md5"))
     }),
+    // WET sidecar roundtrip (CC extracted-text conversion records): the
+    // byte-identical extracted text through writeWet → readWet — the oracle
+    // recomputes md5 over the reconstructed text, so one corrupted byte in
+    // framing or UTF-8 decode breaks the hash
+    "fe_wet_roundtrip" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val wdir = java.nio.file.Files.createTempDirectory("graft_wet_").toString
+      graft.sources.Warc.writeWet(Extract.withTs(pages).toDF(), wdir)
+      graft.sources.Warc.readWet(s, wdir)
+        .select(col("url"), col("warc_ts"), md5(col("text")).as("text_md5"))
+    }),
+    // blank-node N-Triples ingest (RDF 1.1 §3.5 skolemization): a planted
+    // one-document line stream where labels CO-REFER across lines (l2's
+    // _:m(id%50) is l1's _:m(id) node for id<50) and a literal rides a
+    // blank subject; skolem = 'genid:' + 16 hex of md5(scope|label) —
+    // md5 hex is byte-identical in DuckDB, so ingest is fully oracled
+    "fe_nt_blanks" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val l1 = docs.select(concat(lit("_:m"), col("doc_id"),
+        lit(" <urn:graft:mentions> <urn:graft:city_"),
+        pmod(col("doc_id"), lit(31)), lit("> .")).as("value"))
+      val l2 = docs.select(concat(lit("<urn:graft:doc_"), col("doc_id"),
+        lit("> <urn:graft:hasNode> _:m"), pmod(col("doc_id"), lit(50)), lit(" .")).as("value"))
+      val l3 = docs.select(concat(lit("_:m"), col("doc_id"),
+        lit(" <urn:graft:score> \""), pmod(col("doc_id"), lit(7)),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#int> .")).as("value"))
+      graft.sources.NTriples.parseBlanks(
+        l1.unionAll(l2).unionAll(l3)
+          .as[String](org.apache.spark.sql.Encoders.STRING), scope = "fixture")
+    }),
     // PageRank over the page-level web graph (the cc-webgraph ranking
     // artifact), via LinkGraph.asKb — property row in the
     // smp_pagerank_props mold (distributed float sums don't replay in
@@ -1095,6 +1125,19 @@ object PipelineQueries {
          |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
          |  md5($htmlSql) AS html_md5
          |FROM docs""".stripMargin),
+    "fe_wet_roundtrip" -> withDocs(
+      """SELECT url,
+        |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+        |  md5(body) AS text_md5
+        |FROM docs""".stripMargin),
+    "fe_nt_blanks" -> withDocs(
+      """SELECT 'genid:' || substr(md5('fixture|m' || doc_id), 1, 16) AS subj,
+        |  'mentions' AS pred, 'city_' || (doc_id % 31) AS obj,
+        |  'iri' AS kind, '' AS dtype FROM docs
+        |UNION ALL SELECT 'doc_' || doc_id, 'hasNode',
+        |  'genid:' || substr(md5('fixture|m' || (doc_id % 50)), 1, 16), 'iri', '' FROM docs
+        |UNION ALL SELECT 'genid:' || substr(md5('fixture|m' || doc_id), 1, 16),
+        |  'score', CAST(doc_id % 7 AS VARCHAR), 'literal', 'int' FROM docs""".stripMargin),
     "fe_page_rank" ->
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive, TRUE AS hubs_dominate",
     "fe_pr_incremental" ->

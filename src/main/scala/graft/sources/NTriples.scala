@@ -117,6 +117,50 @@ object NTriples {
     case _ => None
   }
 
+  // ---- blank nodes (RDF 1.1 §3.4/§3.5: skolemization on ingest) ------------
+  // Crawl-extracted RDF (microdata/JSON-LD conversions) is full of blank
+  // nodes; the engine's data model wants every node to HAVE an id, so blanks
+  // are skolemized at the parse boundary — deterministically, because a
+  // distributed re-parse (task retry, resumed ingest) must mint the SAME id
+  // for the same blank. skolem(label, scope) = "genid:" + 16 hex of
+  // md5(scope|label): md5 hex is byte-identical on the JVM and in DuckDB,
+  // so skolemized ingest stays fully oracle-checkable. Blank labels are
+  // scoped to ONE RDF document — [[readBlanks]] scopes by file (two files'
+  // `_:b0` are different nodes, per spec); [[parseBlanks]] takes a caller
+  // scope for line streams that are one logical document.
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  def skolemId(label: String, scope: String): String =
+    "genid:" + md5Hex(scope + "|" + label).substring(0, 16)
+
+  // conservative PN_CHARS subset for labels; out-of-grammar lines drop like
+  // any other junk (quarantine-sink note as parse)
+  private val B = """_:([A-Za-z0-9_][A-Za-z0-9._-]*)"""
+  private val iriBlankLine =
+    s"""^(?:<([^>]*)>|$B) <([^>]*)> (?:<([^>]*)>|$B) \\.$$""".r
+  private val litBlankLine =
+    s"""^(?:<([^>]*)>|$B) <([^>]*)> "((?:[^"\\\\]|\\\\.)*)"(?:\\^\\^<([^>]*)>)? \\.$$""".r
+
+  /** [[parseLine]] extended with `_:label` in subject/object position,
+    * skolemized under `scope`. Pure-IRI lines parse identically. */
+  def parseLineSkolem(line: String, scope: String): Option[NtRow] = {
+    def term(iri: String, blank: String): String =
+      if (iri != null) unbase(iri) else skolemId(blank, scope)
+    line.trim match {
+      case "" => None
+      case l if l.startsWith("#") => None
+      case iriBlankLine(s, sb, p, o, ob) =>
+        Some(NtRow(term(s, sb), unbase(p), term(o, ob), "iri", ""))
+      case litBlankLine(s, sb, p, o, dt) =>
+        Some(NtRow(term(s, sb), unbase(p), unescapeLiteral(o),
+          "literal", Option(dt).map(d => d.stripPrefix(Xsd)).getOrElse("string")))
+      case _ => None
+    }
+  }
+
   // ---- distributed surfaces ----------------------------------------------
 
   /** KB → one N-Triples line per fact (types as rdf:type IRI triples, attrs
@@ -144,6 +188,27 @@ object NTriples {
     * production ingest would route them to a quarantine sink). */
   def parse(lines: Dataset[String]): DataFrame =
     lines.mapPartitions(_.flatMap(parseLine))(Encoders.product[NtRow]).toDF()
+
+  /** [[parse]] accepting blank nodes, skolemized under `scope` — for line
+    * streams that are ONE logical RDF document (blank labels co-refer
+    * across all lines). Still a row-local map, no shuffle. */
+  def parseBlanks(lines: Dataset[String], scope: String = ""): DataFrame =
+    lines.mapPartitions(_.flatMap(parseLineSkolem(_, scope)))(
+      Encoders.product[NtRow]).toDF()
+
+  /** Read a dump directory accepting blank nodes, each FILE its own blank
+    * scope (an N-Triples document is a file, RDF 1.1 N-Triples §2: two
+    * files' `_:b0` are distinct nodes). input_file_name() rides the text
+    * scan, so scoping costs no extra pass and task retries re-mint
+    * identical skolem ids. */
+  def readBlanks(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    spark.read.text(path)
+      .select(col("value"), input_file_name().as("file")).as(enc)
+      .mapPartitions(_.flatMap { case (line, file) =>
+        parseLineSkolem(line, file) })(Encoders.product[NtRow])
+      .toDF()
+  }
 
   /** The (subj, pred, obj) surface of a parsed dump — literals as their
     * lexical forms, matching the [[Kb.triples]] export. */

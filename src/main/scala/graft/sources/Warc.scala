@@ -42,10 +42,21 @@ object Warc {
 
   // ---- row-local kernels -------------------------------------------------
 
-  def renderRecord(p: WarcPage): Array[Byte] = {
+  def renderRecord(p: WarcPage): Array[Byte] = renderTyped(p, "response", None)
+
+  /** WET conversion record (the Common-Crawl extracted-text sidecar): same
+    * framing, `WARC-Type: conversion` + `Content-Type: text/plain`,
+    * payload = UTF-8 text. */
+  def renderConversion(url: String, ts: java.sql.Timestamp, text: String): Array[Byte] =
+    renderTyped(WarcPage(url, ts, text.getBytes("UTF-8")), "conversion",
+      Some("text/plain"))
+
+  private def renderTyped(p: WarcPage, warcType: String,
+                          contentType: Option[String]): Array[Byte] = {
     val header =
-      s"WARC/1.0${Crlf}WARC-Type: response${Crlf}WARC-Target-URI: ${p.url}$Crlf" +
+      s"WARC/1.0${Crlf}WARC-Type: $warcType${Crlf}WARC-Target-URI: ${p.url}$Crlf" +
         s"WARC-Date: ${Iso.format(p.warc_ts.toInstant)}$Crlf" +
+        contentType.map(ct => s"Content-Type: $ct$Crlf").getOrElse("") +
         s"Content-Length: ${p.html.length}$Crlf$Crlf"
     val h = header.getBytes("UTF-8")
     val out = new Array[Byte](h.length + p.html.length + 4)
@@ -56,10 +67,11 @@ object Warc {
     out
   }
 
-  /** Parse every response record in a WARC file body. Unknown record types
-    * are skipped by their declared Content-Length (never scanned);
+  /** Parse every record of `accept` type in a WARC file body. Other record
+    * types are skipped by their declared Content-Length (never scanned);
     * truncated trailing bytes are dropped like a resumed crawl would. */
-  def parseRecords(bytes: Array[Byte]): Iterator[WarcPage] = new Iterator[WarcPage] {
+  def parseRecords(bytes: Array[Byte],
+                   accept: String = "response"): Iterator[WarcPage] = new Iterator[WarcPage] {
     private var pos = 0
     private var nextRec: WarcPage = fetch()
 
@@ -99,7 +111,7 @@ object Warc {
       if (len < 0 || pos + len > bytes.length) return null // truncated
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
       pos += len.toInt
-      if (warcType == "response" && url != null && date != null)
+      if (warcType == accept && url != null && date != null)
         WarcPage(url,
           java.sql.Timestamp.from(java.time.Instant.parse(date)), payload)
       else fetch() // skip non-response records
@@ -141,6 +153,44 @@ object Warc {
       .select(col("content"))
       .as(Encoders.BINARY)
       .flatMap((bytes: Array[Byte]) => parseRecords(bytes))(enc)
+      .toDF()
+  }
+
+  // ---- WET (extracted-text conversion records, the CC sidecar) ------------
+
+  final case class WetDoc(url: String, warc_ts: java.sql.Timestamp, text: String)
+
+  /** docs(url, warc_ts, text) → one `part-NNNNN.warc.wet` file per
+    * partition: conversion records whose payload is the UTF-8 extracted
+    * text — exactly Common Crawl's WET convention, so the north rule's
+    * byte-identical-extraction contract survives interchange. Same
+    * shuffle-free file-per-partition shape as [[write]]. */
+  def writeWet(docs: DataFrame, path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    docs.select("url", "warc_ts", "text")
+      .as[WetDoc](Encoders.product[WetDoc])
+      .foreachPartition { (it: Iterator[WetDoc]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = java.nio.file.Paths.get(path, f"part-$pid%05d.warc.wet")
+          val os = java.nio.file.Files.newOutputStream(f)
+          try it.foreach(d => os.write(renderConversion(d.url, d.warc_ts, d.text)))
+          finally os.close()
+        }
+      }
+  }
+
+  /** Every `.warc.wet` file under `path` → (url, warc_ts, text); one task
+    * per file; response/metadata records inside a mixed archive are skipped
+    * by declared length. */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    val enc = Encoders.product[WetDoc]
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.wet").load(path)
+      .select(col("content"))
+      .as(Encoders.BINARY)
+      .flatMap((bytes: Array[Byte]) => parseRecords(bytes, accept = "conversion")
+        .map(p => WetDoc(p.url, p.warc_ts, new String(p.html, "UTF-8"))))(enc)
       .toDF()
   }
 }

@@ -87,4 +87,43 @@ class NTriplesSpec extends SparkSpec {
     val back = NTriples.read(spark, dir)
     assert(back.count() === kb.triples.count())
   }
+
+  test("blank nodes: skolemized deterministically, labels co-refer within a scope") {
+    val s1 = NTriples.parseLineSkolem("_:b0 <urn:graft:p> <urn:graft:x> .", "doc1").get
+    val s2 = NTriples.parseLineSkolem("<urn:graft:y> <urn:graft:q> _:b0 .", "doc1").get
+    // same label + scope → the SAME skolem id, in subject and object position
+    assert(s1.subj === s2.obj)
+    assert(s1.subj === NTriples.skolemId("b0", "doc1"))
+    assert(s1.subj.startsWith("genid:") && s1.subj.length === "genid:".length + 16)
+    // different scope (another RDF document) → a DIFFERENT node, per spec
+    val other = NTriples.parseLineSkolem("_:b0 <urn:graft:p> <urn:graft:x> .", "doc2").get
+    assert(other.subj !== s1.subj)
+    // literal with a blank subject; blank-to-blank line
+    val lit = NTriples.parseLineSkolem(
+      """_:b0 <urn:graft:score> "7"^^<http://www.w3.org/2001/XMLSchema#int> .""", "doc1").get
+    assert(lit.subj === s1.subj && lit.obj === "7" && lit.dtype === "int")
+    val bb = NTriples.parseLineSkolem("_:b0 <urn:graft:p> _:b1 .", "doc1").get
+    assert(bb.subj === s1.subj && bb.obj === NTriples.skolemId("b1", "doc1"))
+    // pure-IRI lines parse identically to parseLine; junk labels drop
+    val iri = "<urn:graft:a> <urn:graft:p> <urn:graft:b> ."
+    assert(NTriples.parseLineSkolem(iri, "any") === NTriples.parseLine(iri))
+    assert(NTriples.parseLineSkolem("_: <urn:graft:p> <urn:graft:x> .", "d").isEmpty)
+    assert(NTriples.parseLineSkolem("_:.bad <urn:graft:p> <urn:graft:x> .", "d").isEmpty)
+  }
+
+  test("readBlanks: each FILE is its own blank scope; task retry determinism") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ntb_").toString
+    val lines = Seq("_:b0 <urn:graft:p> <urn:graft:x> .")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f1.nt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f2.nt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val got = NTriples.readBlanks(spark, dir).select("subj").as[String].collect()
+    // same label in two files = two DISTINCT nodes
+    assert(got.length === 2 && got.toSet.size === 2)
+    // re-read mints identical ids (what a task retry must guarantee)
+    assert(NTriples.readBlanks(spark, dir).select("subj").as[String].collect().toSet
+      === got.toSet)
+  }
 }

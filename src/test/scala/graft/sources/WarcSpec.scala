@@ -55,4 +55,43 @@ class WarcSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(a === b)
   }
+
+  test("wet: conversion records roundtrip text exactly; mixed archives filter by type") {
+    // unicode + a hostile header-lookalike INSIDE the text payload
+    val hostile = "evil\r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 0\r\n\r\n"
+    val docs = Seq(
+      ("https://a.org/x", "2025-01-01 00:00:01.123456", hostile),
+      ("https://b.org/y", "2025-06-30 23:59:59.0", "héllo wörld — ünïcode ✓"),
+      ("https://c.org/e", "2025-01-01 00:00:00.0", ""))
+    // render a MIXED byte stream: conversion + response + warcinfo records
+    val conv = docs.flatMap { case (u, ts, t) =>
+      Warc.renderConversion(u, java.sql.Timestamp.valueOf(ts), t).toSeq }.toArray
+    val resp = Warc.renderRecord(Warc.WarcPage("https://r.org",
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00.0"), "html".getBytes("UTF-8")))
+    val meta = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+      .getBytes("UTF-8")
+    val mixed = resp ++ conv ++ meta
+    val back = Warc.parseRecords(mixed, accept = "conversion").toSeq
+    assert(back.map(_.url) === docs.map(_._1))
+    assert(back.map(p => new String(p.html, "UTF-8")) === docs.map(_._3))
+    // the response parse of the same stream sees ONLY the response record
+    assert(Warc.parseRecords(mixed).toSeq.map(_.url) === Seq("https://r.org"))
+  }
+
+  test("wet: file write/read roundtrip over the real extracted text, byte-exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pages = graft.pipeline.Pages.fromDocuments(docs)
+    val ex = graft.pipeline.Extract.withTs(pages).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("wet_spec_").toString
+    Warc.writeWet(ex.repartition(4), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc.wet")) === 4)
+    val back = Warc.readWet(spark, dir)
+    val a = ex.select(col("url"), col("warc_ts").cast("string").as("ts"),
+      md5(col("text")).as("m")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val b = back.select(col("url"), col("warc_ts").cast("string").as("ts"),
+      md5(col("text")).as("m")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(a === b)
+  }
 }
