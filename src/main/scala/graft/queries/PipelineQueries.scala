@@ -161,6 +161,19 @@ object PipelineQueries {
     "fe_extract" -> ((s, d) => KgPipeline.run(s, d, ck(d), "extracted")),
     "fe_mentions" -> ((s, d) => KgPipeline.run(s, d, ck(d), "mentions")),
     "fe_linked" -> ((s, d) => KgPipeline.run(s, d, ck(d), "linked")),
+    // NIL detection + clustering (TAC-KBP): the alias catalog is THINNED
+    // (ent surfaces whose trailing int ≡ 0 mod 5, city surfaces ≡ 0 mod 11
+    // dropped), so those mentions become genuinely unlinkable — each lands
+    // in a deterministic NIL cluster keyed by md5(normalized surface);
+    // both endpoints, flags, and pass-throughs all load-bearing
+    "fe_linked_nil" -> ((s, d) => {
+      val mentions = KgPipeline.run(s, d, ck(d), "mentions")
+      val k = regexp_extract(col("entity_id"), "(\\d+)$", 1).cast("long")
+      val aliases = Pages.aliases(s).filter(
+        !(col("entity_id").rlike("^ent[AB]_") && k % 5 === 0) &&
+          !(col("entity_id").rlike("^city_") && k % 11 === 0))
+      Link.withNils(mentions, aliases)
+    }),
     // dictionary-free alignment of the two linked namespaces (entA_* vs
     // entB_*) from shared-fact evidence alone — the PARIS path a pipeline
     // falls back to when no alias catalog exists; RA-weighted, top-3 per
@@ -904,6 +917,34 @@ object PipelineQueries {
     "fe_extract" -> withDocs("SELECT url, body AS text FROM docs"),
     "fe_mentions" -> withDocs(mentionsSql),
     "fe_linked" -> withDocs(linkedSql),
+    "fe_linked_nil" -> withDocs(
+      """SELECT url,
+        |  CASE WHEN (doc_id % 97) % 5 = 0
+        |       THEN 'nil:' || substr(md5((CASE WHEN doc_id % 5 < 2 THEN 'ent ' ELSE 'entity ' END) || (doc_id % 97)), 1, 16)
+        |       WHEN doc_id % 5 < 2 THEN 'entA_' || (doc_id % 97)
+        |       ELSE 'entB_' || (doc_id % 97) END AS subj_id,
+        |  'bornIn' AS pred,
+        |  CASE WHEN (doc_id % 31) % 11 = 0
+        |       THEN 'nil:' || substr(md5('city ' || (doc_id % 31)), 1, 16)
+        |       ELSE 'city_' || (doc_id % 31) END AS obj_id,
+        |  (doc_id % 97) % 5 = 0 AS subj_nil,
+        |  (doc_id % 31) % 11 = 0 AS obj_nil
+        |FROM docs
+        |UNION ALL SELECT url,
+        |  CASE WHEN (doc_id % 97) % 5 = 0
+        |       THEN 'nil:' || substr(md5((CASE WHEN doc_id % 5 < 2 THEN 'ent ' ELSE 'entity ' END) || (doc_id % 97)), 1, 16)
+        |       WHEN doc_id % 5 < 2 THEN 'entA_' || (doc_id % 97)
+        |       ELSE 'entB_' || (doc_id % 97) END,
+        |  'worksFor', 'org_' || (doc_id % 13),
+        |  (doc_id % 97) % 5 = 0, FALSE
+        |FROM docs WHERE doc_id % 2 = 0
+        |UNION ALL SELECT url,
+        |  CASE WHEN (doc_id % 31) % 11 = 0
+        |       THEN 'nil:' || substr(md5('city ' || (doc_id % 31)), 1, 16)
+        |       ELSE 'city_' || (doc_id % 31) END,
+        |  'locatedIn', 'country_' || (doc_id % 7),
+        |  (doc_id % 31) % 11 = 0, FALSE
+        |FROM docs WHERE doc_id % 3 = 0""".stripMargin),
     "fe_align" -> withDocs(
       s""", lk AS MATERIALIZED ($linkedSql),
          |s1 AS MATERIALIZED (SELECT DISTINCT subj_id AS a, pred, obj_id AS o FROM lk WHERE subj_id LIKE 'entA_%'),

@@ -91,4 +91,41 @@ class PipelineSpec extends SparkSpec {
     val cities = graft.expr.Eval(kb, graft.expr.Named("City"))
     assert(ids(cities).forall(_.startsWith("city_")))
   }
+
+  test("NIL clustering: unlinkable endpoints cluster by normalized surface, linked rows match apply") {
+    val sp = spark
+    import sp.implicits._
+    val mentions = Seq(
+      ("u1", "Acme Corp", "owns", "Widget Co"),   // subj linkable, obj NIL
+      ("u2", "acme  CORP ", "owns", "Widget Co"), // messy surface, same entity
+      ("u3", "Ghost Inc", "near", "Acme Corp"),   // subj NIL, obj linkable
+      ("u4", "ghost   inc", "near", "GHOST INC")  // both NIL, both = u3's subj cluster
+    ).toDF("url", "subjSurface", "pred", "objSurface")
+    val aliases = Seq(
+      ("Acme Corp", "acme", 0.9), ("acme  CORP ", "acme", 0.9))
+      .toDF("surface", "entity_id", "score")
+    val got = Link.withNils(mentions, aliases).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val byUrl = got.map(t => t._1 -> t).toMap
+    // linked endpoints resolve exactly like apply; NIL flags mark the rest
+    assert(byUrl("u1")._2 === "acme" && !byUrl("u1")._5 && byUrl("u1")._6)
+    assert(byUrl("u2")._2 === "acme")
+    // same normalized surface → same NIL cluster across rows and positions
+    val widgetNil = byUrl("u1")._4
+    assert(byUrl("u2")._4 === widgetNil && widgetNil.startsWith("nil:"))
+    assert(byUrl("u3")._2 === byUrl("u4")._2) // 'Ghost Inc' ≡ 'ghost   inc'
+    assert(byUrl("u4")._4 === byUrl("u3")._2) // obj 'GHOST INC' joins the cluster
+    assert(byUrl("u3")._6 === false && byUrl("u3")._4 === "acme")
+    // distinct surfaces stay distinct clusters (exact-match baseline)
+    assert(widgetNil !== byUrl("u3")._2)
+    // deterministic: equals the published formula
+    val expect = "nil:" + NTriplesMd5.md5Hex("widget co").substring(0, 16)
+    assert(widgetNil === expect)
+  }
+}
+
+/** local alias so the spec states the nil-id formula independently */
+private object NTriplesMd5 {
+  def md5Hex(s: String): String = graft.sources.NTriples.md5Hex(s)
 }
