@@ -134,4 +134,18 @@ object Truth {
       .select(col("subj"), col("pred"), col("obj"),
         col("valid_from"), col("valid_until"), col("version"))
   }
+
+  /** The KG "as of" `ts`: each (subj, pred) data item's version whose
+    * validity interval covers ts — valid_from ≤ ts < valid_until (open
+    * current version: NULL until). A pure row-local filter over the
+    * [[factTimeline]] table, so an as-of view costs one scan and the
+    * interval predicate pushes into the timeline's storage at scale
+    * (valid_from range ⇒ partition/file pruning on a timeline partitioned
+    * by valid_from). Data items first observed AFTER ts are absent — the
+    * view is the KG a reader at ts could have known. */
+  def factsAsOf(timeline: DataFrame, ts: java.sql.Timestamp): DataFrame =
+    timeline.filter(col("valid_from") <= lit(ts) &&
+        (col("valid_until").isNull || col("valid_until") > lit(ts)))
+      .select(col("subj"), col("pred"), col("obj"),
+        col("valid_from"), col("version"))
 }

@@ -355,6 +355,24 @@ object KgQueries {
       graft.core.Entailment.sameAsRewrite(kb.triples,
         comp.select(col("id"), col("component").as("rep")))
     }),
+    // INCREMENTAL connected components (the daily-crawl alias-map refresh):
+    // the name-match pair graph is split deterministically ~15/16 "old" /
+    // 1/16 "new" by an md5 bit of the pair; the engine solves the old
+    // slice, folds the new slice in via the contraction increment, and the
+    // oracle solves the FULL pair set from scratch — set equality IS the
+    // increment's correctness statement (merged minima recovered exactly)
+    "kg_cc_increment" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val kb = TpchKg.load(s, d)
+      val pairs = graft.pipeline.Canonicalize.sortedNeighborPairs(
+          kb.attrs.filter(fn.col("prop") === "name"),
+          idCol = "node", nameCol = "lexical", window = 3, maxDist = 2)
+        .select(col("u").as("src"), col("v").as("dst"))
+      val isNew = fn.substring(fn.md5(
+        fn.concat(col("src"), fn.lit("|"), col("dst"))), 1, 1) === "0"
+      val base = graft.pipeline.ConnectedComponents.run(pairs.filter(!isNew))
+      graft.pipeline.ConnectedComponents.increment(base, pairs.filter(isNew))
+    }),
     // lexical datatype inference over attrs — schema discovery recovers
     // the declared tags (urgent→boolean, psize→long, prices→double,
     // orderdate→date, mixed/textual props degrade to string)
@@ -509,6 +527,34 @@ object KgQueries {
     * rounds (it converges in 3-4 on this graph; a deeper run would
     * hash-mismatch LOUDLY, not silently pass). e0 = the canonical u<v
     * projection itself. */
+  /** Name-match pairs (the kg_name_match surface, canonicalized u<v) +
+    * a 10-round alternating-star unroll over them, CTEs sa0..sa10 —
+    * converges in 7 on this graph, idempotent at fixpoint (same argument
+    * as [[starCtes]]). Shared by the sameAs-rewrite and incremental-CC
+    * oracles. */
+  private val nameMatchStarCtes: String =
+    s"""nm AS MATERIALIZED (
+       |  SELECT node AS id, lexical AS name FROM attrs WHERE prop = 'name'),
+       |rk AS MATERIALIZED (
+       |  SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS rnk FROM nm),
+       |sa0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+       |  FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+       |  WHERE levenshtein(a.name, b.name) <= 2 AND a.id <> b.id),
+       |${(1 to 10).map(i =>
+            s"""ss$i AS MATERIALIZED (SELECT u, v FROM sa${i - 1} UNION ALL SELECT v AS u, u AS v FROM sa${i - 1}),
+               |sm$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM ss$i GROUP BY u),
+               |sl$i AS MATERIALIZED (
+               |  SELECT DISTINCT least(s.v, m.m) AS u, greatest(s.v, m.m) AS v
+               |  FROM ss$i s JOIN sm$i m ON m.u = s.u WHERE s.v > s.u AND s.v <> m.m),
+               |st$i AS MATERIALIZED (SELECT u, v FROM sl$i UNION ALL SELECT v AS u, u AS v FROM sl$i),
+               |sn$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM st$i GROUP BY u),
+               |sa$i AS MATERIALIZED (
+               |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+               |    SELECT s.v AS a, n.m AS b FROM st$i s JOIN sn$i n ON n.u = s.u WHERE s.v < s.u
+               |    UNION ALL SELECT u AS a, m AS b FROM sn$i) x WHERE a <> b)"""
+              .stripMargin).mkString(",\n")}""".stripMargin
+
   private def starCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""s$i AS MATERIALIZED (SELECT u, v FROM e${i - 1} UNION ALL SELECT v AS u, u AS v FROM e${i - 1}),
@@ -738,27 +784,7 @@ object KgQueries {
     // (converges in 7 on this graph; idempotent at fixpoint) → min-id rep
     // map → eq-rep left-join rewrite of both triple endpoints + DISTINCT
     "kg_sameas_rewrite" -> TpchKgSql.withKg(
-      s"""nm AS MATERIALIZED (
-         |  SELECT node AS id, lexical AS name FROM attrs WHERE prop = 'name'),
-         |rk AS MATERIALIZED (
-         |  SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS rnk FROM nm),
-         |sa0 AS MATERIALIZED (
-         |  SELECT DISTINCT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
-         |  FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
-         |  WHERE levenshtein(a.name, b.name) <= 2 AND a.id <> b.id),
-         |${(1 to 10).map(i =>
-              s"""ss$i AS MATERIALIZED (SELECT u, v FROM sa${i - 1} UNION ALL SELECT v AS u, u AS v FROM sa${i - 1}),
-                 |sm$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM ss$i GROUP BY u),
-                 |sl$i AS MATERIALIZED (
-                 |  SELECT DISTINCT least(s.v, m.m) AS u, greatest(s.v, m.m) AS v
-                 |  FROM ss$i s JOIN sm$i m ON m.u = s.u WHERE s.v > s.u AND s.v <> m.m),
-                 |st$i AS MATERIALIZED (SELECT u, v FROM sl$i UNION ALL SELECT v AS u, u AS v FROM sl$i),
-                 |sn$i AS MATERIALIZED (SELECT u, least(u, MIN(v)) AS m FROM st$i GROUP BY u),
-                 |sa$i AS MATERIALIZED (
-                 |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
-                 |    SELECT s.v AS a, n.m AS b FROM st$i s JOIN sn$i n ON n.u = s.u WHERE s.v < s.u
-                 |    UNION ALL SELECT u AS a, m AS b FROM sn$i) x WHERE a <> b)"""
-                .stripMargin).mkString(",\n")},
+      s"""$nameMatchStarCtes,
          |srep AS MATERIALIZED (
          |  SELECT u AS id, least(u, MIN(v)) AS rep
          |  FROM (SELECT u, v FROM sa10 UNION ALL SELECT v AS u, u AS v FROM sa10) fs
@@ -769,6 +795,15 @@ object KgQueries {
          |  FROM str t LEFT JOIN srep r ON r.id = t.subj)
          |SELECT DISTINCT s.subj, s.pred, coalesce(r.rep, s.obj) AS obj
          |FROM ssub s LEFT JOIN srep r ON r.id = s.obj""".stripMargin,
+      inCte = true),
+    // incremental CC parity: the oracle solves the FULL name-match pair
+    // set from scratch (same star unroll); the engine's old-solve +
+    // contraction increment must land on the identical (id, component) map
+    "kg_cc_increment" -> TpchKgSql.withKg(
+      s"""$nameMatchStarCtes
+         |SELECT u AS id, least(u, MIN(v)) AS component
+         |FROM (SELECT u, v FROM sa10 UNION ALL SELECT v AS u, u AS v FROM sa10) fs
+         |GROUP BY u""".stripMargin,
       inCte = true),
     "kg_path_alt" -> TpchKgSql.withKg(
       """SELECT c.dst AS s, r.dst AS o

@@ -233,6 +233,18 @@ object PipelineQueries {
       Truth.factTimeline(
         Canonicalize(linked, Pages.aliases(s), keep = Seq("warc_ts")))
     }),
+    // temporal as-of view over the SCD-2 timeline: the KG a reader at
+    // t = +120 s could have known — versions straddling the cutoff are
+    // served, versions first observed later are absent, superseded
+    // versions are excluded (all three cases populated at every sf)
+    "fe_facts_asof" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val mentions = Mentions.withTs(Extract.withTs(pages)).toDF()
+      val linked = Link(mentions, Pages.aliases(s), keep = Seq("warc_ts"))
+      Truth.factsAsOf(
+        Truth.factTimeline(Canonicalize(linked, Pages.aliases(s), keep = Seq("warc_ts"))),
+        java.sql.Timestamp.valueOf("2025-01-01 00:02:00"))
+    }),
     // N-Quads interchange roundtrip for the provenance-carrying claim
     // stream (named-graph-per-source): render → text files → parse must be
     // the identity on (src, subj, pred, obj) — the claims oracle applies
@@ -989,6 +1001,20 @@ object PipelineQueries {
         |       LEAD(valid_from) OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS valid_until,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS BIGINT) AS version
         |FROM f""".stripMargin),
+    "fe_facts_asof" -> withDocs(
+      """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
+        |cl AS MATERIALIZED (
+        |  SELECT wts, 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM tsd
+        |  UNION ALL SELECT wts, 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM tsd WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT wts, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM tsd WHERE doc_id % 3 = 0),
+        |f AS (SELECT subj, pred, obj, MIN(wts) AS valid_from FROM cl GROUP BY 1, 2, 3),
+        |tl AS (SELECT subj, pred, obj, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS valid_until,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY valid_from, obj) AS BIGINT) AS version
+        |FROM f)
+        |SELECT subj, pred, obj, valid_from, version FROM tl
+        |WHERE valid_from <= TIMESTAMP '2025-01-01 00:02:00'
+        |  AND (valid_until IS NULL OR valid_until > TIMESTAMP '2025-01-01 00:02:00')""".stripMargin),
     "fe_fact_intervals" -> withDocs(
       """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
         |cl AS MATERIALIZED (

@@ -68,4 +68,43 @@ class CcSpec extends SparkSpec {
     assert(gotDriver === unionFind(edges))
     assert(gotStar === unionFind(edges))
   }
+
+  test("increment: hand cases — undercut rep, member-to-member merge, in-component no-op, fresh pair") {
+    import spark.implicits._
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // old: {b, c, d} rep b; {x, y} rep x
+    val base = ConnectedComponents.run(
+      Seq(("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst"))
+    assert(m(base) === Map("b" -> "b", "c" -> "b", "d" -> "b", "x" -> "x", "y" -> "x"))
+    // new: (a, d) — a < b undercuts the stored rep via a non-rep member;
+    //      (d, y) — member-to-member merge of the two old components;
+    //      (c, b) — in-component no-op;
+    //      (p, q) — brand-new component never seen by the map
+    val inc = Seq(("a", "d"), ("d", "y"), ("c", "b"), ("p", "q")).toDF("src", "dst")
+    val got = m(ConnectedComponents.increment(base, inc))
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "a", "y" -> "a", "p" -> "p", "q" -> "p"))
+    // empty increment: the map comes back unchanged
+    assert(m(ConnectedComponents.increment(base,
+      Seq.empty[(String, String)].toDF("src", "dst"))) === m(base))
+  }
+
+  test("increment == from-scratch solve on a random old/new split") {
+    val rnd = new scala.util.Random(29)
+    val all = (1 to 300).map(_ => (f"n${rnd.nextInt(200)}%03d", f"n${rnd.nextInt(200)}%03d"))
+      .filter(e => e._1 != e._2)
+    val (old, fresh) = all.partition(e => (e._1 + e._2).hashCode % 7 != 0)
+    import spark.implicits._
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = m(ConnectedComponents.increment(
+      ConnectedComponents.run(old.toDF("src", "dst")), fresh.toDF("src", "dst")))
+    assert(got === unionFind(all))
+    // and through the distributed star path on both solves
+    val gotStar = m(ConnectedComponents.increment(
+      ConnectedComponents.run(old.toDF("src", "dst"), driverMaxEdges = 0L),
+      fresh.toDF("src", "dst")))
+    assert(gotStar === unionFind(all))
+  }
 }

@@ -70,4 +70,22 @@ class TruthSpec extends SparkSpec {
     assert(out.getAs[java.sql.Timestamp]("last_ts").toString.startsWith("2025-01-03"))
     assert(out.getAs[Long]("n_docs") == 2L)
   }
+
+  test("factsAsOf: serves the covering version, hides later and superseded ones") {
+    import spark.implicits._
+    val cl = Seq(
+      ("u1", "2025-01-01 00:00:00", "e", "p", "v1"), // version 1
+      ("u2", "2025-01-05 00:00:00", "e", "p", "v2"), // version 2 supersedes at day 5
+      ("u3", "2025-01-09 00:00:00", "f", "q", "w1")  // first observed after the cutoff
+    ).toDF("url", "ts", "subj", "pred", "obj")
+      .withColumn("warc_ts", col("ts").cast("timestamp"))
+    val tl = Truth.factTimeline(cl)
+    def asOf(ts: String) = Truth.factsAsOf(tl, java.sql.Timestamp.valueOf(ts))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(asOf("2025-01-03 00:00:00") === Set(("e", "p", "v1")))     // v2 and f unseen yet
+    assert(asOf("2025-01-07 00:00:00") === Set(("e", "p", "v2")))     // v1 superseded
+    assert(asOf("2025-01-10 00:00:00") === Set(("e", "p", "v2"), ("f", "q", "w1")))
+    // boundary: valid_from ≤ ts < valid_until — at exactly day 5, v2 serves
+    assert(asOf("2025-01-05 00:00:00") === Set(("e", "p", "v2")))
+  }
 }
