@@ -46,17 +46,21 @@ object Robots {
     def specificity: Int = pattern.length
   }
 
-  /** Parse a robots.txt body for ONE user agent (exact-name group match
-    * with `*` fallback, case-insensitive per spec; the most specific
-    * matching group wins and groups do not merge — RFC 9309 §2.2.1). */
-  def parse(txt: String, agent: String): Seq[Rule] = {
-    val groups = scala.collection.mutable.Buffer.empty[(Seq[String], Seq[Rule])]
+  /** One parsed group: its agent names, rules, and (non-standard but
+    * widely honored) Crawl-delay in seconds. */
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+                         crawlDelay: Option[Double])
+
+  /** All groups of a robots.txt body, in order. */
+  def parseGroups(txt: String): Seq[Group] = {
+    val groups = scala.collection.mutable.Buffer.empty[Group]
     var agents = Seq.empty[String]
     var rules = Seq.empty[Rule]
+    var delay: Option[Double] = None
     var inAgents = true
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += ((agents, rules))
-      agents = Seq.empty; rules = Seq.empty
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Seq.empty; rules = Seq.empty; delay = None
     }
     txt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -72,19 +76,52 @@ object Robots {
             inAgents = false
             // empty Disallow = allow everything (match nothing)
             if (v.nonEmpty) rules :+= Rule(allow = k == "allow", pattern = v)
-          case _ => inAgents = false // sitemap / crawl-delay etc.: ignored
+          case "crawl-delay" =>
+            inAgents = false
+            // malformed values ignored, never a parse failure
+            delay = delay.orElse(v.toDoubleOption.filter(_ >= 0))
+          case _ => inAgents = false // sitemap etc.: group-neutral, ignored here
         }
       }
     }
     flush()
-    val a = agent.toLowerCase
-    // most specific matching group: exact agent name beats '*'
-    val exact = groups.filter(_._1.exists(g => g != "*" && a.contains(g)))
-    val chosen =
-      if (exact.nonEmpty) exact.maxBy(_._1.filter(g => a.contains(g)).map(_.length).max)
-      else groups.find(_._1.contains("*")).getOrElse((Seq.empty, Seq.empty))
-    chosen._2
+    groups.toSeq
   }
+
+  /** Most specific matching group for `agent`: exact name beats `*`,
+    * groups do not merge — RFC 9309 §2.2.1. */
+  private def chooseGroup(txt: String, agent: String): Group = {
+    val groups = parseGroups(txt)
+    val a = agent.toLowerCase
+    val exact = groups.filter(_.agents.exists(g => g != "*" && a.contains(g)))
+    if (exact.nonEmpty)
+      exact.maxBy(_.agents.filter(g => a.contains(g)).map(_.length).max)
+    else groups.find(_.agents.contains("*")).getOrElse(Group(Nil, Nil, None))
+  }
+
+  /** Parse a robots.txt body for ONE user agent (exact-name group match
+    * with `*` fallback, case-insensitive per spec; the most specific
+    * matching group wins and groups do not merge — RFC 9309 §2.2.1). */
+  def parse(txt: String, agent: String): Seq[Rule] = chooseGroup(txt, agent).rules
+
+  /** The chosen group's Crawl-delay for `agent` (seconds) — the per-host
+    * politeness override a fetch scheduler spaces requests by. Group
+    * selection identical to [[parse]]; None when the group sets none. */
+  def crawlDelay(txt: String, agent: String): Option[Double] =
+    chooseGroup(txt, agent).crawlDelay
+
+  /** `Sitemap:` directives (sitemaps.org discovery) — GLOBAL lines, not
+    * group-scoped, so they apply to every agent; order preserved,
+    * duplicates kept (several sitemaps are legal). The natural feed for
+    * `Sitemaps.indexChildren`/`entries`. */
+  def sitemapUrls(txt: String): Seq[String] =
+    txt.linesIterator.map(_.takeWhile(_ != '#').trim).flatMap { line =>
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(i + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
 
   /** Longest-match decision for one path. No matching rule → allowed. */
   def allowed(rules: Seq[Rule], path: String): Boolean = {

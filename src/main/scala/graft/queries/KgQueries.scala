@@ -197,6 +197,19 @@ object KgQueries {
       aggs = Seq(count(lit(1)).as("orders"),
         countDistinct(col("c")).as("custs")),
       having = Some(col("orders") >= 100))),
+    // SPARQL GROUP_CONCAT (§18.5.1.7): order-normalized so the rendered
+    // list is deterministic across partitionings — collect_list + sort
+    // (the SPARQL separator form), byte-comparable to DuckDB's ordered
+    // string_agg
+    "kg_bgp_groupconcat" -> ((s, d) => graft.core.Bgp.aggregatePattern(
+      TpchKg.load(s, d).edges,
+      atoms = Seq(("?n", "inRegion", "?r")),
+      groupVars = Seq("r"),
+      aggs = Seq(
+        org.apache.spark.sql.functions.concat_ws("|",
+          org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list(col("n")))).as("nations"),
+        count(lit(1)).as("n_nations")))),
     // SPARQL CONSTRUCT: one shared WHERE subtree instantiates a 2-triple
     // template (set semantics — the result is a graph, duplicates collapse)
     "kg_bgp_construct" -> ((s, d) => graft.core.Bgp.construct(
@@ -1079,6 +1092,10 @@ object KgQueries {
         |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
         |WHERE a.pred = 'placedBy'
         |GROUP BY b.dst HAVING COUNT(*) >= 100""".stripMargin),
+    "kg_bgp_groupconcat" -> TpchKgSql.withKg(
+      """SELECT dst AS r, string_agg(src, '|' ORDER BY src) AS nations,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM edges WHERE pred = 'inRegion' GROUP BY dst""".stripMargin),
     "kg_bgp_construct" -> TpchKgSql.withKg(
       """SELECT DISTINCT src, 'involves' AS pred, dst FROM (
         |  SELECT a.src, a.dst FROM edges a WHERE a.pred = 'placedBy'

@@ -28,11 +28,17 @@ object PipelineQueries {
   private val GraftbotRobotsTxt =
     """User-agent: *
       |Disallow: /
+      |Crawl-delay: 10
+      |
+      |Sitemap: https://ex.org/sitemap-index.xml
       |
       |User-agent: graftbot
       |Disallow: /doc/1
       |Allow: /doc/1$
       |Disallow: /doc/*7$
+      |Crawl-delay: 2.5
+      |
+      |Sitemap: https://ex.org/sitemap-extra.xml
       |""".stripMargin
 
   // the canonical claim stream replayed arithmetically (shared by the
@@ -354,6 +360,21 @@ object PipelineQueries {
       val rules = Robots.parse(GraftbotRobotsTxt, "graftbot")
       Robots.filterAllowed(
         KgPipeline.run(s, d, ck(d), "pages").select("url"), rules)
+    }),
+    // robots metadata beyond the filter rules: GLOBAL Sitemap discovery
+    // (both lines, order preserved, agent-independent) + group-scoped
+    // Crawl-delay (graftbot gets its own 2.5, an unmatched agent falls to
+    // the * group's 10.0 — group selection load-bearing on both branches)
+    "fe_robots_meta" -> ((s, _) => {
+      import org.apache.spark.sql.Encoders
+      val sm = Robots.sitemapUrls(GraftbotRobotsTxt)
+        .zipWithIndex.map { case (u, i) => (s"sitemap_$i", u) }
+      val cd = Robots.crawlDelay(GraftbotRobotsTxt, "graftbot")
+        .map(v => ("crawl_delay_graftbot", v.toString)).toSeq
+      val cdStar = Robots.crawlDelay(GraftbotRobotsTxt, "otherbot")
+        .map(v => ("crawl_delay_other", v.toString)).toSeq
+      s.createDataset(sm ++ cd ++ cdStar)(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("kind", "value")
     }),
     // sitemap discovery end-to-end: shard urlsets GENERATED from the
     // pages table (ordered collect per shard — the spec's 50k-url cap is
@@ -1176,6 +1197,12 @@ object PipelineQueries {
       """SELECT url FROM docs
         |WHERE NOT (CAST(doc_id AS VARCHAR) LIKE '1%' AND doc_id <> 1)
         |  AND CAST(doc_id AS VARCHAR) NOT LIKE '%7'""".stripMargin),
+    "fe_robots_meta" ->
+      ("SELECT * FROM (VALUES " +
+        "('sitemap_0', 'https://ex.org/sitemap-index.xml'), " +
+        "('sitemap_1', 'https://ex.org/sitemap-extra.xml'), " +
+        "('crawl_delay_graftbot', '2.5'), " +
+        "('crawl_delay_other', '10.0')) AS t(kind, value)"),
     "fe_sitemap" -> withDocs(
       """SELECT url AS loc,
         |  strftime(TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,

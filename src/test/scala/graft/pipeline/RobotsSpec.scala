@@ -66,4 +66,40 @@ class RobotsSpec extends SparkSpec {
       .select(Robots.allowedCol(rules, col("url"))).head().getBoolean(0)
     assert(root === Robots.allowed(rules, "/"))
   }
+
+  test("crawl-delay: group-scoped, first value wins, malformed ignored") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 10
+        |
+        |User-agent: fastbot
+        |Crawl-delay: 0.5
+        |Crawl-delay: 99
+        |
+        |User-agent: brokenbot
+        |Crawl-delay: soon
+        |""".stripMargin
+    assert(Robots.crawlDelay(txt, "fastbot") === Some(0.5))   // first wins
+    assert(Robots.crawlDelay(txt, "unknownbot") === Some(10)) // * fallback
+    assert(Robots.crawlDelay(txt, "brokenbot") === None)      // malformed dropped
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x\n", "any") === None)
+    // rules unaffected by delay lines (delay ends the agent list like a rule)
+    assert(Robots.parse(txt, "unknownbot").map(_.pattern) === Seq("/private"))
+  }
+
+  test("sitemap discovery: global, agent-independent, ordered, comments stripped") {
+    val txt =
+      """Sitemap: https://a.org/s1.xml
+        |User-agent: *
+        |Disallow: /
+        |sitemap:   https://a.org/s2.xml   # trailing comment
+        |SITEMAP: https://a.org/s1.xml
+        |Sitemap:
+        |""".stripMargin
+    // duplicates kept, order preserved, case-insensitive key, empty dropped
+    assert(Robots.sitemapUrls(txt) ===
+      Seq("https://a.org/s1.xml", "https://a.org/s2.xml", "https://a.org/s1.xml"))
+    assert(Robots.sitemapUrls("User-agent: *\nDisallow:\n") === Nil)
+  }
 }
