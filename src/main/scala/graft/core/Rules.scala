@@ -106,4 +106,55 @@ object Rules {
         .select(col("src").as("z"), col("dst").as("y")), Seq("z"))
       .select(col("x").as("src"), lit(as).as("pred"), col("y").as("dst"))
       .distinct()
+
+  /** RELATION ALIGNMENT (PARIS, Suchanek-Abiteboul-Senellart VLDB'12 §5.2;
+    * AMIE's length-1 rules p(x,y) ⇒ q(x,y) / q(y,x)) — the schema-level
+    * axis of KG fusion: when two sources name the same relation
+    * differently (or inversely), the evidence is their PAIR-SET overlap.
+    * For every ordered predicate pair (p, q), p ≠ q, in both directions:
+    *
+    *  - fwd: support = |pairs(p) ∩ pairs(q)|, inv: |pairs(p) ∩ pairs(q)⁻¹|
+    *  - p_n = |pairs(p)| (CWA denominator)
+    *  - pca_n = |{(x,y) ∈ p : x emits q}| (fwd) / |{… : x is a q-object}|
+    *    (inv) — AMIE's partial-completeness: only heads KNOWN to the other
+    *    relation count as counter-evidence
+    *
+    * conf = support/p_n and pca_conf = support/pca_n reported as exact
+    * integer micro-units (floats never touch the gate). Plan: per
+    * direction ONE (src,dst)-keyed self-equi-join (distinct-triple input
+    * ⇒ output rows are unique per (pair, p, q) — no pre-distinct needed),
+    * one broadcast-size emitter dim for pca, two keyed aggregates over the
+    * predicate-pair domain (vocabulary², tiny). The pair join is dense
+    * only where relations genuinely overlap — disjoint id spaces
+    * contribute nothing. */
+  def alignRelations(edges: DataFrame, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val e = edges.select(col("src"), col("pred"), col("dst")).localCheckpoint(true)
+    val pn = e.groupBy(col("pred").as("p")).agg(count(lit(1)).as("p_n"))
+
+    def direction(right: DataFrame, dir: String, emitters: DataFrame) = {
+      val sup = e.select(col("src"), col("dst"), col("pred").as("p"))
+        .join(right, Seq("src", "dst"))
+        .filter(col("p") =!= col("q"))
+        .groupBy("p", "q").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+      val pca = e.select(col("src"), col("pred").as("p"))
+        .join(emitters, Seq("src"))
+        .filter(col("p") =!= col("q"))
+        .groupBy("p", "q").agg(count(lit(1)).as("pca_n"))
+      sup.join(pca, Seq("p", "q")).withColumn("direction", lit(dir))
+    }
+
+    val fwd = direction(
+      e.select(col("src"), col("dst"), col("pred").as("q")), "fwd",
+      e.select(col("src"), col("pred").as("q")).distinct())
+    val inv = direction(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("pred").as("q")), "inv",
+      e.select(col("dst").as("src"), col("pred").as("q")).distinct())
+    fwd.unionAll(inv).join(pn, Seq("p"))
+      .select(col("p"), col("q"), col("direction"),
+        col("support"), col("p_n"), col("pca_n"),
+        expr("1000000 * support div p_n").as("conf_micro"),
+        expr("1000000 * support div pca_n").as("pca_conf_micro"))
+  }
 }

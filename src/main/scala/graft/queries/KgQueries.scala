@@ -413,6 +413,26 @@ object KgQueries {
         e.unionAll(graft.core.Rules.compose(e, "suppliedBy", "inNation", "orderNation")))
       graft.core.Rules.applyChains(e, rules, minPcaConfMicro = 1000000L)
     }),
+    // PARIS relation alignment (schema-level fusion): three plants make
+    // every output shape load-bearing — inRegion2 (exact duplicate → fwd
+    // conf 1 both ways), containedBy (swap of contains → INV alignment),
+    // primeOrders (even-orderkey half of placedBy → fwd conf 1 one way,
+    // ~0.5 the other, while PCA stays 1 on both: the CWA/PCA gap is the
+    // whole point of the partial-completeness denominator)
+    "kg_rel_align" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val e = TpchKg.load(s, d).edges
+      val planted = e
+        .unionAll(e.filter(col("pred") === "inRegion")
+          .select(col("src"), fn.lit("inRegion2").as("pred"), col("dst")))
+        .unionAll(e.filter(col("pred") === "contains")
+          .select(col("dst").as("src"), fn.lit("containedBy").as("pred"),
+            col("src").as("dst")))
+        .unionAll(e.filter(col("pred") === "placedBy" &&
+            fn.substring(col("src"), -1, 1).cast("int") % 2 === 0)
+          .select(col("src"), fn.lit("primeOrders").as("pred"), col("dst")))
+      graft.core.Rules.alignRelations(planted)
+    }),
     // predicate functionality / inverse functionality (PARIS VLDB'12):
     // placedBy scores fun=1 (observed-functional — an identity-key
     // candidate), contains/suppliedBy score low in BOTH directions; exact
@@ -897,6 +917,37 @@ object KgQueries {
         |       WHEN SUM(CASE WHEN regexp_matches(lexical, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) = COUNT(lexical) THEN 'xsd:date'
         |       ELSE 'xsd:string' END AS inferred
         |FROM attrs GROUP BY prop""".stripMargin),
+    "kg_rel_align" -> TpchKgSql.withKg(
+      """ep AS MATERIALIZED (
+        |  SELECT src, pred, dst FROM edges
+        |  UNION ALL SELECT src, 'inRegion2', dst FROM edges WHERE pred = 'inRegion'
+        |  UNION ALL SELECT dst, 'containedBy', src FROM edges WHERE pred = 'contains'
+        |  UNION ALL SELECT src, 'primeOrders', dst FROM edges
+        |    WHERE pred = 'placedBy' AND CAST(right(src, 1) AS INT) % 2 = 0),
+        |pn AS (SELECT pred AS p, CAST(COUNT(*) AS BIGINT) AS p_n FROM ep GROUP BY 1),
+        |fsup AS (SELECT a.pred AS p, b.pred AS q, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ep a JOIN ep b ON b.src = a.src AND b.dst = a.dst AND b.pred <> a.pred
+        |  GROUP BY 1, 2),
+        |fpca AS (SELECT a.pred AS p, em.q, CAST(COUNT(*) AS BIGINT) AS pca_n
+        |  FROM ep a JOIN (SELECT DISTINCT src, pred AS q FROM ep) em
+        |    ON em.src = a.src AND em.q <> a.pred GROUP BY 1, 2),
+        |isup AS (SELECT a.pred AS p, b.pred AS q, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ep a JOIN ep b ON b.dst = a.src AND b.src = a.dst AND b.pred <> a.pred
+        |  GROUP BY 1, 2),
+        |ipca AS (SELECT a.pred AS p, em.q, CAST(COUNT(*) AS BIGINT) AS pca_n
+        |  FROM ep a JOIN (SELECT DISTINCT dst AS src, pred AS q FROM ep) em
+        |    ON em.src = a.src AND em.q <> a.pred GROUP BY 1, 2),
+        |allrows AS (
+        |  SELECT f.p, f.q, 'fwd' AS direction, f.support, fp.pca_n
+        |  FROM fsup f JOIN fpca fp ON fp.p = f.p AND fp.q = f.q
+        |  UNION ALL
+        |  SELECT i.p, i.q, 'inv', i.support, ip.pca_n
+        |  FROM isup i JOIN ipca ip ON ip.p = i.p AND ip.q = i.q)
+        |SELECT a.p, a.q, a.direction, a.support, pn.p_n, a.pca_n,
+        |       CAST(1000000 * a.support // pn.p_n AS BIGINT) AS conf_micro,
+        |       CAST(1000000 * a.support // a.pca_n AS BIGINT) AS pca_conf_micro
+        |FROM allrows a JOIN pn ON pn.p = a.p""".stripMargin,
+      inCte = true),
     "kg_rule_mine" -> TpchKgSql.withKg(
       s"$ruleMineCtes\nSELECT * FROM rulez", inCte = true),
     "kg_rule_apply" -> TpchKgSql.withKg(

@@ -60,4 +60,32 @@ class RulesSpec extends SparkSpec {
         ((r.getLong(3), r.getLong(6)))).toMap
     assert(got(("p", "q", "pq")) === ((4L, 1000000L)))
   }
+
+  test("alignRelations: duplicate, inverse, and partial-subset plants hand-traced") {
+    val s = spark
+    import s.implicits._
+    // r: {(a,x),(b,y),(c,z)}; r2 = r exactly; rInv = r swapped;
+    // half = {(a,x)} ⊂ r; noise shares no pairs with anything
+    val e = Seq(
+      ("a", "r", "x"), ("b", "r", "y"), ("c", "r", "z"),
+      ("a", "r2", "x"), ("b", "r2", "y"), ("c", "r2", "z"),
+      ("x", "rInv", "a"), ("y", "rInv", "b"), ("z", "rInv", "c"),
+      ("a", "half", "x"),
+      ("a", "noise", "q")).toDF("src", "pred", "dst")
+    val got = Rules.alignRelations(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // exact duplicate: support 3 = p_n, conf = pca_conf = 1, both orders
+    assert(got(("r", "r2", "fwd")) === ((3L, 3L, 3L, 1000000L, 1000000L)))
+    assert(got(("r2", "r", "fwd")) === ((3L, 3L, 3L, 1000000L, 1000000L)))
+    // inverse alignment appears ONLY in the inv direction
+    assert(got(("r", "rInv", "inv")) === ((3L, 3L, 3L, 1000000L, 1000000L)))
+    assert(!got.contains(("r", "rInv", "fwd")))
+    // partial subset: half ⇒ r at conf 1; r ⇒ half at CWA 1/3 but PCA 1
+    // (only the subject known to `half` counts as counter-evidence)
+    assert(got(("half", "r", "fwd")) === ((1L, 1L, 1L, 1000000L, 1000000L)))
+    assert(got(("r", "half", "fwd")) === ((1L, 3L, 1L, 333333L, 1000000L)))
+    // disjoint pair sets produce no row
+    assert(!got.keys.exists(k => k._1 == "noise" || k._2 == "noise"))
+  }
 }
