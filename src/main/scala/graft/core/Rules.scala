@@ -157,4 +157,27 @@ object Rules {
         expr("1000000 * support div p_n").as("conf_micro"),
         expr("1000000 * support div pca_n").as("pca_conf_micro"))
   }
+
+  /** CLASS ALIGNMENT (PARIS §5.1 — the third fusion axis beside instance
+    * and relation alignment): for every ordered class pair (a, b), a ≠ b,
+    * the instance-overlap subsumption evidence  conf(a ⊑ b) =
+    * |inst(a) ∩ inst(b)| / |inst(a)|  — 10⁶ micro-units both ways means
+    * equivalence, one-sided means subclass. types(node, cls) is assumed
+    * distinct (the Kb invariant). Plan: ONE node-keyed self-equi-join +
+    * one aggregate over the class-pair domain (class vocabulary², tiny) +
+    * a broadcast |inst| dim — multi-typed nodes are exactly the join's
+    * fan-out, mono-typed KGs produce nothing. */
+  def alignClasses(types: DataFrame, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val t = types.select(col("node"), col("cls"))
+    val an = t.groupBy(col("cls").as("a")).agg(count(lit(1)).as("a_n"))
+    t.select(col("node"), col("cls").as("a"))
+      .join(t.select(col("node"), col("cls").as("b")), Seq("node"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(an, Seq("a"))
+      .select(col("a"), col("b"), col("support"), col("a_n"),
+        expr("1000000 * support div a_n").as("conf_micro"))
+  }
 }

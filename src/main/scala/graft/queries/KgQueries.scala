@@ -433,6 +433,21 @@ object KgQueries {
           .select(col("src"), fn.lit("primeOrders").as("pred"), col("dst")))
       graft.core.Rules.alignRelations(planted)
     }),
+    // PARIS class alignment (the trio's third axis): 'Client' = exact
+    // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
+    // even-keyed half of Part (subclass — conf 1 one way, ~0.5 back);
+    // disjoint base classes stay silent
+    "kg_class_align" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val t = TpchKg.load(s, d).types
+      val planted = t
+        .unionAll(t.filter(col("cls") === "Customer")
+          .select(col("node"), fn.lit("Client").as("cls")))
+        .unionAll(t.filter(col("cls") === "Part" &&
+            fn.substring(col("node"), -1, 1).cast("int") % 2 === 0)
+          .select(col("node"), fn.lit("BigPart").as("cls")))
+      graft.core.Rules.alignClasses(planted)
+    }),
     // predicate functionality / inverse functionality (PARIS VLDB'12):
     // placedBy scores fun=1 (observed-functional — an identity-key
     // candidate), contains/suppliedBy score low in BOTH directions; exact
@@ -947,6 +962,19 @@ object KgQueries {
         |       CAST(1000000 * a.support // pn.p_n AS BIGINT) AS conf_micro,
         |       CAST(1000000 * a.support // a.pca_n AS BIGINT) AS pca_conf_micro
         |FROM allrows a JOIN pn ON pn.p = a.p""".stripMargin,
+      inCte = true),
+    "kg_class_align" -> TpchKgSql.withKg(
+      """tp AS MATERIALIZED (
+        |  SELECT node, cls FROM types
+        |  UNION ALL SELECT node, 'Client' FROM types WHERE cls = 'Customer'
+        |  UNION ALL SELECT node, 'BigPart' FROM types
+        |    WHERE cls = 'Part' AND CAST(right(node, 1) AS INT) % 2 = 0),
+        |an AS (SELECT cls AS a, CAST(COUNT(*) AS BIGINT) AS a_n FROM tp GROUP BY 1),
+        |ov AS (SELECT x.cls AS a, y.cls AS b, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM tp x JOIN tp y ON y.node = x.node AND y.cls <> x.cls GROUP BY 1, 2)
+        |SELECT ov.a, ov.b, ov.support, an.a_n,
+        |       CAST(1000000 * ov.support // an.a_n AS BIGINT) AS conf_micro
+        |FROM ov JOIN an ON an.a = ov.a""".stripMargin,
       inCte = true),
     "kg_rule_mine" -> TpchKgSql.withKg(
       s"$ruleMineCtes\nSELECT * FROM rulez", inCte = true),

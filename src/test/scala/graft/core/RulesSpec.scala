@@ -88,4 +88,23 @@ class RulesSpec extends SparkSpec {
     // disjoint pair sets produce no row
     assert(!got.keys.exists(k => k._1 == "noise" || k._2 == "noise"))
   }
+
+  test("alignClasses: equivalence, subclass, and disjoint classes hand-traced") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      ("n1", "A"), ("n2", "A"), ("n3", "A"),
+      ("n1", "B"), ("n2", "B"), ("n3", "B"), // B ≡ A
+      ("n1", "C"),                           // C ⊑ A (strict subset)
+      ("n9", "D")                            // disjoint
+    ).toDF("node", "cls")
+    val got = Rules.alignClasses(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("A", "B")) === ((3L, 3L, 1000000L)))
+    assert(got(("B", "A")) === ((3L, 3L, 1000000L)))
+    assert(got(("C", "A")) === ((1L, 1L, 1000000L))) // subclass: 1 forward
+    assert(got(("A", "C")) === ((1L, 3L, 333333L)))  // 1/3 back
+    assert(!got.keys.exists(k => k._1 == "D" || k._2 == "D"))
+  }
 }
