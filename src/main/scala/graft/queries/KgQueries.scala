@@ -157,6 +157,21 @@ object KgQueries {
       ("?n", "inRegion", "r:2"),
       ("?o", "suppliedBy", "?s"),
       ("?s", "inNation", "?n")))),
+    // cost-based BGP planning: the SAME pattern written adversarially —
+    // hub atoms first, the selective constant atom (?n inRegion r:2,
+    // 25 rows / avg fan-in 5) dead last; matchPatternOptimized must
+    // reorder it selective-first and return the identical bag + column
+    // order (the kg_bgp oracle applies verbatim)
+    "kg_bgp_ordered" -> ((s, d) => {
+      val e = TpchKg.load(s, d).edges
+      graft.core.Bgp.matchPatternOptimized(e, Seq(
+        ("?o", "suppliedBy", "?s"),
+        ("?o", "placedBy", "?c"),
+        ("?s", "inNation", "?n"),
+        ("?c", "inNation", "?n"),
+        ("?n", "inRegion", "r:2"))).select(
+        org.apache.spark.sql.functions.col("o"), col("c"), col("n"), col("s"))
+    }),
     // SPARQL OPTIONAL (well-designed, Pérez et al. TODS'09): customers
     // with their nation, optionally an order — TPC-H leaves ~1/3 of
     // customers orderless, so the NULL-preserving left join is
@@ -1138,6 +1153,14 @@ object KgQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM bund e WHERE e.u = lp0.u AND e.v = lp0.w)""".stripMargin,
       inCte = true),
     "kg_bgp" -> TpchKgSql.withKg(
+      """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s
+        |FROM edges a
+        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
+        |JOIN edges r ON r.pred = 'inRegion' AND r.src = b.dst AND r.dst = 'r:2'
+        |JOIN edges d ON d.pred = 'suppliedBy' AND d.src = a.src
+        |JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst AND e.dst = b.dst
+        |WHERE a.pred = 'placedBy'""".stripMargin),
+    "kg_bgp_ordered" -> TpchKgSql.withKg(
       """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s
         |FROM edges a
         |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst

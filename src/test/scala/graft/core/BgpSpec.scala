@@ -253,4 +253,44 @@ class BgpSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(desc === Seq(("d", "d")))
   }
+
+  test("orderAtoms: selective-constant first, connected-only expansion, cartesian last") {
+    val stats = Map(
+      "hub"  -> Bgp.PredStat(1000000L, 1000L, 1000L),
+      "mid"  -> Bgp.PredStat(10000L, 5000L, 100L),
+      "tiny" -> Bgp.PredStat(25L, 25L, 5L))
+    // costs: hub(?a,?b)=10^6; mid(?b,?c)=10^4; tiny(?c, const)=25/5=5
+    val got = Bgp.orderAtoms(Seq(
+      ("?a", "hub", "?b"), ("?b", "mid", "?c"), ("?c", "tiny", "k")), stats)
+    assert(got === Seq(
+      ("?c", "tiny", "k"), ("?b", "mid", "?c"), ("?a", "hub", "?b")))
+    // a cheap but DISCONNECTED atom waits until the connected pool drains
+    val got2 = Bgp.orderAtoms(Seq(
+      ("?a", "hub", "?b"), ("?x", "tiny", "?y"), ("?b", "mid", "?c")), stats)
+    assert(got2 === Seq(
+      ("?x", "tiny", "?y"), ("?b", "mid", "?c"), ("?a", "hub", "?b")))
+    // ^ cheapest overall seeds; nothing connects to {x,y}, so the
+    //   global-min fallback fires (mid 10^4 beats hub 10^6); hub then
+    //   joins connected via ?b
+    // deterministic tie-break on the original index
+    val tie = Bgp.orderAtoms(Seq(
+      ("?p", "tiny", "k"), ("?q", "tiny", "k")), stats)
+    assert(tie === Seq(("?p", "tiny", "k"), ("?q", "tiny", "k")))
+  }
+
+  test("matchPatternOptimized: identical bag + column order to literal evaluation") {
+    val pattern = Seq(
+      ("?x", "knows", "?y"), ("?y", "likes", "?z"), ("?z", "knows", "?w"))
+    val plain = Bgp.matchPattern(edges, pattern)
+    val opt = Bgp.matchPatternOptimized(edges, pattern)
+    assert(opt.columns.toSeq === plain.columns.toSeq)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(r.getString)).groupBy(identity)
+        .view.mapValues(_.length).toMap
+    assert(bag(opt) === bag(plain))
+    // disconnected pattern: the deliberate cartesian survives reordering
+    val cart = Seq(("?x", "knows", "?y"), ("?p", "likes", "?q"))
+    assert(Bgp.matchPatternOptimized(edges, cart).count() ===
+      Bgp.matchPattern(edges, cart).count())
+  }
 }
