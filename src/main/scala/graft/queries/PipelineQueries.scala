@@ -180,6 +180,34 @@ object PipelineQueries {
           !(col("entity_id").rlike("^city_") && k % 11 === 0))
       Link.withNils(mentions, aliases)
     }),
+    // type prediction for NIL entities: a brand-new entity has no asserted
+    // type, but the predicate SIGNATURES it participates in entail one —
+    // rdfs2/3 (domain/range) + the ⊑c closure over the pipeline TBox give
+    // every nil: id its classes (nil ent subjects of bornIn/worksFor →
+    // Entity ⊑ Thing; nil city ids — bornIn objects AND locatedIn
+    // subjects — → City ⊑ Thing). Pure composition: withNils ∘
+    // Entailment.entailedTypes, the new-entity onboarding step
+    "fe_nil_types" -> ((s, d) => {
+      val mentions = KgPipeline.run(s, d, ck(d), "mentions")
+      val k = regexp_extract(col("entity_id"), "(\\d+)$", 1).cast("long")
+      val aliases = Pages.aliases(s).filter(
+        !(col("entity_id").rlike("^ent[AB]_") && k % 5 === 0) &&
+          !(col("entity_id").rlike("^city_") && k % 11 === 0))
+      val triples = Link.withNils(mentions, aliases)
+        .select(col("subj_id").as("src"), col("pred"), col("obj_id").as("dst"))
+        .distinct()
+      import s.implicits._
+      val kb = graft.core.Kb(
+        nodes = triples.select(col("src").as("id"))
+          .unionAll(triples.select(col("dst").as("id"))).distinct(),
+        edges = triples,
+        attrs = Seq.empty[(String, String, String, String)]
+          .toDF("node", "prop", "lexical", "dtype"),
+        types = Seq.empty[(String, String)].toDF("node", "cls"),
+        tbox = Materialize.tbox)
+      graft.core.Entailment.entailedTypes(kb)
+        .filter(col("node").startsWith("nil:"))
+    }),
     // dictionary-free alignment of the two linked namespaces (entA_* vs
     // entB_*) from shared-fact evidence alone — the PARIS path a pipeline
     // falls back to when no alias catalog exists; RA-weighted, top-3 per
@@ -1197,6 +1225,18 @@ object PipelineQueries {
       """SELECT url FROM docs
         |WHERE NOT (CAST(doc_id AS VARCHAR) LIKE '1%' AND doc_id <> 1)
         |  AND CAST(doc_id AS VARCHAR) NOT LIKE '%7'""".stripMargin),
+    "fe_nil_types" -> withDocs(
+      """, nents AS MATERIALIZED (
+        |  SELECT DISTINCT 'nil:' || substr(md5((CASE WHEN doc_id % 5 < 2 THEN 'ent ' ELSE 'entity ' END) || (doc_id % 97)), 1, 16) AS node
+        |  FROM docs WHERE (doc_id % 97) % 5 = 0),
+        |ncities AS MATERIALIZED (
+        |  SELECT DISTINCT 'nil:' || substr(md5('city ' || (doc_id % 31)), 1, 16) AS node
+        |  FROM docs WHERE (doc_id % 31) % 11 = 0)
+        |SELECT DISTINCT node, cls FROM (
+        |  SELECT node, 'Entity' AS cls FROM nents
+        |  UNION ALL SELECT node, 'Thing' FROM nents
+        |  UNION ALL SELECT node, 'City' FROM ncities
+        |  UNION ALL SELECT node, 'Thing' FROM ncities) t""".stripMargin),
     "fe_robots_meta" ->
       ("SELECT * FROM (VALUES " +
         "('sitemap_0', 'https://ex.org/sitemap-index.xml'), " +
