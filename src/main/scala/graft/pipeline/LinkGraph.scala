@@ -138,13 +138,24 @@ object LinkGraph {
     * legal parallelism, not a compromise. At 10⁸ hosts the exchange is
     * well-spread; a single mega-host is bounded by its own politeness
     * delay, not by Spark. */
-  def schedule(frontier: DataFrame, crawlDelayMs: Long = 1000L): DataFrame = {
+  def schedule(frontier: DataFrame, crawlDelayMs: Long = 1000L,
+               hostDelays: Option[DataFrame] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("n_refs").desc, col("url"))
-    frontier.select(col("url"), col("n_refs"), hostOf(col("url")).as("host"))
+    val slotted = frontier
+      .select(col("url"), col("n_refs"), hostOf(col("url")).as("host"))
       .withColumn("slot", row_number().over(w).cast("long") - 1L)
-      .select(col("url"), col("host"), col("slot"),
-        (col("slot") * crawlDelayMs).as("fetch_at_ms"))
+    // per-host Crawl-delay overrides (Robots.crawlDelay harvested per host
+    // — a host-catalog dim, broadcast); hosts without an override pace at
+    // the default
+    val paced = hostDelays match {
+      case Some(hd) => slotted
+        .join(broadcast(hd.select(col("host"), col("delay_ms"))), Seq("host"), "left")
+        .withColumn("eff_delay", coalesce(col("delay_ms"), lit(crawlDelayMs)))
+      case None => slotted.withColumn("eff_delay", lit(crawlDelayMs))
+    }
+    paced.select(col("url"), col("host"), col("slot"),
+      (col("slot") * col("eff_delay")).as("fetch_at_ms"))
   }
 
   /** Anchor-text index: for each link TARGET, the top-`k` anchor terms by

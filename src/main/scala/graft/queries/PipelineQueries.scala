@@ -371,6 +371,18 @@ object PipelineQueries {
       LinkGraph.schedule(
         LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages), 1000L)
     }),
+    // per-host Crawl-delay overrides riding the fetch plan: cdn1 paces at
+    // 2.5 s (a robots-harvested override), every other host at the 1 s
+    // default — the Robots.crawlDelay → scheduler wiring, slot order
+    // untouched
+    "fe_crawl_delay" -> ((s, d) => {
+      import s.implicits._
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val delays = Seq(("cdn1.ex-assets.net", 2500L)).toDF("host", "delay_ms")
+      LinkGraph.schedule(
+        LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages),
+        1000L, Some(delays))
+    }),
     // anchor-text EL dictionary (Spitkovsky-Chang): per anchor the top-3
     // targets with link counts + integer commonness P(dst|anchor) — 'hub'
     // spreads over 97 targets with near-uniform-but-not-equal counts (the
@@ -1130,6 +1142,18 @@ object PipelineQueries {
          |SELECT url, host,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1 AS BIGINT) AS slot,
          |  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1) * 1000 AS BIGINT) AS fetch_at_ms
+         |FROM s""".stripMargin),
+    "fe_crawl_delay" -> withDocs(
+      s""", $linksCte,
+         |f AS (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l
+         |      WHERE dst NOT IN (SELECT url FROM docs) GROUP BY 1),
+         |s AS (SELECT url, n_refs,
+         |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+         |      FROM f)
+         |SELECT url, host,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1 AS BIGINT) AS slot,
+         |  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_refs DESC, url) - 1)
+         |       * (CASE WHEN host = 'cdn1.ex-assets.net' THEN 2500 ELSE 1000 END) AS BIGINT) AS fetch_at_ms
          |FROM s""".stripMargin),
     "fe_anchor_dict" -> withDocs(
       """, a AS (SELECT 'hub' AS anchor, 'https://ex.org/doc/' || (doc_id % 97) AS dst FROM docs
