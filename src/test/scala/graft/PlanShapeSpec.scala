@@ -423,4 +423,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
       s"the byte kernel rides typed mapPartitions, never a UDF:\n$plan")
   }
+
+  test("sameAs rewrite: fact stream rides TWO broadcast joins, one distinct exchange") {
+    import spark.implicits._
+    val triples = Seq(("a", "p", "b"), ("c", "p", "d")).toDF("subj", "pred", "obj")
+    val rep = Seq(("a", "a"), ("b", "a")).toDF("id", "rep")
+    val df = graft.core.Entailment.sameAsRewrite(triples, rep)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"both endpoint rewrites must be broadcast-hash:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact stream must never sort before the distinct:\n$plan")
+  }
+
+  test("NIL linking: mention stream left-broadcasts both dictionary probes, no shuffle join") {
+    import spark.implicits._
+    val mentions = Seq(("u", "S", "p", "O")).toDF("url", "subjSurface", "pred", "objSurface")
+    val aliases = Seq(("S", "e1", 0.9)).toDF("surface", "entity_id", "score")
+    val plan = graft.pipeline.Link.withNils(mentions, aliases)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"dictionary probes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the mention stream must stream map-side:\n$plan")
+  }
+
+  test("cost-ordered BGP: the selective constant atom seeds the join tree") {
+    val kb = graft.sources.TpchKg.load(spark, sf)
+    val atoms = Seq( // adversarial order: hub atoms first
+      ("?o", "suppliedBy", "?s"), ("?o", "placedBy", "?c"),
+      ("?s", "inNation", "?n"), ("?c", "inNation", "?n"),
+      ("?n", "inRegion", "r:2"))
+    val stats = graft.core.Bgp.predStats(kb.edges)
+    val ordered = graft.core.Bgp.orderAtoms(atoms, stats)
+    assert(ordered.head === (("?n", "inRegion", "r:2")),
+      s"the constant-bearing selective atom must seed the tree, got $ordered")
+    // and the constant reaches the scan as a pushed filter
+    val plan = graft.core.Bgp.matchPatternOptimized(kb.edges, atoms, Some(stats))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"a connected ordered pattern must stay equi-joins:\n$plan")
+  }
 }
