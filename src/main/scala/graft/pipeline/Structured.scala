@@ -288,13 +288,13 @@ object Structured {
 
   // ---------------------------------------------------------------- JSON-LD
 
-  private sealed trait JVal
-  private final case class JObj(fields: Vector[(String, JVal)]) extends JVal
-  private final case class JArr(items: Vector[JVal]) extends JVal
-  private final case class JStr(s: String) extends JVal
-  private final case class JNum(raw: String) extends JVal
-  private final case class JBool(b: Boolean) extends JVal
-  private case object JNull extends JVal
+  private[pipeline] sealed trait JVal
+  private[pipeline] final case class JObj(fields: Vector[(String, JVal)]) extends JVal
+  private[pipeline] final case class JArr(items: Vector[JVal]) extends JVal
+  private[pipeline] final case class JStr(s: String) extends JVal
+  private[pipeline] final case class JNum(raw: String) extends JVal
+  private[pipeline] final case class JBool(b: Boolean) extends JVal
+  private[pipeline] case object JNull extends JVal
 
   /** Minimal strict JSON parser (recursive descent, field order kept).
     * Returns None on any syntax error — the caller skips the block. */

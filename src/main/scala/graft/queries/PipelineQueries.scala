@@ -481,6 +481,17 @@ object PipelineQueries {
       graft.sources.Warc.readWet(s, wdir)
         .select(col("url"), col("warc_ts"), md5(col("text")).as("text_md5"))
     }),
+    // WAT sidecar roundtrip (the CC trio's third): per-page JSON metadata
+    // envelopes (title + outgoing links with anchor text) through
+    // Wat.write → Wat.read — the oracle recomputes title and all three
+    // planted links arithmetically, so envelope rendering, JSON escaping,
+    // record framing, AND the strict parse-back must all invert exactly
+    "fe_wat_roundtrip" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val wdir = java.nio.file.Files.createTempDirectory("graft_wat_").toString
+      Wat.write(pages.select("url", "warc_ts", "html"), wdir)
+      Wat.read(s, wdir)
+    }),
     // blank-node N-Triples ingest (RDF 1.1 §3.5 skolemization): a planted
     // one-document line stream where labels CO-REFER across lines (l2's
     // _:m(id%50) is l1's _:m(id) node for id<50) and a literal rides a
@@ -1288,6 +1299,13 @@ object PipelineQueries {
         |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
         |  md5(body) AS text_md5
         |FROM docs""".stripMargin),
+    "fe_wat_roundtrip" -> withDocs(
+      """SELECT url,
+        |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+        |  'Doc ' || doc_id AS title, dst, anchor FROM (
+        |  SELECT doc_id, url, 'https://ex.org/doc/' || (doc_id % 97) AS dst, 'hub' AS anchor FROM docs
+        |  UNION ALL SELECT doc_id, url, 'https://ex.org/doc/' || (doc_id + 1), 'next' FROM docs
+        |  UNION ALL SELECT doc_id, url, 'https://cdn' || (doc_id % 3) || '.ex-assets.net/p/' || doc_id, 'cdn' FROM docs) t""".stripMargin),
     "fe_nt_blanks" -> withDocs(
       """SELECT 'genid:' || substr(md5('fixture|m' || doc_id), 1, 16) AS subj,
         |  'mentions' AS pred, 'city_' || (doc_id % 31) AS obj,

@@ -180,6 +180,29 @@ object Warc {
       }
   }
 
+  // ---- WAT (per-record JSON metadata, the CC sidecar trio's third) -------
+
+  /** One WAT metadata record: `WARC-Type: metadata` +
+    * `Content-Type: application/json`, payload = the UTF-8 JSON envelope
+    * (rendered by the caller — `pipeline.Wat` builds the CC-style
+    * HTML-Metadata envelope). Same framing machinery as every record. */
+  def renderMetadata(url: String, ts: java.sql.Timestamp, json: String): Array[Byte] =
+    renderTyped(WarcPage(url, ts, json.getBytes("UTF-8")), "metadata",
+      Some("application/json"))
+
+  /** Every `.warc.wat` file under `path` → (url, warc_ts, json); one task
+    * per file; other record types skipped by declared length. */
+  def readMetadata(spark: SparkSession, path: String): DataFrame = {
+    val enc = Encoders.product[WetDoc]
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.wat").load(path)
+      .select(col("content"))
+      .as(Encoders.BINARY)
+      .flatMap((bytes: Array[Byte]) => parseRecords(bytes, accept = "metadata")
+        .map(p => WetDoc(p.url, p.warc_ts, new String(p.html, "UTF-8"))))(enc)
+      .toDF("url", "warc_ts", "json")
+  }
+
   /** Every `.warc.wet` file under `path` → (url, warc_ts, text); one task
     * per file; response/metadata records inside a mixed archive are skipped
     * by declared length. */
