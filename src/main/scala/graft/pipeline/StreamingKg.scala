@@ -47,6 +47,44 @@ object StreamingKg {
       .select("subj", "pred", "obj")
   }
 
+  /** NIL-preserving streaming link stage: the same stateless extract +
+    * mention kernels and the same stream-static dictionary probes as
+    * [[triples]]'s link stage, but LEFT ([[Link.withNils]]) — unlinkable
+    * mentions mint their NIL cluster ids IN-STREAM. That is safe precisely
+    * because [[Link.nilId]] is a pure function of the normalized surface:
+    * batch and stream mint byte-identical ids, replayed micro-batches
+    * re-mint the same id (idempotent at the sink), and no cross-batch
+    * state is needed where a sequence-numbered NIL scheme would demand it.
+    * Watermark-deduped on the id triple (the nil flags are functionally
+    * determined by the ids, so any representative row carries them). */
+  def linkedWithNils(pagesStream: DataFrame, aliases: DataFrame,
+                     delay: String = "10 minutes"): DataFrame = {
+    val mentions = Mentions.withTs(Extract.withTs(pagesStream)).toDF()
+    Link.withNils(mentions, aliases, keep = Seq("warc_ts"))
+      .withWatermark("warc_ts", delay)
+      .dropDuplicatesWithinWatermark("subj_id", "pred", "obj_id")
+      .select("subj_id", "pred", "obj_id", "subj_nil", "obj_nil")
+  }
+
+  /** [[linkedWithNils]] drained exactly once over a bounded backlog —
+    * the [[runAvailableNow]] shape with the caller's (possibly thinned)
+    * alias catalog. */
+  def runNilAvailableNow(spark: SparkSession, pagesDir: String, outDir: String,
+                         checkpointDir: String, aliases: DataFrame,
+                         delay: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(pagesDir).schema
+    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    val q = linkedWithNils(stream, aliases, delay)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Drain a bounded pages backlog exactly once (Trigger.AvailableNow) into
     * a parquet sink; returns the sink read back. `dir` must hold a pages
     * table written as parquet (the file source replays it as a stream).

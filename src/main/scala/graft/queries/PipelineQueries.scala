@@ -824,6 +824,21 @@ object PipelineQueries {
       StreamingKg.runAvailableNow(s, s"$base/pages", s"$base/out", s"$base/ck",
         delay = "7 days")
     }),
+    // streaming NIL linking: the thinned-catalog backlog drained under
+    // AvailableNow must equal the batch withNils surface exactly — the
+    // deterministic surface-keyed nil ids are what make the streaming
+    // path stateless AND idempotent (a sequence-numbered NIL scheme would
+    // need cross-batch state here)
+    "fe_stream_nil" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("stream_nil_").toString
+      Pages.fromDir(s, d).write.mode("overwrite").parquet(s"$base/pages")
+      val k = regexp_extract(col("entity_id"), "(\\d+)$", 1).cast("long")
+      val aliases = Pages.aliases(s).filter(
+        !(col("entity_id").rlike("^ent[AB]_") && k % 5 === 0) &&
+          !(col("entity_id").rlike("^city_") && k % 11 === 0))
+      StreamingKg.runNilAvailableNow(s, s"$base/pages", s"$base/out",
+        s"$base/ck", aliases, delay = "7 days")
+    }),
     // streaming construction into the MATERIALIZED store (foreachBatch →
     // Materialize.merge), run TWICE: the second pass wipes the checkpoint so
     // the file source replays every page against the already-built store —
@@ -1362,6 +1377,35 @@ object PipelineQueries {
         |SELECT url_norm, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts,
         |  url, text, lang FROM rk WHERE rn = 1""".stripMargin),
     "fe_stream_triples" -> withDocs(triplesSql),
+    "fe_stream_nil" -> withDocs(
+      """SELECT DISTINCT subj_id, pred, obj_id, subj_nil, obj_nil FROM (
+        |SELECT
+        |  CASE WHEN (doc_id % 97) % 5 = 0
+        |       THEN 'nil:' || substr(md5((CASE WHEN doc_id % 5 < 2 THEN 'ent ' ELSE 'entity ' END) || (doc_id % 97)), 1, 16)
+        |       WHEN doc_id % 5 < 2 THEN 'entA_' || (doc_id % 97)
+        |       ELSE 'entB_' || (doc_id % 97) END AS subj_id,
+        |  'bornIn' AS pred,
+        |  CASE WHEN (doc_id % 31) % 11 = 0
+        |       THEN 'nil:' || substr(md5('city ' || (doc_id % 31)), 1, 16)
+        |       ELSE 'city_' || (doc_id % 31) END AS obj_id,
+        |  (doc_id % 97) % 5 = 0 AS subj_nil,
+        |  (doc_id % 31) % 11 = 0 AS obj_nil
+        |FROM docs
+        |UNION ALL SELECT
+        |  CASE WHEN (doc_id % 97) % 5 = 0
+        |       THEN 'nil:' || substr(md5((CASE WHEN doc_id % 5 < 2 THEN 'ent ' ELSE 'entity ' END) || (doc_id % 97)), 1, 16)
+        |       WHEN doc_id % 5 < 2 THEN 'entA_' || (doc_id % 97)
+        |       ELSE 'entB_' || (doc_id % 97) END,
+        |  'worksFor', 'org_' || (doc_id % 13),
+        |  (doc_id % 97) % 5 = 0, FALSE
+        |FROM docs WHERE doc_id % 2 = 0
+        |UNION ALL SELECT
+        |  CASE WHEN (doc_id % 31) % 11 = 0
+        |       THEN 'nil:' || substr(md5('city ' || (doc_id % 31)), 1, 16)
+        |       ELSE 'city_' || (doc_id % 31) END,
+        |  'locatedIn', 'country_' || (doc_id % 7),
+        |  (doc_id % 31) % 11 = 0, FALSE
+        |FROM docs WHERE doc_id % 3 = 0) t""".stripMargin),
     "fe_merge_triples" -> withDocs(
       s"SELECT subj AS src, pred, obj AS dst FROM ($triplesSql) t"),
     "fe_stream_merge_triples" -> withDocs(
