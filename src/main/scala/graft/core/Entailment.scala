@@ -243,6 +243,43 @@ object Entailment {
     * representatives (same gate philosophy as Canonicalize.saltedMapJoin,
     * which is where a pipeline with a measured-skewed alias map should
     * route instead). */
+  /** OWL-RL prp-fp / prp-ifp — the equality GENERATOR that feeds
+    * [[sameAsRewrite]]: a FUNCTIONAL property p with p(x, y₁) ∧ p(x, y₂)
+    * entails y₁ sameAs y₂ (prp-fp); an INVERSE-functional property with
+    * p(x₁, y) ∧ p(x₂, y) entails x₁ sameAs x₂ (prp-ifp — the classic
+    * identity-key rule: same email ⇒ same person). Candidate predicates
+    * come from data ([[KgStats.functionality]] scores) or the schema.
+    *
+    * Output: canonical u < v sameAs pairs, DISTINCT — exactly the input
+    * shape `ConnectedComponents.run` takes, so the full equality loop is
+    * functionalSameAs → CC → sameAsRewrite. Plan: per predicate ONE
+    * key-side self-equi-join (src for fp, dst for ifp) with the y₁ < y₂
+    * canonicalization as a row-local filter; a key asserting k values
+    * fans out k², which is the rule's semantics — screen predicates by
+    * functionality score first so near-functional keys (the intended
+    * input) keep the join linear-ish. */
+  def functionalSameAs(edges: DataFrame,
+                       functional: Seq[String] = Nil,
+                       inverseFunctional: Seq[String] = Nil): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("pred"), col("dst"))
+    def pairsOn(preds: Seq[String], key: String, value: String): Seq[DataFrame] =
+      if (preds.isEmpty) Nil
+      else {
+        val sel = e.join(broadcast(preds.toDF("pred")), Seq("pred"), "left_semi")
+        Seq(sel.select(col("pred"), col(key).as("k"), col(value).as("a"))
+          .join(sel.select(col("pred"), col(key).as("k"), col(value).as("b")),
+            Seq("pred", "k"))
+          .filter(col("a") < col("b"))
+          .select(col("a").as("src"), col("b").as("dst")))
+      }
+    val all = pairsOn(functional, "src", "dst") ++
+      pairsOn(inverseFunctional, "dst", "src")
+    require(all.nonEmpty, "no functional or inverse-functional predicates given")
+    all.reduce(_ unionAll _).distinct()
+  }
+
   def sameAsRewrite(triples: DataFrame, rep: DataFrame,
                     broadcastMaxRows: Long = 10L * 1000 * 1000): DataFrame = {
     val r0 = rep.select(col("id"), col("rep"))

@@ -448,6 +448,31 @@ object KgQueries {
           .select(col("src"), fn.lit("primeOrders").as("pred"), col("dst")))
       graft.core.Rules.alignRelations(planted)
     }),
+    // OWL-RL prp-fp / prp-ifp — the equality GENERATOR: planted duplicate
+    // entities violate the functional placedBy (orders ending in 3 also
+    // assert a dup_ customer) and the planted inverse-functional hasKey
+    // (customers ≡ 0 mod 7 share their key with an alt_ variant); the rule
+    // must emit exactly those canonical sameAs pairs — the input the CC →
+    // sameAsRewrite loop then consumes
+    "kg_prp_fp" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val e = TpchKg.load(s, d).edges
+      val dupPlaced = e.filter(col("pred") === "placedBy" &&
+          fn.substring(col("src"), -1, 1) === "3")
+        .select(col("src"), col("pred"), fn.concat(fn.lit("dup_"), col("dst")).as("dst"))
+      val custs = e.filter(col("pred") === "inNation" &&
+          col("src").startsWith("c:"))
+        .select(col("src"),
+          fn.regexp_extract(col("src"), "(\\d+)$", 1).cast("long").as("k"))
+      val keys1 = custs.select(col("src"), fn.lit("hasKey").as("pred"),
+        fn.concat(fn.lit("key_"), col("k")).as("dst"))
+      val keys2 = custs.filter(col("k") % 7 === 0)
+        .select(fn.concat(fn.lit("alt_"), col("src")).as("src"),
+          fn.lit("hasKey").as("pred"), fn.concat(fn.lit("key_"), col("k")).as("dst"))
+      graft.core.Entailment.functionalSameAs(
+        e.unionAll(dupPlaced).unionAll(keys1).unionAll(keys2),
+        functional = Seq("placedBy"), inverseFunctional = Seq("hasKey"))
+    }),
     // PARIS class alignment (the trio's third axis): 'Client' = exact
     // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
     // even-keyed half of Part (subclass — conf 1 one way, ~0.5 back);
@@ -978,6 +1003,14 @@ object KgQueries {
         |       CAST(1000000 * a.support // a.pca_n AS BIGINT) AS pca_conf_micro
         |FROM allrows a JOIN pn ON pn.p = a.p""".stripMargin,
       inCte = true),
+    "kg_prp_fp" -> TpchKgSql.withKg(
+      """SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |       'dup_c:' || CAST(o_custkey AS VARCHAR) AS dst
+        |FROM orders WHERE right(CAST(o_orderkey AS VARCHAR), 1) = '3'
+        |UNION
+        |SELECT DISTINCT 'alt_c:' || CAST(c_custkey AS VARCHAR),
+        |       'c:' || CAST(c_custkey AS VARCHAR)
+        |FROM customer WHERE c_custkey % 7 = 0""".stripMargin),
     "kg_class_align" -> TpchKgSql.withKg(
       """tp AS MATERIALIZED (
         |  SELECT node, cls FROM types

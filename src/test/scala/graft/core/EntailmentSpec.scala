@@ -154,6 +154,28 @@ class EntailmentSpec extends SparkSpec {
         Seq.empty[(String, String)].toDF("id", "rep")).count() === 4)
   }
 
+  test("functionalSameAs: prp-fp fan-out, prp-ifp shared key, canonical orientation") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("x", "fp", "y2"), ("x", "fp", "y1"), ("x", "fp", "y3"), // 3 values → 3 pairs
+      ("z", "fp", "only"),                                     // single value → none
+      ("a1", "ifp", "k"), ("a2", "ifp", "k"),                  // shared key → pair
+      ("b", "ifp", "k2"),                                      // lone key → none
+      ("x", "other", "y9")                                     // undeclared pred ignored
+    ).toDF("src", "pred", "dst")
+    val got = Entailment.functionalSameAs(edges,
+        functional = Seq("fp"), inverseFunctional = Seq("ifp"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("y1", "y2"), ("y1", "y3"), ("y2", "y3"), ("a1", "a2")))
+    intercept[IllegalArgumentException](Entailment.functionalSameAs(edges))
+    // the loop closes: pairs → CC folds the fp clique to its minimum
+    val rep = graft.pipeline.ConnectedComponents.run(
+      Entailment.functionalSameAs(edges, functional = Seq("fp")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rep === Map("y1" -> "y1", "y2" -> "y1", "y3" -> "y1"))
+  }
+
   test("entailedEdges: schemas needing iteration are rejected up front") {
     val s = spark
     import s.implicits._
