@@ -111,6 +111,35 @@ class NTriplesSpec extends SparkSpec {
     assert(NTriples.parseLineSkolem("_:.bad <urn:graft:p> <urn:graft:x> .", "d").isEmpty)
   }
 
+  test("blank-node parser fuzz: skolem grammar never crashes, accepts ⊆ render space") {
+    val rnd = new scala.util.Random(71)
+    val labelChars = "abAB09._-:?* \"\\<>"
+    (0 until 500).foreach { _ =>
+      val label = (0 until 1 + rnd.nextInt(8))
+        .map(_ => labelChars(rnd.nextInt(labelChars.length))).mkString
+      val line = s"_:$label <urn:graft:p> <urn:graft:o> ."
+      // never throws; a FULLY-legal label must parse to exactly the
+      // published skolem formula; any accepted line yields a genid subject
+      // (hostile labels may split at the grammar boundary — the tail is
+      // then junk inside the loose [^>]* IRI space, same as parseLine)
+      NTriples.parseLineSkolem(line, "fz") match {
+        case Some(row) =>
+          assert(row.subj.startsWith("genid:"), s"'$label' → ${row.subj}")
+        case None => ()
+      }
+      if (label.matches("[A-Za-z0-9_][A-Za-z0-9._-]*"))
+        assert(NTriples.parseLineSkolem(line, "fz").map(_.subj)
+          === Some(NTriples.skolemId(label, "fz")), s"legal '$label' mishandled")
+    }
+    // rendered pure-IRI lines always parse identically under both parsers
+    (0 until 200).foreach { i =>
+      val s0 = s"id ${rnd.nextInt(1000)}<>"
+      val line = NTriples.renderIriLine(s0, s"p$i", s0.reverse)
+      assert(NTriples.parseLineSkolem(line, "any") === NTriples.parseLine(line))
+      assert(NTriples.parseLineSkolem(line, "any").get.subj === s0)
+    }
+  }
+
   test("readBlanks: each FILE is its own blank scope; task retry determinism") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ntb_").toString
