@@ -473,6 +473,35 @@ object KgQueries {
         e.unionAll(dupPlaced).unionAll(keys1).unionAll(keys2),
         functional = Seq("placedBy"), inverseFunctional = Seq("hasKey"))
     }),
+    // the FULL OWL-RL equality loop in one gate: functional-key violations
+    // generate sameAs evidence (prp-fp/ifp), CC folds it to representative
+    // cliques (eq-sym/trans), the rewrite applies it to the real KG
+    // (eq-rep). Closed form: every clique's minimum is alt_c:k when
+    // k ≡ 0 mod 7, so the net effect on the base triples is exactly
+    // c:k → alt_c:k for those customers — arithmetic, no unroll needed
+    "kg_equality_loop" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val kb = TpchKg.load(s, d)
+      val e = kb.edges
+      val dupPlaced = e.filter(col("pred") === "placedBy" &&
+          fn.substring(col("src"), -1, 1) === "3")
+        .select(col("src"), col("pred"), fn.concat(fn.lit("dup_"), col("dst")).as("dst"))
+      val custs = e.filter(col("pred") === "inNation" &&
+          col("src").startsWith("c:"))
+        .select(col("src"),
+          fn.regexp_extract(col("src"), "(\\d+)$", 1).cast("long").as("k"))
+      val keys1 = custs.select(col("src"), fn.lit("hasKey").as("pred"),
+        fn.concat(fn.lit("key_"), col("k")).as("dst"))
+      val keys2 = custs.filter(col("k") % 7 === 0)
+        .select(fn.concat(fn.lit("alt_"), col("src")).as("src"),
+          fn.lit("hasKey").as("pred"), fn.concat(fn.lit("key_"), col("k")).as("dst"))
+      val pairs = graft.core.Entailment.functionalSameAs(
+        e.unionAll(dupPlaced).unionAll(keys1).unionAll(keys2),
+        functional = Seq("placedBy"), inverseFunctional = Seq("hasKey"))
+      val rep = graft.pipeline.ConnectedComponents.run(pairs)
+        .select(col("id"), col("component").as("rep"))
+      graft.core.Entailment.sameAsRewrite(kb.triples, rep)
+    }),
     // PARIS class alignment (the trio's third axis): 'Client' = exact
     // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
     // even-keyed half of Part (subclass — conf 1 one way, ~0.5 back);
@@ -1011,6 +1040,18 @@ object KgQueries {
         |SELECT DISTINCT 'alt_c:' || CAST(c_custkey AS VARCHAR),
         |       'c:' || CAST(c_custkey AS VARCHAR)
         |FROM customer WHERE c_custkey % 7 = 0""".stripMargin),
+    "kg_equality_loop" -> TpchKgSql.withKg(
+      s"""erep AS MATERIALIZED (
+         |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS id,
+         |         'alt_c:' || CAST(c_custkey AS VARCHAR) AS rep
+         |  FROM customer WHERE c_custkey % 7 = 0),
+         |etr AS MATERIALIZED (${TpchKgSql.triples}),
+         |es AS MATERIALIZED (
+         |  SELECT coalesce(r.rep, t.subj) AS subj, t.pred, t.obj
+         |  FROM etr t LEFT JOIN erep r ON r.id = t.subj)
+         |SELECT DISTINCT s.subj, s.pred, coalesce(r.rep, s.obj) AS obj
+         |FROM es s LEFT JOIN erep r ON r.id = s.obj""".stripMargin,
+      inCte = true),
     "kg_class_align" -> TpchKgSql.withKg(
       """tp AS MATERIALIZED (
         |  SELECT node, cls FROM types
