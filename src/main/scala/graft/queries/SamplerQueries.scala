@@ -24,6 +24,24 @@ object SamplerQueries {
   private val Seed = 42L
   private def lpOf(s: SparkSession, d: String): Seq[String] = Seq("c:1", "c:2", "s:1", "s:2")
 
+  /** Shared fixture for the TransE gates: the geography slice
+    * (customer/supplier → nation → region), k=1 corruptions, and the
+    * 2-epoch trained model. */
+  private def transeSlice(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val kb = TpchKg.load(s, d)
+    val nodes = kb.nodes.filter(
+      substring(col("id"), 1, 2).isin("c:", "s:", "n:", "r:"))
+    val edges = kb.edges.filter(col("pred").isin("inNation", "inRegion"))
+    val neg = KgeNegatives.negatives(nodes, edges, k = 1, seed = Seed)
+      .localCheckpoint(true)
+    val (ent, rel) = Transe.train(nodes, edges, neg, TranseGateCfg)
+    (edges, neg, ent, rel)
+  }
+
+  private val TranseGateCfg = Transe.Config(dim = 4, margin = 4L, lr = 1L,
+    initBound = 8L, clamp = 64L, epochs = 2, seed = Seed)
+
   private def rnSampler(s: SparkSession, d: String, lpc: Boolean) = {
     val kb = TpchKg.load(s, d)
     new RandomNodeSampler(kb, Seed, keyed = Some(TpchKg.nodesWithKey(s, d)),
@@ -110,6 +128,23 @@ object SamplerQueries {
     // every draw oracle-replayed byte-identically
     "smp_kge_negatives" -> ((s, d) =>
       KgeNegatives.negatives(TpchKg.load(s, d), k = 2, seed = Seed)),
+    // in-engine TransE training (integer-exact full-batch subgradient
+    // descent, 2 epochs, d=4) on the geography slice (inNation/inRegion);
+    // the FULL final model — every entity and relation coordinate — must
+    // hash-match the DuckDB replay of init + both epochs
+    "smp_transe_emb" -> ((s, d) => {
+      val (_, _, ent, rel) = transeSlice(s, d)
+      ent.select(lit("e").as("kind"), col("id"),
+          posexplode(col("emb")).as(Seq("i", "v")))
+        .unionAll(rel.select(lit("r").as("kind"), col("pred"),
+          posexplode(col("remb")).as(Seq("i", "v"))))
+    }),
+    // the trained model pushed through the SAME filtered ranking protocol
+    // as smp_kge_eval — score = −L1 energy, exact-integer MR/MRR/Hits
+    "smp_transe_eval" -> ((s, d) => {
+      val (edges, neg, ent, rel) = transeSlice(s, d)
+      KgeEval.metrics(Transe.transeScored(edges, neg, ent, rel))
+    }),
     // filtered ranking eval (Bordes et al. filtered setting): each distinct
     // positive ranked against its corruptions under the frequency-baseline
     // scorer; ONE exact-integer row (rank/reciprocal-rank sums, Hits@1/3)
@@ -260,6 +295,91 @@ object SamplerQueries {
        |      WHERE t.src = neg.neg_src AND t.pred = neg.pred AND t.dst = neg.neg_dst))""".stripMargin
   }
 
+  /** DuckDB replay of the TransE gate: geography-slice corruptions (k=1),
+    * md5-keyed integer init, and `epochs` full-batch integer-subgradient
+    * epochs — generated per epoch so the two sides cannot drift. Embedding
+    * state is carried as (id, i, v) ROWS (the oracle-friendly unpivot of
+    * the engine's array columns). */
+  private def transeCtes(epochs: Int): String = {
+    val cfg = TranseGateCfg
+    val mod = 2 * cfg.initBound + 1
+    val keyC = "'42|c|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+    val keyD = "'42|d|' || CAST(g.i AS VARCHAR) || '|' || e.src || '|' || e.pred || '|' || e.dst"
+    val keyE = "'42|e|' || tn.id || '|' || CAST(g.i AS VARCHAR)"
+    val keyR = "'42|r|' || p.pred || '|' || CAST(g.i AS VARCHAR)"
+    val sgn = (c: String) =>
+      s"CASE WHEN $c > 0 THEN 1 WHEN $c < 0 THEN -1 ELSE 0 END"
+    val slice =
+      s"""tn AS MATERIALIZED (
+         |  SELECT id FROM nodes WHERE substr(id, 1, 2) IN ('c:', 's:', 'n:', 'r:')),
+         |te AS MATERIALIZED (
+         |  SELECT src, pred, dst FROM edges WHERE pred IN ('inNation', 'inRegion')),
+         |tnidx AS MATERIALIZED (
+         |  SELECT id, row_number() OVER (
+         |    ORDER BY ${Determinism.md5IntDuck("id")}, id) - 1 AS draw FROM tn),
+         |tnn AS (SELECT COUNT(*) AS n FROM tn),
+         |tdraws AS MATERIALIZED (
+         |  SELECT e.src, e.pred, e.dst, g.i,
+         |    (${Determinism.md5IntDuck(keyC)}) % 2 AS corrupt_head,
+         |    (${Determinism.md5IntDuck(keyD)}) % tnn.n AS draw
+         |  FROM te e CROSS JOIN generate_series(0, 0) g(i) CROSS JOIN tnn),
+         |tneg AS (
+         |  SELECT d.src, d.pred, d.dst, CAST(d.i AS INT) AS pi,
+         |    CASE WHEN d.corrupt_head = 1 THEN x.id ELSE d.src END AS neg_src,
+         |    CASE WHEN d.corrupt_head = 1 THEN d.dst ELSE x.id END AS neg_dst
+         |  FROM tdraws d JOIN tnidx x ON x.draw = d.draw),
+         |tfneg AS MATERIALIZED (
+         |  SELECT src, pred, dst, pi, neg_src, neg_dst FROM tneg
+         |  WHERE (neg_src <> src OR neg_dst <> dst)
+         |    AND NOT EXISTS (SELECT 1 FROM te t
+         |      WHERE t.src = tneg.neg_src AND t.pred = tneg.pred AND t.dst = tneg.neg_dst)),
+         |e0 AS MATERIALIZED (
+         |  SELECT tn.id, g.i, (${Determinism.md5IntDuck(keyE)}) % $mod - ${cfg.initBound} AS v
+         |  FROM tn CROSS JOIN generate_series(0, ${cfg.dim - 1}) g(i)),
+         |r0 AS MATERIALIZED (
+         |  SELECT p.pred, g.i, (${Determinism.md5IntDuck(keyR)}) % $mod - ${cfg.initBound} AS v
+         |  FROM (SELECT DISTINCT pred FROM te) p
+         |  CROSS JOIN generate_series(0, ${cfg.dim - 1}) g(i))""".stripMargin
+    val pairCols = "src, pred, dst, neg_src, neg_dst, pi"
+    val epochCtes = (1 to epochs).map { k =>
+      val (ep, rp) = (s"e${k - 1}", s"r${k - 1}")
+      s"""pd$k AS MATERIALIZED (
+         |  SELECT p.src, p.pred, p.dst, p.neg_src, p.neg_dst, p.pi, eh.i AS di,
+         |         eh.v + r.v - et.v AS dpos, nh.v + r.v - nt.v AS dneg
+         |  FROM tfneg p
+         |  JOIN $ep eh ON eh.id = p.src
+         |  JOIN $ep et ON et.id = p.dst AND et.i = eh.i
+         |  JOIN $ep nh ON nh.id = p.neg_src AND nh.i = eh.i
+         |  JOIN $ep nt ON nt.id = p.neg_dst AND nt.i = eh.i
+         |  JOIN $rp r ON r.pred = p.pred AND r.i = eh.i),
+         |f$k AS (
+         |  SELECT $pairCols, SUM(ABS(dpos)) AS fpos, SUM(ABS(dneg)) AS fneg
+         |  FROM pd$k GROUP BY 1, 2, 3, 4, 5, 6),
+         |v$k AS MATERIALIZED (
+         |  SELECT d.*, ${sgn("d.dpos")} AS spos, ${sgn("d.dneg")} AS sneg
+         |  FROM pd$k d JOIN f$k f USING ($pairCols)
+         |  WHERE ${cfg.margin} + f.fpos - f.fneg > 0),
+         |ed$k AS (
+         |  SELECT id, di, SUM(dv) AS dv FROM (
+         |    SELECT src AS id, di, -spos * ${cfg.lr} AS dv FROM v$k
+         |    UNION ALL SELECT dst, di, spos * ${cfg.lr} FROM v$k
+         |    UNION ALL SELECT neg_src, di, sneg * ${cfg.lr} FROM v$k
+         |    UNION ALL SELECT neg_dst, di, -sneg * ${cfg.lr} FROM v$k
+         |  ) u GROUP BY 1, 2),
+         |e$k AS MATERIALIZED (
+         |  SELECT e.id, e.i,
+         |         GREATEST(LEAST(e.v + COALESCE(d.dv, 0), ${cfg.clamp}), -${cfg.clamp}) AS v
+         |  FROM $ep e LEFT JOIN ed$k d ON d.id = e.id AND d.di = e.i),
+         |rd$k AS (
+         |  SELECT pred, di, SUM((sneg - spos) * ${cfg.lr}) AS dv FROM v$k GROUP BY 1, 2),
+         |r$k AS MATERIALIZED (
+         |  SELECT r.pred, r.i,
+         |         GREATEST(LEAST(r.v + COALESCE(d.dv, 0), ${cfg.clamp}), -${cfg.clamp}) AS v
+         |  FROM $rp r LEFT JOIN rd$k d ON d.pred = r.pred AND d.di = r.i)""".stripMargin
+    }
+    (slice +: epochCtes).mkString(",\n")
+  }
+
   private val lcgOrder = Determinism.lcgDuck("k", Seed)
   private val sampleCte =
     s"sample AS (SELECT id FROM nodesk ORDER BY $lcgOrder, id LIMIT 50)"
@@ -379,6 +499,35 @@ object SamplerQueries {
     // baseline scores, per-positive rank window (score desc, candidate-id
     // tiebreak), exact-integer MR/MRR/Hits sums — rr uses per-query
     // truncating integer division in BOTH engines
+    "smp_transe_emb" -> TpchKgSql.withKg(
+      s"""${transeCtes(2)}
+         |SELECT 'e' AS kind, id, CAST(i AS INT) AS i, CAST(v AS BIGINT) AS v FROM e2
+         |UNION ALL
+         |SELECT 'r', pred, CAST(i AS INT), CAST(v AS BIGINT) FROM r2""".stripMargin,
+      inCte = true),
+    "smp_transe_eval" -> TpchKgSql.withKg(
+      s"""${transeCtes(2)},
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT src, pred, dst, neg_src AS cand_src, neg_dst AS cand_dst, 0 AS is_pos FROM tfneg
+         |  UNION ALL SELECT DISTINCT src, pred, dst, src, dst, 1 FROM te),
+         |csc AS MATERIALIZED (
+         |  SELECT c.src, c.pred, c.dst, c.cand_src, c.cand_dst, c.is_pos,
+         |         -SUM(ABS(eh.v + r.v - et.v)) AS score
+         |  FROM cand c
+         |  JOIN e2 eh ON eh.id = c.cand_src
+         |  JOIN e2 et ON et.id = c.cand_dst AND et.i = eh.i
+         |  JOIN r2 r ON r.pred = c.pred AND r.i = eh.i
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |crk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src, pred, dst
+         |    ORDER BY score DESC, cand_src, cand_dst) AS cand_rank FROM csc)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(cand_rank) AS BIGINT) AS rank_sum,
+         |       CAST(SUM(1000000 // cand_rank) AS BIGINT) AS rr_sum_micros,
+         |       CAST(SUM(CASE WHEN cand_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+         |       CAST(SUM(CASE WHEN cand_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3
+         |FROM crk WHERE is_pos = 1""".stripMargin,
+      inCte = true),
     "smp_kge_eval" -> TpchKgSql.withKg(
       s"""$kgeNegCtes,
          |cand AS MATERIALIZED (

@@ -29,19 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object KgeNegatives {
 
-  def negatives(kb: Kb, k: Int = 2, seed: Long = 42L): DataFrame = {
+  def negatives(kb: Kb, k: Int = 2, seed: Long = 42L): DataFrame =
+    negatives(kb.nodes, kb.edges, k, seed)
+
+  /** Same protocol over explicit (nodes(id), edges(src, pred, dst)) tables —
+    * the form a predicate-sliced training run ([[Transe]]) composes. */
+  def negatives(nodes: DataFrame, edges: DataFrame, k: Int,
+                seed: Long): DataFrame = {
     require(k >= 1, s"k=$k")
-    val n = kb.nodes.count()
+    val n = nodes.count()
     val hk = Determinism.md5Int(col("id"))
     // 0-based portable node index; hk is 48-bit → top-6-bit buckets balance
     val nidx = Ranks.rankByBucketedOrder(
-        kb.nodes.select(col("id"), hk.as("hk")),
+        nodes.select(col("id"), hk.as("hk")),
         bucket = shiftright(col("hk"), 42), order = Seq(col("hk"), col("id")),
         outCol = "rk")
       .select(col("id").as("rep"), (col("rk") - 1).as("draw"))
     def key(tag: String) = concat_ws("|", lit(seed), lit(tag), col("i"),
       col("src"), col("pred"), col("dst"))
-    val draws = kb.edges.select("src", "pred", "dst")
+    val draws = edges.select("src", "pred", "dst")
       .withColumn("i", explode(array((0 until k).map(lit): _*)))
       .select(col("src"), col("pred"), col("dst"), col("i"),
         pmod(Determinism.md5Int(key("c")), lit(2L)).as("corrupt_head"),
@@ -53,7 +59,7 @@ object KgeNegatives {
       .filter(col("neg_src") =!= col("src") || col("neg_dst") =!= col("dst"))
     // filtered setting: a corruption that IS a true triple is not a negative
     neg.join(
-      kb.edges.select(col("src").as("neg_src"), col("pred"), col("dst").as("neg_dst")),
+      edges.select(col("src").as("neg_src"), col("pred"), col("dst").as("neg_dst")),
       Seq("neg_src", "pred", "neg_dst"), "left_anti")
       .select(col("src"), col("pred"), col("dst"), col("i"),
         col("neg_src"), col("neg_dst"))
