@@ -280,6 +280,85 @@ object Entailment {
     all.reduce(_ unionAll _).distinct()
   }
 
+  /** OWL-RL prp-spo2 — property-chain axioms p₁∘p₂∘…∘pₙ ⊑ r (the rule
+    * `entailedEdges` cannot cover because a chain is a JOIN, not a
+    * projection): (x₀,p₁,x₁) ∧ (x₁,p₂,x₂) ∧ … ⟹ (x₀, r, xₙ). The classic
+    * instances on web KGs are `hasParent∘hasParent ⊑ hasGrandparent` and
+    * locality chains like `placedBy∘inNation ⊑ orderNation`.
+    *
+    * Output is the DERIVED edge set only (src, pred, dst), DISTINCT —
+    * callers union with the asserted edges when materializing, which keeps
+    * this gate-able on exactly the new entailments. One pass per axiom:
+    * chain of length n costs n−1 equi-joins on the mid node, each side a
+    * predicate-sliced scan (the `pred = …` filter reaches the parquet scan
+    * as a pushed filter; at 10^12 triples a pred-partitioned store makes it
+    * partition pruning). Hub-mid skew (a nation mid-node joins every
+    * customer×supplier through it) is AQE skew-split territory; the ONE
+    * set-semantics exchange is the final distinct. Like [[entailedEdges]],
+    * heads that re-trigger other chains would need iteration — rejected up
+    * front so an under-derivation cannot pass silently. */
+  def propertyChain(edges: DataFrame,
+                    chains: Seq[(Seq[String], String)]): DataFrame = {
+    require(chains.nonEmpty, "propertyChain needs at least one chain axiom")
+    chains.foreach { case (chain, head) =>
+      require(chain.length >= 2, s"chain for $head must have length >= 2 " +
+        "(length-1 subsumption is prp-spo1 — use entailedEdges)")
+    }
+    val heads = chains.map(_._2).toSet
+    val bodies = chains.flatMap(_._1).toSet
+    val recursing = heads.intersect(bodies)
+    require(recursing.isEmpty,
+      s"chain heads ${recursing.toSeq.sorted} appear in chain bodies — " +
+        "this axiom set needs an iterative closure")
+    val e = edges.select(col("src"), col("pred"), col("dst"))
+    def slice(p: String) = e.filter(col("pred") === p)
+    val derived = chains.map { case (chain, head) =>
+      val first = slice(chain.head).select(col("src"), col("dst").as("mid"))
+      val walked = chain.tail.foldLeft(first) { (acc, p) =>
+        acc.join(slice(p).select(col("src").as("mid"), col("dst").as("nxt")),
+            Seq("mid"))
+          .select(col("src"), col("nxt").as("mid"))
+      }
+      walked.select(col("src"), lit(head).as("pred"), col("mid").as("dst"))
+    }
+    derived.reduce(_ unionAll _).distinct()
+  }
+
+  /** OWL-RL prp-key — owl:hasKey(C, (k₁ … kₙ)): two instances of class C
+    * agreeing on EVERY key property's value are the same individual. The
+    * multi-attribute generalization of [[functionalSameAs]]'s prp-ifp (and
+    * the sameAs-emitting sibling of `KgStats.keyCollisions`, which stops at
+    * collision GROUPS for ER blocking): same (brand, psize) part ⇒ same
+    * part. OWL's rule requires a value for every key property — nodes
+    * missing any key attribute generate nothing.
+    *
+    * Plan: one pivot aggregate folds the attr rows to a (node, k₁…kₙ) tuple
+    * table (map-side combinable, |C|-sized output), a left-semi broadcast
+    * against the class slice, then ONE self-equi-join on the full key tuple
+    * with the u < v canonicalization as a row-local filter — output shape
+    * identical to [[functionalSameAs]], so the equality loop
+    * (CC → sameAsRewrite) consumes it unchanged. A key shared by g nodes
+    * fans out g²/2 pairs — the rule's semantics; screen candidate keys
+    * with `KgStats.keyCollisions` group sizes first at web scale. */
+  def hasKeySameAs(types: DataFrame, attrs: DataFrame, cls: String,
+                   keyProps: Seq[String]): DataFrame = {
+    require(keyProps.nonEmpty, "hasKeySameAs needs at least one key property")
+    val kCols = keyProps.map(p => s"k_$p")
+    val aggs = keyProps.zip(kCols).map { case (p, k) =>
+      max(when(col("prop") === p, col("lexical"))).as(k)
+    }
+    val keyed = attrs.filter(col("prop").isin(keyProps: _*))
+      .groupBy(col("node")).agg(aggs.head, aggs.tail: _*)
+      .filter(kCols.map(col(_).isNotNull).reduce(_ && _))
+    val inCls = keyed.join(
+      types.filter(col("cls") === cls).select(col("node")),
+      Seq("node"), "left_semi")
+    val a = inCls.select((col("node").as("a") +: kCols.map(col)): _*)
+    val b = inCls.select((col("node").as("b") +: kCols.map(col)): _*)
+    a.join(b, kCols).filter(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+  }
+
   def sameAsRewrite(triples: DataFrame, rep: DataFrame,
                     broadcastMaxRows: Long = 10L * 1000 * 1000): DataFrame = {
     val r0 = rep.select(col("id"), col("rep"))

@@ -140,4 +140,62 @@ object Paths {
       reach
     } finally step.unpersist()
   }
+
+  /** Weighted multi-source shortest paths — Bellman-Ford as iterative
+    * frontier relaxation, the cost-aware sibling of [[closureFrom]]'s BFS
+    * (Malewicz et al., "Pregel", SIGMOD 2010 §5.2 — SSSP is the canonical
+    * vertex-program, re-expressed here as keyed joins). Input edges carry a
+    * NON-NEGATIVE integer `weight` (exact-integer costs keep the gate
+    * surface off float summation order); output is (node, dist) for every
+    * node reachable from the seed set, dist = min total weight, seeds at 0.
+    *
+    * Plan per round: frontier ⋈ edges on src (the only exchange touching
+    * the edge table — the edge side is materialized once and re-read), a
+    * min aggregate over the relaxed candidates, then a join against the
+    * current dist table keeping STRICT improvements only — the semi-naive
+    * delta, so a converged region stops generating work even while a far
+    * region still relaxes. Rounds ≤ longest shortest path in HOPS (not
+    * weight), the same eccentricity bound as BFS; each round
+    * localCheckpoints so lineage stays flat. Non-convergence inside
+    * `maxRounds` raises rather than returning partial distances (with
+    * non-negative weights a round count above |V| means the input violated
+    * the contract). */
+  def weightedSssp(
+      edges: DataFrame,
+      sources: Seq[String],
+      maxRounds: Int = 64): DataFrame = {
+    require(sources.nonEmpty, "weightedSssp needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val step = edges.select(col("src"), col("dst"),
+        col("weight").cast("long").as("weight"))
+      .localCheckpoint(true)
+    try {
+      var dist = sources.distinct.toDF("node").withColumn("dist", lit(0L))
+        .localCheckpoint(true)
+      var frontier = dist
+      var round = 0
+      while (!frontier.isEmpty) {
+        round += 1
+        require(round <= maxRounds,
+          s"SSSP did not converge in $maxRounds rounds — negative weights " +
+            "or a hop-diameter above the bound")
+        val relaxed = step.join(frontier, step("src") === frontier("node"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("weight")).as("cand"))
+          .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+        // strict improvements only: the semi-naive frontier
+        val improved = relaxed.join(dist, Seq("node"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist"))
+          .localCheckpoint(true)
+        if (!improved.isEmpty) {
+          dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+        }
+        frontier = improved
+      }
+      dist
+    } finally step.unpersist()
+  }
 }

@@ -151,7 +151,35 @@ object CurationQueries {
     // frequency-of-frequencies: the Good–Turing smoothing input / Zipf
     // fit surface; two map-side-partial aggregates
     "td_freq_spectrum" -> ((s, d) => graft.core.Frequency.freqSpectrum(
-      Curation.wordNgramsAll(docs(s, d), 1), "gram"))
+      Curation.wordNgramsAll(docs(s, d), 1), "gram")),
+    // KMV distinct-value sketch per language: bounded k-min aggregator
+    // (O(k) state, map-side combinable) + the (k−1)·2^48 div h_k
+    // estimator, integer-exact in both engines; exact_distinct stays on
+    // the row as the gate's ruler. Item domain = word BIGRAMS (~900
+    // distinct per lang, ~14× k) so the estimator branch — not the
+    // under-full exact branch — is what the hash comparison verifies
+    "td_kmv_distinct" -> ((s, d) => {
+      val dd = docs(s, d)
+      val grams = Curation.wordNgramsAll(dd, 2)
+        .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.core.Sketches.kmvDistinct(grams, "gram", Seq("lang"), k = 64)
+    }),
+    // Count-Min frequency sketch: 4×512 counter grid over every bigram
+    // occurrence (one map-side-combinable aggregate — the key space never
+    // shuffles), probed for every ~31st vocabulary item (~140 queries at
+    // sf0.01); actual counts ride along so the one-sided est ≥ actual
+    // guarantee is ON the gate surface
+    "td_cms_est" -> ((s, d) => {
+      val grams = Curation.wordNgramsAll(docs(s, d), 2)
+      val sketch = graft.core.Sketches.countMin(grams, "gram", 4, 512)
+      val queries = grams.select(col("gram")).distinct()
+        .filter(pmod(graft.core.Determinism.md5Int(col("gram")), lit(31)) === 0)
+      val actual = grams.join(queries.hint("broadcast"), Seq("gram"), "left_semi")
+        .groupBy(col("gram")).agg(count(lit(1)).as("actual"))
+      graft.core.Sketches.countMinEstimate(sketch, queries, "gram", 4, 512)
+        .withColumnRenamed("item", "gram")
+        .join(actual, Seq("gram"))
+    })
   )
 
   /** Composite C4/Gopher-style retention pipeline over the dup-planted
@@ -454,6 +482,51 @@ object CurationQueries {
          |c AS (SELECT gram, COUNT(*) AS cnt FROM g1 GROUP BY gram)
          |SELECT CAST(cnt AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM c GROUP BY cnt""".stripMargin,
+
+    "td_kmv_distinct" ->
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 2)}),
+         |lg AS (SELECT DISTINCT d.lang, g.gram
+         |       FROM g1 g JOIN documents d USING (doc_id)),
+         |hv AS MATERIALIZED (
+         |  SELECT DISTINCT lang, ${graft.core.Determinism.md5IntDuck("gram")} AS hv
+         |  FROM lg),
+         |rk AS (SELECT lang, hv,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |       FROM hv),
+         |ag AS (SELECT lang,
+         |  CAST(COUNT(*) FILTER (WHERE rn <= 64) AS INT) AS n_kept,
+         |  MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash,
+         |  CAST(COUNT(*) AS BIGINT) AS exact_distinct
+         |  FROM rk GROUP BY lang)
+         |SELECT lang, n_kept, kth_hash,
+         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS BIGINT)
+         |       ELSE 17732923532771328 // kth_hash END AS est_distinct,
+         |  exact_distinct FROM ag""".stripMargin,
+
+    "td_cms_est" -> {
+      val hq = graft.core.Determinism.md5IntDuck("gram")
+      val hb = graft.core.Determinism.md5IntDuck(
+        "CAST(cm_row AS VARCHAR) || '|' || gram")
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 2)}),
+         |jr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(cm_row)),
+         |cells AS MATERIALIZED (
+         |  SELECT cm_row, $hb % 512 AS cm_bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM g1 CROSS JOIN jr GROUP BY 1, 2),
+         |q AS MATERIALIZED (
+         |  SELECT DISTINCT gram FROM g1 WHERE $hq % 31 = 0),
+         |probes AS (SELECT q.gram, jr.cm_row, $hb % 512 AS cm_bucket
+         |           FROM q CROSS JOIN jr),
+         |est AS (SELECT p.gram,
+         |          MIN(coalesce(c.cnt, CAST(0 AS BIGINT))) AS cm_est
+         |        FROM probes p LEFT JOIN cells c
+         |          ON c.cm_row = p.cm_row AND c.cm_bucket = p.cm_bucket
+         |        GROUP BY 1),
+         |act AS (SELECT g.gram, CAST(COUNT(*) AS BIGINT) AS actual
+         |        FROM g1 g JOIN q USING (gram) GROUP BY 1)
+         |SELECT e.gram, e.cm_est, a.actual
+         |FROM est e JOIN act a USING (gram)""".stripMargin
+    },
 
     "td_curation_filter" -> (s"WITH $corpusCte,\n${decontamBody("corpus")},\n$repBody\n" +
       """SELECT c.doc_id FROM corpus c

@@ -502,6 +502,43 @@ object KgQueries {
         .select(col("id"), col("component").as("rep"))
       graft.core.Entailment.sameAsRewrite(kb.triples, rep)
     }),
+    // OWL-RL prp-spo2 — property-chain entailment: a 2-chain
+    // (placedBy∘inNation ⊑ orderNation) and a 3-chain
+    // (placedBy∘inNation∘inRegion ⊑ orderRegion) both bind at every sf;
+    // output is exactly the derived edges, so a chain folding one join too
+    // few or too many changes the row set loudly
+    "kg_prop_chain" -> ((s, d) => graft.core.Entailment.propertyChain(
+      TpchKg.load(s, d).edges,
+      chains = Seq(
+        Seq("placedBy", "inNation") -> "orderNation",
+        Seq("placedBy", "inNation", "inRegion") -> "orderRegion"))),
+    // weighted multi-source shortest paths (Bellman-Ford frontier
+    // relaxation): seeds = every ~97th order, edge weight =
+    // length(src)+length(dst) (portable, varies 4..12, so competing
+    // o→c→n vs o→s→n routes into the same nation make the MIN binding);
+    // oracle = 6-round unroll of the same relax step — idempotent at the
+    // fixpoint (hop diameter from orders is 3), so a deeper engine run
+    // hash-mismatches loudly instead of passing
+    "kg_sssp" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val kb = TpchKg.load(s, d)
+      val weighted = kb.edges.withColumn("weight",
+        fn.length(col("src")) + fn.length(col("dst")))
+      val seeds = kb.nodes
+        .filter(col("id").startsWith("o:") &&
+          fn.regexp_extract(col("id"), "(\\d+)$", 1).cast("long") % 97 === 0)
+        .collect().map(_.getString(0)).toSeq.sorted
+      graft.core.Paths.weightedSssp(weighted, seeds)
+    }),
+    // OWL-RL prp-key — owl:hasKey(Part, (brand, psize)): parts agreeing on
+    // the full composite key are entailed sameAs; groups of every size ≥2
+    // exist at all sf (same fixture fact kg_key_collisions binds on), so
+    // the g²/2 pair fan-out and the u < v orientation are both load-bearing
+    "kg_haskey" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.core.Entailment.hasKeySameAs(kb.types, kb.attrs, "Part",
+        Seq("brand", "psize"))
+    }),
     // PARIS class alignment (the trio's third axis): 'Client' = exact
     // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
     // even-keyed half of Part (subclass — conf 1 one way, ~0.5 back);
@@ -798,6 +835,28 @@ object KgQueries {
     * composition) ending in `rulez(p1, p2, p3, body_n, pca_n, support,
     * conf_micro, pca_conf_micro)` — shared by the mining gate and the
     * rule-application gate built on top of it. */
+  /** kg_sssp oracle: 6-round unroll of the Bellman-Ford relax step (hop
+    * diameter from the order seeds is 3 — 2× margin per the fixed-round
+    * recipe; the step is idempotent at the fixpoint). */
+  private val ssspSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL SELECT e.dst, d.dist + e.w
+         |  FROM d${i - 1} d JOIN we e ON e.src = d.node) u GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""we AS MATERIALIZED (
+       |  SELECT src, dst, CAST(length(src) + length(dst) AS BIGINT) AS w
+       |  FROM edges),
+       |d0 AS MATERIALIZED (
+       |  SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS node,
+       |         CAST(0 AS BIGINT) AS dist
+       |  FROM orders WHERE o_orderkey % 97 = 0),
+       |$rounds
+       |SELECT node, dist FROM d6""".stripMargin
+  }
+
   private val ruleMineCtes: String =
     """en AS MATERIALIZED (
       |  SELECT src, pred, dst FROM edges
@@ -1051,6 +1110,33 @@ object KgQueries {
          |  FROM etr t LEFT JOIN erep r ON r.id = t.subj)
          |SELECT DISTINCT s.subj, s.pred, coalesce(r.rep, s.obj) AS obj
          |FROM es s LEFT JOIN erep r ON r.id = s.obj""".stripMargin,
+      inCte = true),
+    "kg_prop_chain" -> TpchKgSql.withKg(
+      """SELECT DISTINCT p.src, 'orderNation' AS pred, n.dst
+        |FROM edges p JOIN edges n ON n.src = p.dst AND n.pred = 'inNation'
+        |WHERE p.pred = 'placedBy'
+        |UNION
+        |SELECT DISTINCT p.src, 'orderRegion', r.dst
+        |FROM edges p
+        |JOIN edges n ON n.src = p.dst AND n.pred = 'inNation'
+        |JOIN edges r ON r.src = n.dst AND r.pred = 'inRegion'
+        |WHERE p.pred = 'placedBy'""".stripMargin),
+    "kg_sssp" -> TpchKgSql.withKg(ssspSql, inCte = true),
+    "kg_haskey" -> TpchKgSql.withKg(
+      """hk AS MATERIALIZED (
+        |  SELECT node,
+        |    MAX(CASE WHEN prop = 'brand' THEN lexical END) AS k_brand,
+        |    MAX(CASE WHEN prop = 'psize' THEN lexical END) AS k_psize
+        |  FROM attrs WHERE prop IN ('brand', 'psize') GROUP BY node
+        |  HAVING MAX(CASE WHEN prop = 'brand' THEN lexical END) IS NOT NULL
+        |     AND MAX(CASE WHEN prop = 'psize' THEN lexical END) IS NOT NULL),
+        |hkt AS (SELECT hk.* FROM hk
+        |  WHERE EXISTS (SELECT 1 FROM types t
+        |                WHERE t.node = hk.node AND t.cls = 'Part'))
+        |SELECT DISTINCT a.node AS src, b.node AS dst
+        |FROM hkt a JOIN hkt b
+        |  ON b.k_brand = a.k_brand AND b.k_psize = a.k_psize
+        | AND a.node < b.node""".stripMargin,
       inCte = true),
     "kg_class_align" -> TpchKgSql.withKg(
       """tp AS MATERIALIZED (

@@ -176,6 +176,58 @@ class EntailmentSpec extends SparkSpec {
     assert(rep === Map("y1" -> "y1", "y2" -> "y1", "y3" -> "y1"))
   }
 
+  test("propertyChain: 2-chain, 3-chain, branching mid, empty slice") {
+    val s = spark
+    import s.implicits._
+    // x -p→ m, m -q→ y1 / y2 (branching mid); lone -p→ deadend (no q out);
+    // a 3-chain x -p→ m -q→ y1 -r→ z
+    val edges = Seq(
+      ("x", "p", "m"), ("m", "q", "y1"), ("m", "q", "y2"),
+      ("lone", "p", "deadend"), ("y1", "r", "z"),
+      ("x", "other", "m")
+    ).toDF("src", "pred", "dst")
+    val got2 = Entailment.propertyChain(edges, Seq(Seq("p", "q") -> "pq"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 === Set(("x", "pq", "y1"), ("x", "pq", "y2")))
+    val got3 = Entailment.propertyChain(edges, Seq(Seq("p", "q", "r") -> "pqr"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got3 === Set(("x", "pqr", "z")))
+    // both axioms at once: union, distinct
+    val both = Entailment.propertyChain(edges,
+      Seq(Seq("p", "q") -> "pq", Seq("p", "q", "r") -> "pqr")).count()
+    assert(both === 3)
+    // guards: empty axiom set, length-1 chain, head feeding a body
+    intercept[IllegalArgumentException](Entailment.propertyChain(edges, Nil))
+    intercept[IllegalArgumentException](
+      Entailment.propertyChain(edges, Seq(Seq("p") -> "h")))
+    intercept[IllegalArgumentException](Entailment.propertyChain(edges,
+      Seq(Seq("p", "q") -> "h", Seq("h", "r") -> "h2")))
+  }
+
+  test("hasKeySameAs: full-key agreement, missing-key silence, class scope") {
+    val s = spark
+    import s.implicits._
+    val types = Seq(("n1", "C"), ("n2", "C"), ("n3", "C"), ("n4", "D"),
+      ("n5", "C"), ("n6", "C")).toDF("node", "cls")
+    val attrs = Seq(
+      ("n1", "k1", "a", "xsd:string"), ("n1", "k2", "b", "xsd:string"),
+      ("n2", "k1", "a", "xsd:string"), ("n2", "k2", "b", "xsd:string"),
+      // n3 agrees on k1 only → no pair
+      ("n3", "k1", "a", "xsd:string"), ("n3", "k2", "ZZ", "xsd:string"),
+      // n4 agrees on the full key but is class D → out of scope
+      ("n4", "k1", "a", "xsd:string"), ("n4", "k2", "b", "xsd:string"),
+      // n5 misses k2 entirely → OWL hasKey requires every key value
+      ("n5", "k1", "a", "xsd:string"),
+      // n6 completes a triple on (a, b) → 3 nodes ⇒ 3 canonical pairs
+      ("n6", "k1", "a", "xsd:string"), ("n6", "k2", "b", "xsd:string")
+    ).toDF("node", "prop", "lexical", "dtype")
+    val got = Entailment.hasKeySameAs(types, attrs, "C", Seq("k1", "k2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("n1", "n2"), ("n1", "n6"), ("n2", "n6")))
+    intercept[IllegalArgumentException](
+      Entailment.hasKeySameAs(types, attrs, "C", Nil))
+  }
+
   test("entailedEdges: schemas needing iteration are rejected up front") {
     val s = spark
     import s.implicits._

@@ -139,4 +139,28 @@ class PathsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(one === two)
   }
+
+  test("weightedSssp: cheap long route beats expensive short hop; multi-seed min") {
+    // a→b costs 10 direct, but a→c→d→b costs 1+1+1 = 3; unreachable z stays
+    // out; seed set {a, s} — s reaches b at 1, below every a-route
+    val w = Seq(
+      ("a", "b", 10L), ("a", "c", 1L), ("c", "d", 1L), ("d", "b", 1L),
+      ("s", "b", 1L), ("z", "z2", 5L)
+    ).toDF("src", "dst", "weight")
+    def run(df: org.apache.spark.sql.DataFrame, seeds: Seq[String]) =
+      Paths.weightedSssp(df, seeds)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(run(w, Seq("a")) ===
+      Map("a" -> 0L, "c" -> 1L, "d" -> 2L, "b" -> 3L))
+    assert(run(w, Seq("a", "s")) ===
+      Map("a" -> 0L, "s" -> 0L, "c" -> 1L, "d" -> 2L, "b" -> 1L))
+    // partitioning-invariant; zero-weight edges fine; empty seed rejected
+    assert(run(w.repartition(7), Seq("a")) === run(w, Seq("a")))
+    val zw = Seq(("a", "b", 0L), ("b", "c", 0L)).toDF("src", "dst", "weight")
+    assert(run(zw, Seq("a")) === Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+    intercept[IllegalArgumentException](Paths.weightedSssp(w, Nil))
+    // a weight cycle saturates (non-negative weights): dist stabilizes
+    val cyc = Seq(("a", "b", 2L), ("b", "a", 2L)).toDF("src", "dst", "weight")
+    assert(run(cyc, Seq("a")) === Map("a" -> 0L, "b" -> 2L))
+  }
 }
