@@ -359,6 +359,90 @@ object Entailment {
       .select(col("a").as("src"), col("b").as("dst")).distinct()
   }
 
+  /** Axiom set for [[inconsistencies]] — the OWL 2 RL "false" rules the
+    * engine can check (W3C OWL 2 Profiles §4.3, table 9 rule names). Pairs
+    * are directional as declared: `disjointClasses = (C, D)` flags nodes
+    * typed BOTH C and D; `disjointProps = (p, q)` flags subject-object
+    * pairs asserted under both. */
+  final case class ConsistencyAxioms(
+      disjointClasses: Seq[(String, String)] = Nil,
+      disjointProps: Seq[(String, String)] = Nil,
+      asymmetric: Seq[String] = Nil,
+      irreflexive: Seq[String] = Nil)
+
+  /** OWL 2 RL inconsistency detection — the FALSITY half of the profile
+    * the forward rules ([[entailedTypes]]/[[entailedEdges]]/equality loop)
+    * never touch: instead of deriving new facts, these rules derive
+    * `false`, i.e. a KG-quality violation report. Covered rules:
+    *
+    *  - cax-dw  — DisjointClasses(C,D) ∧ x:C ∧ x:D
+    *  - prp-pdw — propertyDisjointWith(p,q) ∧ p(x,y) ∧ q(x,y)
+    *  - prp-asyp — AsymmetricProperty(p) ∧ p(x,y) ∧ p(y,x)
+    *  - prp-irp — IrreflexiveProperty(p) ∧ p(x,x)
+    *
+    * This is the post-fusion QA pass a web-scale construction pipeline
+    * runs AFTER entity canonicalization (merging duplicate entities is
+    * exactly what manufactures type clashes and mutual edges) — the
+    * OWL-semantic sibling of the SHACL-lite cardinality checks in
+    * [[graft.core.Shapes]]. Output rows are (rule, x, y, why): the rule
+    * name, the one or two individuals in the clash (x = y for the
+    * single-node rules cax-dw / prp-irp), and the axiom rendering.
+    *
+    * Plan shape per rule: inputs are pre-sliced to the predicates/classes
+    * the axioms mention (pushed filters / partition pruning at scale), the
+    * axiom lists ride as broadcast joins, and each rule costs at most ONE
+    * keyed self-equi-join — on node for cax-dw, on (src,dst) for prp-pdw
+    * and the reversed-pair probe of prp-asyp; prp-irp is a row-local
+    * filter. The final distinct is the one set-semantics exchange.
+    * prp-asyp emits each clashing pair once (x ≤ y canonical — a p(x,x)
+    * self-loop under an asymmetric p, which OWL also forbids, emits once
+    * as (x,x)). */
+  def inconsistencies(types: DataFrame, edges: DataFrame,
+                      ax: ConsistencyAxioms): DataFrame = {
+    val spark = types.sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (ax.disjointClasses.nonEmpty) {
+      val pairs = ax.disjointClasses.toDF("c1", "c2")
+      val mentioned = ax.disjointClasses.flatMap(p => Seq(p._1, p._2)).distinct
+      val t = types.filter(col("cls").isin(mentioned: _*))
+      out += t.select(col("node"), col("cls").as("c1"))
+        .join(t.select(col("node"), col("cls").as("c2")), Seq("node"))
+        .join(broadcast(pairs), Seq("c1", "c2"))
+        .select(lit("cax-dw").as("rule"), col("node").as("x"),
+          col("node").as("y"), concat(col("c1"), lit("|"), col("c2")).as("why"))
+    }
+    if (ax.disjointProps.nonEmpty) {
+      val pairs = ax.disjointProps.toDF("p1", "p2")
+      val mentioned = ax.disjointProps.flatMap(p => Seq(p._1, p._2)).distinct
+      val e = edges.filter(col("pred").isin(mentioned: _*))
+      out += e.select(col("src"), col("dst"), col("pred").as("p1"))
+        .join(e.select(col("src"), col("dst"), col("pred").as("p2")),
+          Seq("src", "dst"))
+        .join(broadcast(pairs), Seq("p1", "p2"))
+        .select(lit("prp-pdw").as("rule"), col("src").as("x"),
+          col("dst").as("y"), concat(col("p1"), lit("|"), col("p2")).as("why"))
+    }
+    if (ax.asymmetric.nonEmpty) {
+      val e = edges.filter(col("pred").isin(ax.asymmetric: _*))
+        .select(col("pred"), col("src"), col("dst"))
+      out += e
+        .join(e.select(col("pred"), col("dst").as("src"), col("src").as("dst")),
+          Seq("pred", "src", "dst"))
+        .filter(col("src") <= col("dst"))
+        .select(lit("prp-asyp").as("rule"), col("src").as("x"),
+          col("dst").as("y"), col("pred").as("why"))
+    }
+    if (ax.irreflexive.nonEmpty) {
+      out += edges
+        .filter(col("pred").isin(ax.irreflexive: _*) && col("src") === col("dst"))
+        .select(lit("prp-irp").as("rule"), col("src").as("x"),
+          col("dst").as("y"), col("pred").as("why"))
+    }
+    require(out.nonEmpty, "inconsistencies needs at least one axiom")
+    out.reduce(_ unionAll _).distinct()
+  }
+
   def sameAsRewrite(triples: DataFrame, rep: DataFrame,
                     broadcastMaxRows: Long = 10L * 1000 * 1000): DataFrame = {
     val r0 = rep.select(col("id"), col("rep"))

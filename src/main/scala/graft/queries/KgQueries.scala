@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.{TpchKg, TpchKgSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit}
 
 /** Core KG emission surface (SURVEY §2.1 S4-S7) as driver-checkable queries:
   * each entry has an exact DuckDB oracle over the same parquet tables. */
@@ -538,6 +538,37 @@ object KgQueries {
       val kb = TpchKg.load(s, d)
       graft.core.Entailment.hasKeySameAs(kb.types, kb.attrs, "Part",
         Seq("brand", "psize"))
+    }),
+    // OWL-RL falsity rules — the inconsistency report. Violations are
+    // planted in-query (the kg_class_align pattern) so all four rules
+    // BIND: even-keyed parts double-typed 'Component' under
+    // Disjoint(Part, Component); reversed inRegion edges into even
+    // regions (prp-asyp mutual pairs); placedBy self-loops on every
+    // ~97th order (prp-irp); suppliedBy copies of every ~101st-part
+    // contains edge (prp-pdw). Disjoint(Customer, Supplier) rides along
+    // clean — its zero rows are the negative evidence
+    "kg_inconsistencies" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      def key(c: String) = expr(s"CAST(substr($c, 3) AS BIGINT)")
+      val types = kb.types.unionAll(
+        kb.types.filter(col("cls") === "Part" && key("node") % 2 === 0)
+          .select(col("node"), lit("Component").as("cls")))
+      val edges = kb.edges
+        .unionAll(kb.edges
+          .filter(col("pred") === "inRegion" && key("dst") % 2 === 0)
+          .select(col("dst").as("src"), col("pred"), col("src").as("dst")))
+        .unionAll(kb.edges
+          .filter(col("pred") === "placedBy" && key("src") % 97 === 0)
+          .select(col("src"), col("pred"), col("src").as("dst")))
+        .unionAll(kb.edges
+          .filter(col("pred") === "contains" && key("dst") % 101 === 0)
+          .select(col("src"), lit("suppliedBy").as("pred"), col("dst")))
+      graft.core.Entailment.inconsistencies(types, edges,
+        graft.core.Entailment.ConsistencyAxioms(
+          disjointClasses = Seq("Part" -> "Component", "Customer" -> "Supplier"),
+          disjointProps = Seq("contains" -> "suppliedBy"),
+          asymmetric = Seq("inRegion"),
+          irreflexive = Seq("placedBy")))
     }),
     // PARIS class alignment (the trio's third axis): 'Client' = exact
     // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
@@ -1137,6 +1168,45 @@ object KgQueries {
         |FROM hkt a JOIN hkt b
         |  ON b.k_brand = a.k_brand AND b.k_psize = a.k_psize
         | AND a.node < b.node""".stripMargin,
+      inCte = true),
+    "kg_inconsistencies" -> TpchKgSql.withKg(
+      """aug_types AS MATERIALIZED (
+        |  SELECT node, cls FROM types
+        |  UNION ALL
+        |  SELECT node, 'Component' FROM types
+        |  WHERE cls = 'Part' AND CAST(substr(node, 3) AS BIGINT) % 2 = 0),
+        |aug_edges AS MATERIALIZED (
+        |  SELECT src, pred, dst FROM edges
+        |  UNION ALL
+        |  SELECT dst, pred, src FROM edges
+        |  WHERE pred = 'inRegion' AND CAST(substr(dst, 3) AS BIGINT) % 2 = 0
+        |  UNION ALL
+        |  SELECT src, pred, src FROM edges
+        |  WHERE pred = 'placedBy' AND CAST(substr(src, 3) AS BIGINT) % 97 = 0
+        |  UNION ALL
+        |  SELECT src, 'suppliedBy', dst FROM edges
+        |  WHERE pred = 'contains' AND CAST(substr(dst, 3) AS BIGINT) % 101 = 0)
+        |SELECT 'cax-dw' AS rule, t1.node AS x, t1.node AS y,
+        |       'Part|Component' AS why
+        |FROM aug_types t1 JOIN aug_types t2 ON t2.node = t1.node
+        |WHERE t1.cls = 'Part' AND t2.cls = 'Component'
+        |UNION
+        |SELECT 'cax-dw', t1.node, t1.node, 'Customer|Supplier'
+        |FROM aug_types t1 JOIN aug_types t2 ON t2.node = t1.node
+        |WHERE t1.cls = 'Customer' AND t2.cls = 'Supplier'
+        |UNION
+        |SELECT 'prp-pdw', e1.src, e1.dst, 'contains|suppliedBy'
+        |FROM aug_edges e1 JOIN aug_edges e2
+        |  ON e2.src = e1.src AND e2.dst = e1.dst AND e2.pred = 'suppliedBy'
+        |WHERE e1.pred = 'contains'
+        |UNION
+        |SELECT 'prp-asyp', e1.src, e1.dst, e1.pred
+        |FROM aug_edges e1 JOIN aug_edges e2
+        |  ON e2.src = e1.dst AND e2.dst = e1.src AND e2.pred = 'inRegion'
+        |WHERE e1.pred = 'inRegion' AND e1.src <= e1.dst
+        |UNION
+        |SELECT 'prp-irp', src, dst, pred
+        |FROM aug_edges WHERE pred = 'placedBy' AND src = dst""".stripMargin,
       inCte = true),
     "kg_class_align" -> TpchKgSql.withKg(
       """tp AS MATERIALIZED (

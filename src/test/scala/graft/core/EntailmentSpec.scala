@@ -228,6 +228,39 @@ class EntailmentSpec extends SparkSpec {
       Entailment.hasKeySameAs(types, attrs, "C", Nil))
   }
 
+  test("inconsistencies: all four falsity rules, clean axioms stay silent") {
+    val s = spark
+    import s.implicits._
+    val types = Seq(("a", "C"), ("a", "D"), ("b", "C"), ("c", "D"),
+      ("d", "E")).toDF("node", "cls")
+    val edges = Seq(
+      ("x", "p", "y"), ("y", "p", "x"),   // prp-asyp mutual pair
+      ("z", "p", "z"),                     // self-loop under asymmetric p
+      ("u", "q", "u"),                     // prp-irp
+      ("m", "r1", "n"), ("m", "r2", "n"), // prp-pdw
+      ("m", "r1", "k")                    // r1 without r2 — clean
+    ).toDF("src", "pred", "dst")
+    val got = Entailment.inconsistencies(types, edges,
+      Entailment.ConsistencyAxioms(
+        disjointClasses = Seq("C" -> "D", "C" -> "E"),
+        disjointProps = Seq("r1" -> "r2"),
+        asymmetric = Seq("p"),
+        irreflexive = Seq("q")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      ("cax-dw", "a", "a", "C|D"),          // only a is both C and D
+      ("prp-asyp", "x", "y", "p"),          // pair emitted once, canonical
+      ("prp-asyp", "z", "z", "p"),          // self-loop counts, emitted once
+      ("prp-irp", "u", "u", "q"),
+      ("prp-pdw", "m", "n", "r1|r2")))
+    // no axioms → reject; a single clean axiom → empty, not error
+    intercept[IllegalArgumentException](
+      Entailment.inconsistencies(types, edges, Entailment.ConsistencyAxioms()))
+    assert(Entailment.inconsistencies(types, edges,
+      Entailment.ConsistencyAxioms(irreflexive = Seq("r1"))).count() === 0)
+  }
+
   test("entailedEdges: schemas needing iteration are rejected up front") {
     val s = spark
     import s.implicits._
