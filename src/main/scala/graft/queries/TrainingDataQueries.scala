@@ -105,6 +105,17 @@ object TrainingDataQueries {
       docs(s, d), Seq("spark", "table", "join", "vector"))),
     "td_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))),
+    // hybrid retrieval: exact bigram-Jaccard lexical top-20 + brute-force
+    // cosine dense top-20 over the SAME doc/vec id space, fused by
+    // reciprocal-rank fusion (k=60) in exact integer micro-units — the
+    // standard sparse+dense RAG merge, rank-only so no cross-engine float
+    // score ever reaches the gate surface
+    "td_rrf_hybrid" -> ((s, d) => {
+      val lex = graft.text.Retrieval.jaccardRank(docs(s, d), 0L to 9L, 20)
+      val dense = Ann.bruteForceTopK(emb(s, d), 0L to 9L, 20)
+        .select(col("q"), col("neighbor").as("doc"), col("rank"))
+      graft.text.Retrieval.rrfFuse(Seq(lex, dense), k = 60, topK = 10)
+    }),
     "td_ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 0L to 9L, 5)),
     "td_ann_ivf" -> ((s, d) => Ann.ivfTopK(emb(s, d), 0L to 9L, 5)),
     // the SAME search through a PERSISTED index: centroids + assignments
@@ -616,6 +627,41 @@ object TrainingDataQueries {
          |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
          |FROM documents""".stripMargin
     },
+    "td_rrf_hybrid" ->
+      s"""WITH g2 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, gram
+         |  FROM (${graft.text.Curation.wordNgramsSql("documents", 2)}) t),
+         |sizes AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g2 GROUP BY 1),
+         |ix AS (SELECT q.doc_id AS q, d.doc_id AS doc,
+         |         CAST(COUNT(*) AS BIGINT) AS ix
+         |       FROM g2 q JOIN g2 d USING (gram)
+         |       WHERE q.doc_id < 10 AND d.doc_id <> q.doc_id GROUP BY 1, 2),
+         |lex AS (SELECT q, doc, CAST(row_number() OVER (PARTITION BY q
+         |          ORDER BY (1000000 * ix // (sq.n + sd.n - ix)) DESC, doc) AS INT) AS rnk
+         |        FROM ix JOIN sizes sq ON sq.doc_id = q
+         |        JOIN sizes sd ON sd.doc_id = doc),
+         |${evCte("embeddings")},
+         |norms AS MATERIALIZED (
+         |  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS q, b.vec_id AS doc, SUM(a.x * b.x) AS dot
+         |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |dense AS (SELECT q, doc, CAST(row_number() OVER (PARTITION BY q
+         |            ORDER BY ROUND(dot / (nq.nrm * nn.nrm), 6) DESC, doc) AS INT) AS rnk
+         |          FROM dots JOIN norms nq ON nq.vec_id = q
+         |          JOIN norms nn ON nn.vec_id = doc),
+         |uni AS (SELECT q, doc, 1000000000 // (60 + rnk) AS c
+         |        FROM lex WHERE rnk <= 20
+         |        UNION ALL
+         |        SELECT q, doc, 1000000000 // (60 + rnk) FROM dense WHERE rnk <= 20),
+         |sc AS (SELECT q, doc, CAST(SUM(c) AS BIGINT) AS rrf_score
+         |       FROM uni GROUP BY 1, 2)
+         |SELECT q, doc, rrf_score, rrf_rank FROM (
+         |  SELECT q, doc, rrf_score, CAST(row_number() OVER (PARTITION BY q
+         |    ORDER BY rrf_score DESC, doc) AS INT) AS rrf_rank FROM sc) r
+         |WHERE rrf_rank <= 10""".stripMargin,
     "td_ann_topk" ->
       s"""WITH ${evCte("embeddings")},
          |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),

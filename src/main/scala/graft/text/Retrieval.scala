@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inverted-index construction + BM25 scoring (Robertson & Zaragoza, "The
@@ -73,5 +74,65 @@ object Retrieval {
       .groupBy("doc_id").agg(sum(col("s")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Exact lexical document-to-document ranking by distinct-bigram Jaccard
+    * — the sparse retriever of a hybrid search stack, in the engine's
+    * exact-integer style (micro-unit Jaccard, integer division, so the
+    * ordering is bit-reproducible in any SQL engine — no libm log/idf in
+    * the gate path). Output (q, doc, rank), rank 1..topK per query,
+    * ties broken by doc id ascending; the query document never ranks
+    * against itself.
+    *
+    * Scale shape: the gram equi-join is the candidate generator — for
+    * query sets beyond user scale, swap it for the MinHash-LSH blocking
+    * in [[graft.dedup.Dedup]] and keep THIS ranking as the exact verify /
+    * re-rank stage (same shape as the dedup verify path). */
+  def jaccardRank(docs: DataFrame, queryIds: Seq[Long], topK: Int): DataFrame = {
+    require(queryIds.nonEmpty, "jaccardRank needs at least one query id")
+    val g2 = Curation.wordNgramsAll(docs, 2).distinct()
+    val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val qg = g2.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q"), col("gram"))
+    val inter = qg.join(g2, Seq("gram"))
+      .filter(col("doc_id") =!= col("q"))
+      .groupBy(col("q"), col("doc_id").as("doc")).agg(count(lit(1)).as("ix"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("q"), col("n").as("nq")), Seq("q"))
+      .join(sizes.select(col("doc_id").as("doc"), col("n").as("nd")), Seq("doc"))
+      .select(col("q"), col("doc"),
+        expr("1000000L * ix div (nq + nd - ix)").as("jac_micro"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("jac_micro").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q"), col("doc"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) — the
+    * standard hybrid-retrieval merge: given N rankings (q, doc, rank) from
+    * heterogeneous retrievers (lexical, dense, ...), fuse by
+    * score(q, doc) = Σ_r 10⁹ div (k + rank_r(doc)) in exact integer
+    * micro-units (k = 60 per the paper; absent docs contribute 0), then
+    * re-rank by fused score, doc-id tiebreak. RRF needs no score
+    * calibration across retrievers — only ranks — which is exactly what
+    * makes it portable across engines AND the right merge when one input
+    * is float-scored (BM25/cosine) and the other integer-scored.
+    *
+    * Plan: union of the (already top-k-sized) ranking tables, one
+    * (q, doc)-keyed map-side-combinable sum, one per-query window over
+    * ≤ N·topK rows per query — nothing corpus-sized moves. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = rankings
+      .map(_.select(col("q"), col("doc"),
+        expr(s"1000000000L div (${k}L + rank)").as("c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("q"), col("doc")).agg(sum(col("c")).as("rrf_score"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("rrf_score").desc, col("doc"))
+    scored.withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= topK)
+      .select(col("q"), col("doc"), col("rrf_score"), col("rrf_rank"))
   }
 }
