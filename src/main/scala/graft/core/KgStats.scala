@@ -241,4 +241,40 @@ object KgStats {
     keyed.join(groups, keyProps.map(p => s"k_$p"))
       .select(col("node"), col("canon"), col("grp_n"))
   }
+
+  /** Entity summarization — the top-k most INFORMATIVE facts per subject
+    * (the RELIN / LinkSUM family of rarity-ranked fact selection, here in
+    * the engine's exact-integer style): the facts shown on an entity card,
+    * or packed into an LLM context window when the full neighborhood does
+    * not fit. A fact (s, p, o) scores
+    *   score = 10⁹ div n(p)  +  10⁹ div n_obj(o)
+    * — rare predicates and rare objects first (the integer-monotone stand-in
+    * for the family's −log p(fact) self-information; `type Person` facts
+    * sink, distinguishing facts rise). Ties break (pred, dst) ascending so
+    * the selection is partitioning-invariant. Output (node, pred, dst,
+    * score_micro, fact_rank), fact_rank 1..k per subject.
+    *
+    * Plan shape: two frequency aggregates (map-side-partial), the pred
+    * frequency table joins broadcast (predicate vocabulary is small), the
+    * object frequency joins (dst)-keyed — hub objects are exactly the
+    * frequent ones, and a frequency table join on its own group key cannot
+    * skew worse than the grouping did; then ONE per-subject window whose
+    * partitions are subject-degree-sized. Nothing corpus-sized moves more
+    * than once. Feed `attrs.select(node, prop, lexical)` renamed to
+    * (src, pred, dst) to summarize literal facts with the same ranking. */
+  def entitySummaries(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "entitySummaries needs k >= 1")
+    val e = edges.select(col("src"), col("pred"), col("dst"))
+    val predFreq = e.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+    val objFreq = e.groupBy(col("dst")).agg(count(lit(1)).as("n_obj"))
+    val scored = e
+      .join(broadcast(predFreq), Seq("pred"))
+      .join(objFreq, Seq("dst"))
+      .select(col("src").as("node"), col("pred"), col("dst"),
+        expr("1000000000L div n_pred + 1000000000L div n_obj").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+      .orderBy(col("score_micro").desc, col("pred"), col("dst"))
+    scored.withColumn("fact_rank", row_number().over(w))
+      .filter(col("fact_rank") <= k)
+  }
 }

@@ -347,6 +347,11 @@ object KgQueries {
     // the star-join cardinality statistic
     "kg_char_sets" -> ((s, d) => graft.core.KgStats.characteristicSets(
       TpchKg.load(s, d).edges)),
+    // entity summarization (RELIN/LinkSUM family): top-3 rarity-ranked
+    // facts per subject — rare predicates and rare objects first, exact
+    // integer scores, (pred, dst) tiebreak
+    "kg_entity_summary" -> ((s, d) => graft.core.KgStats.entitySummaries(
+      TpchKg.load(s, d).edges, k = 3)),
     // schema graph: class-level quotient with edge counts — the
     // KG-construction QA surface for mis-linked predicates
     "kg_schema_graph" -> ((s, d) => {
@@ -1077,6 +1082,21 @@ object KgQueries {
         |SELECT char_set, CAST(COUNT(*) AS BIGINT) AS n_subjects,
         |       CAST(SUM(deg) AS BIGINT) AS n_edges
         |FROM cs GROUP BY 1""".stripMargin,
+      inCte = true),
+    "kg_entity_summary" -> TpchKgSql.withKg(
+      """pf AS MATERIALIZED (
+        |  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pred FROM edges GROUP BY 1),
+        |obf AS MATERIALIZED (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_obj FROM edges GROUP BY 1),
+        |sc AS (SELECT e.src AS node, e.pred, e.dst,
+        |         CAST(1000000000 // pf.n_pred + 1000000000 // obf.n_obj AS BIGINT)
+        |           AS score_micro
+        |       FROM edges e JOIN pf USING (pred) JOIN obf ON obf.dst = e.dst)
+        |SELECT node, pred, dst, score_micro, fact_rank FROM (
+        |  SELECT node, pred, dst, score_micro, CAST(row_number() OVER (
+        |    PARTITION BY node ORDER BY score_micro DESC, pred, dst) AS INT) AS fact_rank
+        |  FROM sc) t
+        |WHERE fact_rank <= 3""".stripMargin,
       inCte = true),
     "kg_infer_schema" -> TpchKgSql.withKg(
       """SELECT prop, CAST(COUNT(lexical) AS BIGINT) AS n_values,

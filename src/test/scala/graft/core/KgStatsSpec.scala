@@ -169,4 +169,33 @@ class KgStatsSpec extends SparkSpec {
     assert(re === got)
     intercept[IllegalArgumentException](KgStats.keyCollisions(attrs, Nil))
   }
+
+  test("entitySummaries: rare pred + rare obj rank first, exact scores, top-k cut") {
+    // pred freq: common ×3, rare ×1; obj freq: hub ×3, o1/o2 ×1 each
+    val edges = Seq(
+      ("a", "common", "hub"), ("b", "common", "hub"), ("c", "common", "hub"),
+      ("a", "rare", "o1"), ("a", "common2", "o2"), ("a", "common2", "hub2"),
+      ("b", "common2", "hub2")).toDF("src", "pred", "dst")
+    val M = 1000000000L
+    val got = KgStats.entitySummaries(edges, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // a's facts: rare/o1 = M/1+M/1 = 2M; common2/o2 = M/3+M/1; common2/hub2 =
+    // M/3+M/2; common/hub = M/3+M/3 — top-2 keeps the first two
+    assert(got.filter(_._1 == "a") === Set(
+      ("a", "rare", "o1", 2 * M, 1),
+      ("a", "common2", "o2", M / 3 + M, 2)))
+    // b: common2/hub2 (M/3+M/2) beats common/hub (M/3+M/3)
+    assert(got.filter(_._1 == "b") === Set(
+      ("b", "common2", "hub2", M / 3 + M / 2, 1),
+      ("b", "common", "hub", M / 3 + M / 3, 2)))
+    // c has one fact; rank 1 only
+    assert(got.count(_._1 == "c") === 1)
+    // partitioning-invariant; k guard
+    val re = KgStats.entitySummaries(edges.repartition(5), k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(re === got)
+    intercept[IllegalArgumentException](KgStats.entitySummaries(edges, 0))
+  }
 }
