@@ -267,6 +267,21 @@ object PipelineQueries {
       Truth.factTimeline(
         Canonicalize(linked, Pages.aliases(s), keep = Seq("warc_ts")))
     }),
+    // temporal conflict detection: per-source SCD-2 timelines (sources =
+    // deterministic mirror groups m0..m3 over the url key, so per-source
+    // successions have REAL non-null valid_untils) self-joined on the
+    // data item — overlapping intervals with disagreeing values, the
+    // disagreement surface fe_truth votes away, reported instead
+    "fe_interval_conflicts" -> ((s, d) => {
+      val pages = KgPipeline.run(s, d, ck(d), "pages")
+      val mentions = Mentions.withTs(Extract.withTs(pages)).toDF()
+      val linked = Link(mentions, Pages.aliases(s), keep = Seq("url", "warc_ts"))
+      val claims = Canonicalize(linked, Pages.aliases(s), keep = Seq("url", "warc_ts"))
+        .withColumn("src", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("m"),
+          org.apache.spark.sql.functions.expr("CAST(substr(url, 20) AS BIGINT) % 4")))
+      Truth.intervalConflicts(Truth.sourceTimeline(claims))
+    }),
     // temporal as-of view over the SCD-2 timeline: the KG a reader at
     // t = +120 s could have known — versions straddling the cutoff are
     // served, versions first observed later are absent, superseded
@@ -1102,6 +1117,24 @@ object PipelineQueries {
         |SELECT subj, pred, obj, valid_from, version FROM tl
         |WHERE valid_from <= TIMESTAMP '2025-01-01 00:02:00'
         |  AND (valid_until IS NULL OR valid_until > TIMESTAMP '2025-01-01 00:02:00')""".stripMargin),
+    "fe_interval_conflicts" -> withDocs(
+      """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts,
+        |         'm' || (doc_id % 4) AS msrc FROM docs),
+        |cl AS MATERIALIZED (
+        |  SELECT msrc, wts, 'entA_' || (doc_id % 97) AS subj, 'bornIn' AS pred, 'city_' || (doc_id % 31) AS obj FROM tsd
+        |  UNION ALL SELECT msrc, wts, 'entA_' || (doc_id % 97), 'worksFor', 'org_' || (doc_id % 13) FROM tsd WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT msrc, wts, 'city_' || (doc_id % 31), 'locatedIn', 'country_' || (doc_id % 7) FROM tsd WHERE doc_id % 3 = 0),
+        |f AS (SELECT msrc, subj, pred, obj, MIN(wts) AS valid_from FROM cl GROUP BY 1, 2, 3, 4),
+        |tl AS MATERIALIZED (SELECT msrc, subj, pred, obj, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY msrc, subj, pred ORDER BY valid_from, obj) AS valid_until
+        |FROM f)
+        |SELECT a.subj, a.pred, a.msrc AS src_a, a.obj AS obj_a,
+        |       b.msrc AS src_b, b.obj AS obj_b,
+        |       GREATEST(a.valid_from, b.valid_from) AS overlap_from
+        |FROM tl a JOIN tl b ON b.subj = a.subj AND b.pred = a.pred
+        |WHERE a.msrc < b.msrc AND a.obj <> b.obj
+        |  AND (a.valid_until IS NULL OR b.valid_from < a.valid_until)
+        |  AND (b.valid_until IS NULL OR a.valid_from < b.valid_until)""".stripMargin),
     "fe_fact_intervals" -> withDocs(
       """, tsd AS (SELECT *, TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS wts FROM docs),
         |cl AS MATERIALIZED (

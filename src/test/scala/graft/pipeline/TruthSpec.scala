@@ -88,4 +88,42 @@ class TruthSpec extends SparkSpec {
     // boundary: valid_from ≤ ts < valid_until — at exactly day 5, v2 serves
     assert(asOf("2025-01-05 00:00:00") === Set(("e", "p", "v2")))
   }
+
+  test("intervalConflicts: cross-source overlap with disagreeing values only") {
+    val s2 = spark
+    import s2.implicits._
+    // source A: e/p = v1 on day 1, superseded by v2 on day 5 (until = day 5)
+    // source B: e/p = vX on day 3 (open) — overlaps A's [1,5) v1 AND [5,∞) v2
+    // source C: e/p = v1 on day 2 (open) — AGREES with A's v1 (no conflict),
+    //           disagrees with A's v2 (overlap from day 5) and B's vX (day 3)
+    // source D: f/q = w1 — different item, never conflicts
+    val cl = Seq(
+      ("A", "2025-01-01 00:00:00", "e", "p", "v1"),
+      ("A", "2025-01-05 00:00:00", "e", "p", "v2"),
+      ("B", "2025-01-03 00:00:00", "e", "p", "vX"),
+      ("C", "2025-01-02 00:00:00", "e", "p", "v1"),
+      ("D", "2025-01-01 00:00:00", "f", "q", "w1")
+    ).toDF("src", "ts", "subj", "pred", "obj")
+      .withColumn("warc_ts", col("ts").cast("timestamp"))
+    val got = Truth.intervalConflicts(Truth.sourceTimeline(cl))
+      .collect().map(r => (r.getString(2), r.getString(3), r.getString(4),
+        r.getString(5), r.getTimestamp(6).toString)).toSet
+    assert(got === Set(
+      ("A", "v1", "B", "vX", "2025-01-03 00:00:00.0"),
+      ("A", "v2", "B", "vX", "2025-01-05 00:00:00.0"),
+      ("A", "v2", "C", "v1", "2025-01-05 00:00:00.0"),
+      ("B", "vX", "C", "v1", "2025-01-03 00:00:00.0")))
+    // closed-interval miss: B's claim AFTER A's v1 window would not pair
+    // with v1 — shift B to day 0..1 window check via a disjoint fixture
+    val cl2 = Seq(
+      ("A", "2025-01-01 00:00:00", "e", "p", "v1"),
+      ("A", "2025-01-02 00:00:00", "e", "p", "v2"),
+      ("B", "2025-01-03 00:00:00", "e", "p", "v3")
+    ).toDF("src", "ts", "subj", "pred", "obj")
+      .withColumn("warc_ts", col("ts").cast("timestamp"))
+    val got2 = Truth.intervalConflicts(Truth.sourceTimeline(cl2))
+      .collect().map(r => (r.getString(3), r.getString(5))).toSet
+    // v1's interval [day1, day2) ends before B starts → only v2 conflicts
+    assert(got2 === Set(("v2", "v3")))
+  }
 }
