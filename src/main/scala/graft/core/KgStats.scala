@@ -175,6 +175,41 @@ object KgStats {
     colors
   }
 
+  /** WL quotient graph — the structural summary built on [[wlColors]]:
+    * collapse every color class (nodes 1-WL round-`rounds` indistinguishable)
+    * to one summary node and aggregate the edge table over (src-color,
+    * pred, dst-color). This is the bisimulation-style RDF summarization
+    * shape (Čebirić et al., "Summarizing semantic graphs", VLDBJ'19):
+    * a few hundred summary rows describing 10⁹ nodes, used for query
+    * cardinality sanity, schema drift detection between crawls, and as a
+    * navigation map of a freshly-constructed KG. [[schemaGraph]] is the
+    * class-level special case (WL round 0 ≈ class sets); higher rounds
+    * split classes by neighborhood structure.
+    *
+    * Output: one row per summary edge (src_color, pred, dst_color,
+    * n_edges, n_src_members, n_dst_members). Plan: the color table joins
+    * the edge table twice on its own node key, then ONE
+    * map-side-combinable aggregate on the (color, pred, color) key —
+    * summary-sized, so the member-count joins at the end are broadcast
+    * territory at any scale. */
+  def wlQuotient(edges: DataFrame, types: DataFrame, rounds: Int): DataFrame = {
+    val colors = wlColors(edges, types, rounds).localCheckpoint(true)
+    val members = colors.groupBy(col("color")).agg(count(lit(1)).as("n_members"))
+    edges
+      .join(colors.withColumnRenamed("node", "src")
+        .withColumnRenamed("color", "src_color"), Seq("src"))
+      .join(colors.withColumnRenamed("node", "dst")
+        .withColumnRenamed("color", "dst_color"), Seq("dst"))
+      .groupBy(col("src_color"), col("pred"), col("dst_color"))
+      .agg(count(lit(1)).as("n_edges"))
+      .join(broadcast(members.withColumnRenamed("color", "src_color")
+        .withColumnRenamed("n_members", "n_src_members")), Seq("src_color"))
+      .join(broadcast(members.withColumnRenamed("color", "dst_color")
+        .withColumnRenamed("n_members", "n_dst_members")), Seq("dst_color"))
+      .select(col("src_color"), col("pred"), col("dst_color"),
+        col("n_edges"), col("n_src_members"), col("n_dst_members"))
+  }
+
   /** Predicate functionality / inverse functionality (Suchanek et al.,
     * "PARIS: Probabilistic alignment of relations, instances, and schema",
     * VLDB'12 §4; the score AMIE mines rules with): per predicate,

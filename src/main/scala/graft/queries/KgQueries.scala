@@ -365,6 +365,14 @@ object KgQueries {
       val kb = TpchKg.load(s, d)
       graft.core.KgStats.wlColors(kb.edges, kb.types, rounds = 2)
     }),
+    // WL quotient graph: the round-2 colors collapsed to a summary graph
+    // (edge counts + member counts per color class) — the bisimulation
+    // summary; finer than kg_schema_graph exactly where neighborhood
+    // structure splits a class
+    "kg_wl_quotient" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.core.KgStats.wlQuotient(kb.edges, kb.types, rounds = 2)
+    }),
     // sorted-neighborhood name matching (Hernández-Stolfo merge/purge):
     // candidate duplicate surface forms = rank-adjacent names within
     // edit distance 2, O(n·w) candidates by construction
@@ -981,6 +989,22 @@ object KgQueries {
     "kg_wl_colors" -> TpchKgSql.withKg(
       s"""${wlCtes(2)}
          |SELECT node, color FROM wc2""".stripMargin,
+      inCte = true),
+    "kg_wl_quotient" -> TpchKgSql.withKg(
+      s"""${wlCtes(2)},
+         |mem AS MATERIALIZED (
+         |  SELECT color, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM wc2 GROUP BY 1),
+         |se AS (SELECT cs.color AS src_color, e.pred, cd.color AS dst_color,
+         |         CAST(COUNT(*) AS BIGINT) AS n_edges
+         |       FROM edges e
+         |       JOIN wc2 cs ON cs.node = e.src
+         |       JOIN wc2 cd ON cd.node = e.dst
+         |       GROUP BY 1, 2, 3)
+         |SELECT se.src_color, se.pred, se.dst_color, se.n_edges,
+         |       ms.n_members AS n_src_members, md.n_members AS n_dst_members
+         |FROM se JOIN mem ms ON ms.color = se.src_color
+         |JOIN mem md ON md.color = se.dst_color""".stripMargin,
       inCte = true),
     "kg_name_match" -> TpchKgSql.withKg(
       """nm AS MATERIALIZED (

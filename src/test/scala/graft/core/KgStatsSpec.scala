@@ -170,6 +170,30 @@ class KgStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](KgStats.keyCollisions(attrs, Nil))
   }
 
+  test("wlQuotient: mass conservation, member counts, structure splits classes") {
+    // two structurally DIFFERENT 'A' nodes: a1 points at B, a2 at nothing —
+    // round-1 WL separates them even though schemaGraph would not
+    val types = Seq(("a1", "A"), ("a2", "A"), ("b1", "B")).toDF("node", "cls")
+    val edges = Seq(("a1", "p", "b1")).toDF("src", "pred", "dst")
+    val q = KgStats.wlQuotient(edges, types, rounds = 1).collect()
+    // one summary edge, a singleton source class (a1 split from a2)
+    assert(q.length === 1)
+    assert(q.head.getLong(3) === 1L && q.head.getLong(4) === 1L &&
+      q.head.getLong(5) === 1L)
+    // Σ n_edges over the summary = |edges|, on a denser fixture too
+    val e2 = Seq(("a1", "p", "b1"), ("a2", "p", "b1"), ("a1", "q", "a2"),
+      ("b1", "p", "a1")).toDF("src", "pred", "dst")
+    val q2 = KgStats.wlQuotient(e2, types, rounds = 2)
+    assert(q2.agg(org.apache.spark.sql.functions.sum("n_edges"))
+      .first().getLong(0) === 4L)
+    // quotient of the quotient key: identical colors ⇒ identical rows under
+    // repartition (partitioning invariance of the whole chain)
+    val a = q2.collect().map(_.toString).sorted.toSeq
+    val b = KgStats.wlQuotient(e2.repartition(5), types, rounds = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("entitySummaries: rare pred + rare obj rank first, exact scores, top-k cut") {
     // pred freq: common ×3, rare ×1; obj freq: hub ×3, o1/o2 ×1 each
     val edges = Seq(
