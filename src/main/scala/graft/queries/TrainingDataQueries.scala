@@ -45,6 +45,16 @@ object TrainingDataQueries {
       TextOps.shingles(corpus(s, d)).groupBy("doc_id").agg(count(lit(1)).as("n"))),
     "td_minhash" -> ((s, d) => Dedup.minhash(corpus(s, d))),
     "td_lsh_bands" -> ((s, d) => Dedup.lshBands(corpus(s, d))),
+    // meta-blocking over the LSH blocking collection: CBS weights (shared
+    // bands), minShared=2 floor, weighted-node pruning top-3 — the
+    // candidate-restructuring pass between blocking and verify
+    "td_meta_blocking" -> ((s, d) => Dedup.metaBlocking(
+      Dedup.lshBands(corpus(s, d)).select(
+        org.apache.spark.sql.functions.concat(
+          col("band").cast("string"),
+          org.apache.spark.sql.functions.lit(":"), col("key")).as("block"),
+        col("doc_id").as("id")),
+      minShared = 2, topKPerNode = 3)),
     // blocking-quality eval (reduction ratio + pair completeness) at
     // tau = 0.5, BELOW the 0.8 banding design point — pc measures exactly
     // how many mid-similarity true pairs the bands miss, rr how much of
@@ -457,6 +467,17 @@ object TrainingDataQueries {
     "td_shingle_count" -> s"WITH $corpusCte, $shCte\nSELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id",
     "td_minhash" -> s"WITH $corpusCte, $shCte, $mhCte\nSELECT doc_id, j, mh FROM mh",
     "td_lsh_bands" -> s"WITH $corpusCte, $shCte, $mhCte, $bandsCte\nSELECT doc_id, band, key FROM bands",
+    "td_meta_blocking" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
+      """pw AS MATERIALIZED (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM bands a JOIN bands b
+        |    ON b.band = a.band AND b.key = a.key AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |v AS (SELECT a AS node, b AS other, w, a, b FROM pw
+        |      UNION ALL SELECT b, a, w, a, b FROM pw),
+        |kept AS (SELECT a, b, w, row_number() OVER (
+        |           PARTITION BY node ORDER BY w DESC, other) AS r FROM v)
+        |SELECT DISTINCT a, b, w FROM kept WHERE r <= 3""".stripMargin),
     "td_er_quality" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
       """cand0 AS MATERIALIZED (
         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l

@@ -232,6 +232,32 @@ class DedupSpec extends SparkSpec {
     assert(contSub > contSup, "direction: the smaller corpus is the contained one")
   }
 
+  test("metaBlocking: CBS weights, minShared floor, WNP union top-k") {
+    // blocks: (1,2) share 3 blocks, (1,3) share 2, (1,4)/(2,4) share 1
+    val blocks = Seq(
+      ("b1", 1L), ("b1", 2L), ("b2", 1L), ("b2", 2L), ("b3", 1L), ("b3", 2L),
+      ("b4", 1L), ("b4", 3L), ("b5", 1L), ("b5", 3L),
+      ("b6", 1L), ("b6", 4L), ("b7", 2L), ("b7", 4L)
+    ).toDF("block", "id")
+    val all = Dedup.metaBlocking(blocks, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all === Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (1L, 4L) -> 1L, (2L, 4L) -> 1L))
+    // minShared = 2 drops the weight-1 pairs
+    val floored = Dedup.metaBlocking(blocks, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(floored === Set((1L, 2L), (1L, 3L)))
+    // WNP top-1: node 1 keeps (1,2); node 3 keeps (1,3); node 4 keeps
+    // (1,4) (w tie with (2,4), partner-id tiebreak) — union semantics
+    val wnp = Dedup.metaBlocking(blocks, minShared = 1, topKPerNode = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wnp === Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    // partitioning-invariant
+    val re = Dedup.metaBlocking(blocks.repartition(7), minShared = 1, topKPerNode = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re === wnp)
+    intercept[IllegalArgumentException](Dedup.metaBlocking(blocks, minShared = 0))
+  }
+
   private def ids2(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.collect().map(_.getLong(0)).toSet
 }
