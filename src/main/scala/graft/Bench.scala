@@ -225,7 +225,17 @@ object Bench {
       // single-pass-parser shape (tokenizer + recursive-descent JSON per
       // page, zero shuffle)
       "fe_jsonld" -> (s =>
-        graft.queries.PipelineQueries.queries("fe_jsonld")(s, sfDir).count()))
+        graft.queries.PipelineQueries.queries("fe_jsonld")(s, sfDir).count()),
+      // rarity-ranked top-3 facts per subject: the corpus-wide per-key
+      // window shape (two frequency aggregates + one window over every
+      // subject's facts)
+      "kg_entity_summary" -> (s => graft.core.KgStats.entitySummaries(
+        graft.sources.TpchKg.load(s, sfDir).edges, 3).count()),
+      // CBS meta-blocking over the LSH blocking collection: block-keyed
+      // self-join + weighted-node pruning — the ER candidate-restructuring
+      // shape
+      "td_meta_blocking" -> (s => graft.queries.TrainingDataQueries
+        .queries("td_meta_blocking")(s, sfDir).count()))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 

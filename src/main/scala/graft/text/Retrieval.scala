@@ -92,8 +92,10 @@ object Retrieval {
     require(queryIds.nonEmpty, "jaccardRank needs at least one query id")
     val g2 = Curation.wordNgramsAll(docs, 2).distinct()
     val sizes = g2.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint(true)
-    val qg = g2.filter(col("doc_id").isin(queryIds: _*))
-      .select(col("doc_id").as("q"), col("gram"))
+    // query grams are user-scale (|queryIds| × grams-per-doc) — declared
+    // broadcast so the candidate join never shuffles the corpus gram table
+    val qg = broadcast(g2.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q"), col("gram")))
     val inter = qg.join(g2, Seq("gram"))
       .filter(col("doc_id") =!= col("q"))
       .groupBy(col("q"), col("doc_id").as("doc")).agg(count(lit(1)).as("ix"))
