@@ -583,6 +583,30 @@ object KgQueries {
           asymmetric = Seq("inRegion"),
           irreflexive = Seq("placedBy")))
     }),
+    // rdf:List flattening: order→parts collections planted in-query (the
+    // cons encoding — per-order cells 'L<order>:<i>' chained by ascending
+    // part key, nil-terminated), recovered to (head, idx, member) by
+    // Wyllie pointer doubling (RdfLists.flatten). The oracle knows every
+    // position by CONSTRUCTION (idx = the planting rank), so the gate
+    // proves the log-round doubling reconstructs all of them exactly —
+    // list lengths vary 1..7 per order and the list count scales with sf
+    "kg_rdf_lists" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val seq = TpchKg.load(s, d).edges.filter(col("pred") === "contains")
+        .withColumn("i", fn.row_number().over(
+          w.orderBy(expr("CAST(substr(dst, 3) AS BIGINT)"))) - 1)
+        .withColumn("n", count(lit(1)).over(w))
+      val cellOf = (i: org.apache.spark.sql.Column) =>
+        fn.concat(lit("L"), col("src"), lit(":"), i.cast("string"))
+      val firstT = seq.select(cellOf(col("i")).as("subj"),
+        lit("rdf:first").as("pred"), col("dst").as("obj"))
+      val restT = seq.select(cellOf(col("i")).as("subj"),
+        lit("rdf:rest").as("pred"),
+        fn.when(col("i") === col("n") - 1, lit("rdf:nil"))
+          .otherwise(cellOf(col("i") + 1)).as("obj"))
+      graft.core.RdfLists.flatten(firstT.unionAll(restT))
+    }),
     // PARIS class alignment (the trio's third axis): 'Client' = exact
     // Customer duplicate (equivalence — conf 1 both ways), 'BigPart' =
     // even-keyed half of Part (subclass — conf 1 one way, ~0.5 back);
@@ -979,6 +1003,16 @@ object KgQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "kg_rdf_lists" -> TpchKgSql.withKg(
+      """seq AS (
+        |  SELECT src, dst,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |           ORDER BY CAST(substr(dst, 3) AS BIGINT)) - 1 AS i
+        |  FROM edges WHERE pred = 'contains')
+        |SELECT 'L' || src || ':0' AS head, CAST(i AS INTEGER) AS idx,
+        |       dst AS member
+        |FROM seq""".stripMargin,
+      inCte = true),
     "kg_schema_graph" -> TpchKgSql.withKg(
       """SELECT ts.cls AS src_cls, e.pred, td.cls AS dst_cls,
         |  CAST(COUNT(*) AS BIGINT) AS n_edges

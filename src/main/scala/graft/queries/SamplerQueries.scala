@@ -203,6 +203,19 @@ object SamplerQueries {
         (min(when(col("id").isin(seeds: _*), col("pr"))) > 0.0).as("seeds_positive"),
         (sum(when(col("id").isin(seeds: _*), col("pr")).otherwise(lit(0.0))) / sum(col("pr"))
           > seeds.size.toDouble / n).as("seed_share_exceeds_uniform"))
+    }),
+    // GraphSAGE layer-wise fan-out sampling (Hamilton et al. NeurIPS'17):
+    // every ~997th order seeds a 2-layer block, ≤4 neighbors at layer 1
+    // and ≤3 at layer 2, both directions candidates. The md5 choice rule
+    // is engine-portable, so this is a FULL exact oracle (every sampled
+    // edge recomputed in DuckDB), not a property row — and the engine
+    // side computes top-f with the bounded-state MinKStrings aggregate
+    // (hub-proof, no per-node sort), proving the two mechanisms agree
+    "smp_gnn_fanout" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val seeds = kb.nodes.filter(col("id").startsWith("o:") &&
+        expr("CAST(substr(id, 3) AS BIGINT) % 997 = 0"))
+      GnnSampling.fanoutSample(kb.edges, seeds, Seq(4, 3))
     }))
 
   /** Run ALL 20 registry samplers (Samplers.allNames — the reference's full
@@ -557,5 +570,31 @@ object SamplerQueries {
       "SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS positive",
     "smp_ppr_props" ->
       ("SELECT TRUE AS count_ok, TRUE AS mass_leaky, TRUE AS seeds_positive, " +
-        "TRUE AS seed_share_exceeds_uniform"))
+        "TRUE AS seed_share_exceeds_uniform"),
+    "smp_gnn_fanout" -> TpchKgSql.withKg(
+      """seeds AS (SELECT id FROM nodes
+        |          WHERE id LIKE 'o:%' AND CAST(substr(id, 3) AS BIGINT) % 997 = 0),
+        |sym AS MATERIALIZED (
+        |  SELECT src AS node, pred, dst AS nbr, 'f' AS dir FROM edges
+        |  UNION ALL
+        |  SELECT dst, pred, src, 'r' FROM edges),
+        |c1 AS (
+        |  SELECT sym.node, sym.pred, sym.nbr, sym.dir,
+        |         ROW_NUMBER() OVER (PARTITION BY sym.node ORDER BY
+        |           md5('42|1|' || sym.dir || '|' || sym.node || '|' || sym.pred || '|' || sym.nbr)
+        |             || chr(1) || sym.pred || chr(1) || sym.nbr || chr(1) || sym.dir) AS rn
+        |  FROM sym JOIN seeds ON seeds.id = sym.node),
+        |s1 AS MATERIALIZED (SELECT node, pred, nbr, dir FROM c1 WHERE rn <= 4),
+        |f1 AS (SELECT DISTINCT nbr AS id FROM s1),
+        |c2 AS (
+        |  SELECT sym.node, sym.pred, sym.nbr, sym.dir,
+        |         ROW_NUMBER() OVER (PARTITION BY sym.node ORDER BY
+        |           md5('42|2|' || sym.dir || '|' || sym.node || '|' || sym.pred || '|' || sym.nbr)
+        |             || chr(1) || sym.pred || chr(1) || sym.nbr || chr(1) || sym.dir) AS rn
+        |  FROM sym JOIN f1 ON f1.id = sym.node),
+        |s2 AS (SELECT node, pred, nbr, dir FROM c2 WHERE rn <= 3)
+        |SELECT 1 AS layer, node, pred, nbr, dir FROM s1
+        |UNION ALL
+        |SELECT 2, node, pred, nbr, dir FROM s2""".stripMargin,
+      inCte = true))
 }
