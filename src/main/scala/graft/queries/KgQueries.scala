@@ -102,6 +102,13 @@ object KgQueries {
     "kg_label_prop" -> ((s, d) => graft.sample.LabelProp.run(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
       rounds = 4)),
+    // synchronous Louvain local-move rounds (2) over the same projection —
+    // modularity-OPTIMIZING community detection next to label prop's
+    // frequency rule; every exact-integer gain comparison replayed by the
+    // oracle round for round
+    "kg_louvain" -> ((s, d) => graft.sample.Louvain.run(
+      graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
+      rounds = 2)),
     // degree assortativity as exact integer moments (Newman PRL'02); the
     // float Pearson division/sqrt is strictly downstream
     "kg_assortativity" -> ((s, d) => graft.sample.GraphMetrics.degreeMomentRow(
@@ -739,6 +746,43 @@ object KgQueries {
     }.mkString(",\n")
     s"""sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
        |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of Louvain's synchronous local-move rounds: identical
+    * exact-integer score 2m·kin − k·Σtot′ and identical total order in
+    * the pick (score DESC, stay-flag ASC, community ASC). */
+  private def louvainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""st$i AS (SELECT c, SUM(k) AS stot FROM lc${i - 1} JOIN ldeg USING (id) GROUP BY c),
+         |ki$i AS MATERIALIZED (
+         |  SELECT s.u AS id, l.c, COUNT(*) AS kin
+         |  FROM lsym s JOIN lc${i - 1} l ON l.id = s.v GROUP BY 1, 2),
+         |sz$i AS (SELECT c, COUNT(*) AS n FROM lc${i - 1} GROUP BY c),
+         |cd$i AS (
+         |  SELECT o.id, o.c, COALESCE(k2.kin, 0) AS kin, 0 AS flag
+         |  FROM lc${i - 1} o LEFT JOIN ki$i k2 ON k2.id = o.id AND k2.c = o.c
+         |  UNION ALL
+         |  SELECT k2.id, k2.c, k2.kin, 1
+         |  FROM ki$i k2 JOIN lc${i - 1} o ON o.id = k2.id AND o.c <> k2.c
+         |  JOIN sz$i ts ON ts.c = k2.c JOIN sz$i os ON os.c = o.c
+         |  WHERE NOT (os.n = 1 AND ts.n = 1 AND k2.c > o.c)),
+         |sc$i AS (
+         |  SELECT cd.id, cd.c, cd.flag,
+         |         mm.m2 * cd.kin - ldeg.k *
+         |           (st.stot - CASE WHEN cd.flag = 0 THEN ldeg.k ELSE 0 END) AS score
+         |  FROM cd$i cd JOIN st$i st ON st.c = cd.c
+         |  JOIN ldeg ON ldeg.id = cd.id CROSS JOIN mm),
+         |lc$i AS MATERIALIZED (
+         |  SELECT id, c FROM (
+         |    SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY score DESC, flag, c) AS rn FROM sc$i) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""lsym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |mm AS (SELECT 2 * COUNT(*) AS m2 FROM und),
+       |ldeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM lsym GROUP BY 1),
+       |lc0 AS MATERIALIZED (SELECT id, id AS c FROM ldeg),
        |$roundCtes""".stripMargin
   }
 
@@ -1633,6 +1677,10 @@ object KgQueries {
       s"""$projCtes,
          |${lpaCtes(4)}
          |SELECT id, lbl FROM l4""".stripMargin, inCte = true),
+    "kg_louvain" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${louvainCtes(2)}
+         |SELECT id, c AS community FROM lc2""".stripMargin, inCte = true),
     "kg_tri_counts" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT id, COUNT(*) AS tri_cnt

@@ -1,0 +1,101 @@
+package graft.sample
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous modularity-gain community moves — the local-move phase of
+  * Louvain (Blondel et al., "Fast unfolding of communities in large
+  * networks", J. Stat. Mech. 2008) in the deterministic synchronous form
+  * distributed implementations use (Que et al. IPDPS'15 parallel Louvain):
+  * per round EVERY node evaluates, against the PREVIOUS round's
+  * assignment, the modularity gain of joining each neighbor community vs
+  * staying, and all moves apply at once. Visit-order-dependent sequential
+  * Louvain is unacceptable for a verified distributed operator (same
+  * argument as [[LabelProp]]); the synchronous variant is a pure function
+  * of the edge set, replayable round for round by the DuckDB oracle. The
+  * known synchronous pathology (two nodes swapping communities forever)
+  * is sidestepped by the fixed round budget plus the strict-improvement
+  * move rule — callers read the assignment, not a convergence promise.
+  *
+  * Modularity arithmetic is EXACT-INTEGER (the degreeMomentRow /
+  * modularityMoments philosophy): for node i and candidate community c,
+  * ΔQ(i→c) differs from ΔQ(i→c′) by a positive multiple of
+  * score(c) = 2m·k_{i,in}(c) − k_i·Σtot′(c), where k_{i,in}(c) counts
+  * i's edges into c, Σtot′(c) is the community's total degree EXCLUDING
+  * i, and m = |E|. All three are integers; the pick compares scores
+  * exactly (no float Q ever enters the decision). Magnitudes: ≤ 2m·k_max
+  * — fits a BIGINT for any graph whose edge count fits one (move both
+  * factors to decimal(38,0) beyond ~10⁹ edges, same note as
+  * [[DeepWalk]]'s PPMI comparison).
+  *
+  * Per round: one assignment⋈edges join, one (i, community) count, one
+  * Σtot aggregate joined back, and one min-of-struct pick — every stage
+  * keyed on a node or community id, map-side combinable, no window sort,
+  * so a hub never sorts its neighbor list. Ties prefer STAYING, then the
+  * smallest community id (total order → byte-identical at any
+  * parallelism).
+  */
+object Louvain {
+
+  /** `(id, community)` after `rounds` synchronous local-move sweeps over
+    * the undirected `(u, v)` edge set; initial community = own id. Only
+    * edge-incident nodes appear (the ConnectedComponents contract). */
+  def run(und0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds=$rounds")
+    val und = und0.select(col("u"), col("v")).localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val twoM = 2L * und.count()
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    var comm = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val stot = comm.join(deg, Seq("id"))
+        .groupBy("c").agg(sum(col("k")).as("stot"))
+      // k_{i,in}(c): i's edge count into each neighbor community under the
+      // previous assignment (self excluded by construction: und has no
+      // self-loops, so no (i, i) row contributes)
+      val kin = sym
+        .join(comm.select(col("id").as("v"), col("c")), Seq("v"))
+        .groupBy(col("u").as("id"), col("c"))
+        .agg(count(lit(1)).as("kin"))
+      // candidates = the node's own community (ALWAYS present — kin(own)
+      // is 0 when no neighbor shares it) ∪ neighbor communities; stay
+      // rows carry flag 0 so exact ties prefer staying
+      val own = comm.select(col("id"), col("c").as("oc"))
+      val k2 = kin.join(own, Seq("id"))
+      val stay = own
+        .join(k2.filter(col("c") === col("oc")).select(col("id"), col("kin")),
+          Seq("id"), "left_outer")
+        .select(col("id"), col("oc").as("c"),
+          coalesce(col("kin"), lit(0L)).as("kin"), lit(0).as("flag"))
+      // singleton-swap guard (Lu, Halappanavar & Kalyanaraman, "Parallel
+      // heuristics for scalable community detection", Par. Comp. 2015
+      // §4.3): two singleton nodes that each see positive gain in the
+      // OTHER's community would swap forever under synchronous updates;
+      // a singleton may therefore only move into another singleton
+      // community with a SMALLER id (one of the two moves survives, the
+      // pair merges next round)
+      val sizes = comm.groupBy("c").agg(count(lit(1)).as("n"))
+      val moves = k2.filter(col("c") =!= col("oc"))
+        .join(sizes.select(col("c"), col("n").as("tn")), Seq("c"))
+        .join(sizes.select(col("c").as("oc"), col("n").as("on")), Seq("oc"))
+        .filter(!(col("on") === 1 && col("tn") === 1 && col("c") > col("oc")))
+        .select(col("id"), col("c"), col("kin"), lit(1).as("flag"))
+      val cand = stay.unionAll(moves)
+      val scored = cand
+        .join(stot, Seq("c"))
+        .join(deg, Seq("id"))
+        // Σtot′ excludes the moving node itself from its own community
+        .select(col("id"), col("c"), col("flag"),
+          (lit(twoM) * col("kin") - col("k") *
+            (col("stot") - when(col("flag") === 0, col("k")).otherwise(lit(0L))))
+            .as("score"))
+      comm = scored.groupBy("id")
+        .agg(min(struct((-col("score")).as("ns"), col("flag"), col("c"))).as("m"))
+        .select(col("id"), col("m.c").as("c"))
+        .localCheckpoint(true)
+    }
+    comm.select(col("id"), col("c").as("community"))
+  }
+}
