@@ -109,6 +109,24 @@ object KgQueries {
     "kg_louvain" -> ((s, d) => graft.sample.Louvain.run(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
       rounds = 2)),
+    // greedy densest subgraph by parallel peeling (Bahmani et al.
+    // VLDB'12, ε=1): every peel decision (deg·n ≤ 4e) and the best-round
+    // argmax (cross-multiplied density compare) is exact-integer and
+    // replayed round for round by the oracle. The co-purchase projection
+    // alone is near-regular (deg ≈ 2·avg everywhere → one trivial peel
+    // round), so a K-clique is PLANTED over the first 200 parts — the
+    // link-farm shape — and the gate proves the peel isolates exactly it
+    "kg_densest" -> ((s, d) => {
+      val und = graft.sample.GraphMetrics.cooccurrence(
+        TpchKg.load(s, d).edges, "contains")
+      val ids = TpchKg.load(s, d).edges.filter(col("pred") === "contains")
+        .select(col("dst").as("id")).distinct()
+        .filter(expr("CAST(substr(id, 3) AS BIGINT) < 200"))
+      val clique = ids.select(col("id").as("u"))
+        .crossJoin(ids.select(col("id").as("v")))
+        .filter(col("u") < col("v"))
+      graft.sample.Densest.densestSubgraph(und.unionAll(clique).distinct())
+    }),
     // degree assortativity as exact integer moments (Newman PRL'02); the
     // float Pearson division/sqrt is strictly downstream
     "kg_assortativity" -> ((s, d) => graft.sample.GraphMetrics.degreeMomentRow(
@@ -155,6 +173,13 @@ object KgQueries {
     "kg_linkpred" -> ((s, d) => graft.sample.GraphMetrics.linkPredFeatures(
       graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
       maxZDeg = 32, minSupport = 2)),
+    // per-order butterfly counts (2×2 bicliques — the bipartite motif)
+    // over the DIRECTED contains edges: orders credited, parts pivot,
+    // pivot degree capped at 64 (the oracle mirrors the cap)
+    "kg_butterflies" -> ((s, d) => graft.sample.GraphMetrics.butterflies(
+      TpchKg.load(s, d).edges.filter(col("pred") === "contains")
+        .select(col("src").as("u"), col("dst").as("v")),
+      maxPivotDeg = 64)),
     // BGP conjunctive query with a repeated join variable (?n appears in
     // two atoms — the co-nationality constraint): orders in region r:2
     // whose customer shares a nation with one of the order's suppliers
@@ -784,6 +809,50 @@ object KgQueries {
        |ldeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM lsym GROUP BY 1),
        |lc0 AS MATERIALIZED (SELECT id, id AS c FROM ldeg),
        |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of Densest's parallel peel (Bahmani et al. VLDB'12,
+    * ε=1), unrolled to a fixed `rounds` — peel rounds past empty are
+    * no-ops and their (0, 0) stats rows never win the cross-multiplied
+    * argmax (they tie and lose to the earlier round), so any R ≥ the
+    * measured rounds-to-empty replays the engine exactly. */
+  private def densestCtes(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { i =>
+      s"""dstat$i AS (SELECT (SELECT COUNT(*) FROM dv$i) AS n,
+         |                   (SELECT COUNT(*) FROM de$i) AS e),
+         |drm$i AS MATERIALIZED (
+         |  SELECT g.id FROM (
+         |    SELECT vv.id, COALESCE(d.deg, 0) AS deg FROM dv$i vv
+         |    LEFT JOIN (SELECT u AS id, COUNT(*) AS deg FROM (
+         |        SELECT u, v FROM de$i UNION ALL SELECT v AS u, u AS v FROM de$i) s
+         |      GROUP BY 1) d ON d.id = vv.id) g
+         |  CROSS JOIN dstat$i st WHERE g.deg * st.n <= 4 * st.e),
+         |dv${i + 1} AS MATERIALIZED (
+         |  SELECT id FROM dv$i WHERE id NOT IN (SELECT id FROM drm$i)),
+         |de${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM de$i WHERE u NOT IN (SELECT id FROM drm$i)
+         |    AND v NOT IN (SELECT id FROM drm$i))""".stripMargin
+    }.mkString(",\n")
+    val statRows = (0 until rounds)
+      .map(i => s"SELECT $i AS i, n, e FROM dstat$i").mkString(" UNION ALL ")
+    val peelRows = (0 until rounds)
+      .map(i => s"SELECT id, $i AS peel_round FROM drm$i").mkString(" UNION ALL ")
+    s"""dpl AS (
+       |  SELECT a.id AS u, b.id AS v
+       |  FROM (SELECT DISTINCT dst AS id FROM edges
+       |        WHERE pred = 'contains' AND CAST(substr(dst, 3) AS BIGINT) < 200) a
+       |  JOIN (SELECT DISTINCT dst AS id FROM edges
+       |        WHERE pred = 'contains' AND CAST(substr(dst, 3) AS BIGINT) < 200) b
+       |    ON a.id < b.id),
+       |dund AS MATERIALIZED (SELECT u, v FROM und UNION SELECT u, v FROM dpl),
+       |dv0 AS MATERIALIZED (SELECT u AS id FROM dund UNION SELECT v FROM dund),
+       |de0 AS MATERIALIZED (SELECT u, v FROM dund),
+       |$roundCtes,
+       |dall AS MATERIALIZED ($statRows),
+       |dbest AS (SELECT i FROM dall a WHERE NOT EXISTS (
+       |  SELECT 1 FROM dall b WHERE b.e * a.n > a.e * b.n
+       |    OR (b.e * a.n = a.e * b.n AND b.i < a.i))),
+       |dpeel AS ($peelRows)""".stripMargin
   }
 
   /** DuckDB replay of ConnectedComponents' alternating large-star /
@@ -1504,6 +1573,20 @@ object KgQueries {
          |FROM lp0
          |WHERE NOT EXISTS (SELECT 1 FROM bund e WHERE e.u = lp0.u AND e.v = lp0.w)""".stripMargin,
       inCte = true),
+    "kg_butterflies" -> TpchKgSql.withKg(
+      """bfe AS MATERIALIZED (
+        |  SELECT DISTINCT src AS u, dst AS v FROM edges WHERE pred = 'contains'),
+        |bfok AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM bfe e
+        |  JOIN (SELECT v, COUNT(*) AS vdeg FROM bfe GROUP BY v) d ON d.v = e.v
+        |  WHERE d.vdeg <= 64),
+        |bfp AS MATERIALIZED (
+        |  SELECT a.u AS u1, b.u AS u2, COUNT(*) AS c
+        |  FROM bfok a JOIN bfok b ON a.v = b.v AND a.u < b.u
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT id, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS bfly FROM (
+        |  SELECT u1 AS id, c FROM bfp UNION ALL SELECT u2 AS id, c FROM bfp) t
+        |GROUP BY id""".stripMargin, inCte = true),
     "kg_bgp" -> TpchKgSql.withKg(
       """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s
         |FROM edges a
@@ -1681,6 +1764,12 @@ object KgQueries {
       s"""$projCtes,
          |${louvainCtes(2)}
          |SELECT id, c AS community FROM lc2""".stripMargin, inCte = true),
+    "kg_densest" -> TpchKgSql.withKg(
+      s"""$projCtes,
+         |${densestCtes(12)}
+         |SELECT id, peel_round,
+         |       peel_round >= (SELECT i FROM dbest) AS in_densest
+         |FROM dpeel""".stripMargin, inCte = true),
     "kg_tri_counts" -> TpchKgSql.withKg(
       s"""$triCtes
          |SELECT id, COUNT(*) AS tri_cnt

@@ -539,6 +539,45 @@ object GraphMetrics {
       .select(col("u"), col("w"), col("cn"), col("ra_micros"))
   }
 
+  /** Per-vertex butterfly counts over a BIPARTITE edge set `(u, v)` —
+    * counts for the `u` side, pivoting on `v`. A butterfly is the 2×2
+    * biclique (Wang et al., "Vertex priority based butterfly counting
+    * for large-scale bipartite networks", VLDB'19) — the bipartite
+    * analogue of the triangle and the motif under every bipartite
+    * clustering coefficient; on an orders↔parts graph it reads "two
+    * orders sharing two parts", the co-purchase cohesion signal. For
+    * every u-pair sharing c ≥ 2 pivots the pair closes C(c, 2)
+    * butterflies, credited to both endpoints. EXACT INTEGER throughout
+    * (c·(c−1) div 2 — the product of consecutive integers is even).
+    *
+    * Scale shape: wedge enumeration pivots on v, costing Σ_v C(deg v, 2)
+    * rows before the map-side-combinable (u1, u2) count — the identical
+    * hub hazard as triangle wedges, mitigated the same way as
+    * [[linkPredFeatures]]: `maxPivotDeg` drops pivots above the cap (a
+    * capped hub closes none of its butterflies — documented truncation
+    * the oracle mirrors; [[triangleRows]]' degree ORIENTATION cannot
+    * apply here because both wedge endpoints live on the opposite side
+    * of the pivot). At 100-TB shapes the further lever is the DOULION
+    * md5 edge sparsifier ([[sampledTriangleMoments]]' pattern; keep-p
+    * estimator 1/p⁴ for 4-edge motifs) — exact counting is reserved for
+    * the post-blocking / post-sampling graph. */
+  def butterflies(bip0: DataFrame, maxPivotDeg: Int = 64): DataFrame = {
+    require(maxPivotDeg >= 2, s"maxPivotDeg=$maxPivotDeg")
+    val bip = bip0.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    val ok = bip.join(
+        bip.groupBy("v").agg(count(lit(1)).as("vdeg")), Seq("v"))
+      .filter(col("vdeg") <= maxPivotDeg).select(col("u"), col("v"))
+    val pairs = ok.select(col("u").as("u1"), col("v"))
+      .join(ok.select(col("u").as("u2"), col("v")), Seq("v"))
+      .filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .withColumn("b", expr("c * (c - 1) div 2"))
+    pairs.select(col("u1").as("id"), col("b"))
+      .unionAll(pairs.select(col("u2").as("id"), col("b")))
+      .groupBy("id").agg(sum(col("b")).as("bfly"))
+  }
+
   /** Degree assortativity r as a Double (spec-level; the oracle gates the
     * integer moments above). */
   def assortativity(und: DataFrame): Double = {

@@ -319,6 +319,39 @@ class GraphMetricsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("butterflies: K2,2 one each; K2,3 C(3,2)=3 each; K3,2 two each") {
+    def bip(es: (String, String)*): DataFrame = es.toSeq.toDF("u", "v")
+    def m(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k22 = bip(("a","x"),("a","y"),("b","x"),("b","y"))
+    assert(m(GraphMetrics.butterflies(k22)) == Map("a" -> 1L, "b" -> 1L))
+    val k23 = bip(("a","x"),("a","y"),("a","z"),("b","x"),("b","y"),("b","z"))
+    assert(m(GraphMetrics.butterflies(k23)) == Map("a" -> 3L, "b" -> 3L))
+    // K3,2: three u-pairs, each sharing both pivots → C(2,2)=1 butterfly
+    // per pair; each vertex sits in two of the three pairs
+    val k32 = bip(("a","x"),("a","y"),("b","x"),("b","y"),("c","x"),("c","y"))
+    assert(m(GraphMetrics.butterflies(k32)) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // a wedge closes nothing; duplicate input edges don't inflate
+    val wedge = bip(("a","x"),("b","x"),("a","x"))
+    assert(GraphMetrics.butterflies(wedge).collect().isEmpty)
+  }
+
+  test("butterflies: pivot cap truncates, partitioning invariance") {
+    val s2 = spark
+    import s2.implicits._
+    // two butterflies through pivots x (deg 2) and h (deg 3): capping at
+    // 2 keeps only the x wedges → pair (a,b) has c=1 → no butterfly
+    val g = Seq(("a","x"),("b","x"),("a","h"),("b","h"),("c","h")).toDF("u","v")
+    val full = GraphMetrics.butterflies(g, maxPivotDeg = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("a" -> 1L, "b" -> 1L)) // (a,b) share x,h → C(2,2)=1
+    assert(GraphMetrics.butterflies(g, maxPivotDeg = 2).collect().isEmpty)
+    val p1 = GraphMetrics.butterflies(g.repartition(1)).collect().toSet
+    val p7 = GraphMetrics.butterflies(g.repartition(7)).collect().toSet
+    assert(p1 == p7)
+    intercept[IllegalArgumentException](GraphMetrics.butterflies(g, maxPivotDeg = 1))
+  }
+
   test("frequentPairs: brute-force parity on a seeded random basket set") {
     val rnd = new scala.util.Random(7)
     val edges = (1 to 60).flatMap { b =>
