@@ -173,6 +173,18 @@ object KgQueries {
     "kg_linkpred" -> ((s, d) => graft.sample.GraphMetrics.linkPredFeatures(
       graft.sample.GraphMetrics.undirected(TpchKg.load(s, d).edges, "contains"),
       maxZDeg = 32, minSupport = 2)),
+    // k-source σ-BFS (the exact-integer forward pass of Brandes
+    // betweenness): every ~997th order seeds a 4-round truncated BFS
+    // over the bipartite contains graph, counting shortest paths; the
+    // float dependency accumulation is spec-pinned downstream
+    "kg_spcounts" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      val seeds = kb.edges.filter(col("pred") === "contains")
+        .select(col("src").as("id")).distinct()
+        .filter(expr("CAST(substr(id, 3) AS BIGINT) % 997 = 0"))
+      graft.sample.Betweenness.spCounts(
+        graft.sample.GraphMetrics.undirected(kb.edges, "contains"), seeds, 4)
+    }),
     // per-order butterfly counts (2×2 bicliques — the bipartite motif)
     // over the DIRECTED contains edges: orders credited, parts pivot,
     // pivot degree capped at 64 (the oracle mirrors the cap)
@@ -1573,6 +1585,33 @@ object KgQueries {
          |FROM lp0
          |WHERE NOT EXISTS (SELECT 1 FROM bund e WHERE e.u = lp0.u AND e.v = lp0.w)""".stripMargin,
       inCte = true),
+    "kg_spcounts" -> TpchKgSql.withKg({
+      // fixed 4-round unroll — truncation at maxR=4 is part of the
+      // estimator's definition, so engine and oracle run the SAME count
+      val rounds = (1 to 4).map { r =>
+        s"""bwf$r AS MATERIALIZED (
+           |  SELECT f.src, s.v AS node, $r AS dist,
+           |         CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM bwf${r - 1} f JOIN bsym s ON s.u = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM bws${r - 1} t
+           |                    WHERE t.src = f.src AND t.node = s.v)
+           |  GROUP BY 1, 2),
+           |bws$r AS MATERIALIZED (
+           |  SELECT src, node FROM bws${r - 1}
+           |  UNION ALL SELECT src, node FROM bwf$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$bipartiteCtes,
+         |bwf0 AS (
+         |  SELECT id AS src, id AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+         |  FROM (SELECT DISTINCT src AS id FROM edges WHERE pred = 'contains'
+         |        AND CAST(substr(src, 3) AS BIGINT) % 997 = 0)),
+         |bws0 AS (SELECT src, node FROM bwf0),
+         |$rounds
+         |SELECT src, node, dist, sigma FROM (
+         |  SELECT * FROM bwf0 UNION ALL SELECT * FROM bwf1
+         |  UNION ALL SELECT * FROM bwf2 UNION ALL SELECT * FROM bwf3
+         |  UNION ALL SELECT * FROM bwf4) t""".stripMargin
+    }, inCte = true),
     "kg_butterflies" -> TpchKgSql.withKg(
       """bfe AS MATERIALIZED (
         |  SELECT DISTINCT src AS u, dst AS v FROM edges WHERE pred = 'contains'),
