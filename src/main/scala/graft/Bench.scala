@@ -235,7 +235,20 @@ object Bench {
       // self-join + weighted-node pruning — the ER candidate-restructuring
       // shape
       "td_meta_blocking" -> (s => graft.queries.TrainingDataQueries
-        .queries("td_meta_blocking")(s, sfDir).count()))
+        .queries("td_meta_blocking")(s, sfDir).count()),
+      // synchronous Louvain local moves over the co-purchase projection:
+      // per round one assignment⋈edges join + two map-side-combinable
+      // aggregates + one min-struct pick — the modularity-optimization
+      // scale shape next to label prop's frequency rule
+      "kg_louvain" -> (s => graft.sample.Louvain.run(
+        graft.sample.GraphMetrics.cooccurrence(
+          graft.sources.TpchKg.load(s, sfDir).edges, "contains"),
+        rounds = 2).count()),
+      // k-source σ-BFS (the Brandes forward pass): 4 truncated rounds of
+      // frontier⋈edges + (src, node)-keyed sums, ~150 sources riding one
+      // plan — the multi-source traversal scale shape
+      "kg_spcounts" -> (s => graft.queries.KgQueries
+        .queries("kg_spcounts")(s, sfDir).count()))
     val headline = headlineAll.filter { case (name, _) =>
       onlyQueries.forall(_.contains(name)) }
 
