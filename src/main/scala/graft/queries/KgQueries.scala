@@ -96,6 +96,15 @@ object KgQueries {
         ((col("doc_id") + 6) % 48).cast("string").as("dst"))
       graft.sample.Scc.compute(edges, nodes)
     }),
+    // SCC-condensation topological layers over the full directed KG:
+    // longest-path Bellman-Ford on the condensation (a DAG by
+    // construction — here the KG itself, so scc = id and the known
+    // strata are order/part/customer…/nation/region at depths 0-3);
+    // exact-integer layers, fixed-unroll oracle
+    "kg_dag_layers" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.sample.Scc.dagLayers(kb.edges.select("src", "dst"), kb.nodes)
+    }),
     // synchronous label propagation (4 rounds) over the same projection —
     // community structure, the third sampler-quality axis; every round
     // replayed by the oracle
@@ -1829,6 +1838,24 @@ object KgQueries {
          |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin,
       inCte = true),
     "kg_scc" -> TpchKgSql.withKg("SELECT id, id AS scc FROM nodes"),
+    "kg_dag_layers" -> TpchKgSql.withKg({
+      // the KG is a DAG (kg_scc pins scc = id), so the condensation is
+      // the edge set itself; 8-round unroll ≥ 2× the 3-deep strata,
+      // no-op rounds past the fixpoint
+      val rounds = (1 to 8).map { i =>
+        s"""dl$i AS MATERIALIZED (
+           |  SELECT l.scc, GREATEST(l.layer, COALESCE(r.cand, 0)) AS layer
+           |  FROM dl${i - 1} l LEFT JOIN (
+           |    SELECT e.dst AS scc, MAX(l2.layer + 1) AS cand
+           |    FROM dl${i - 1} l2 JOIN dce e ON e.src = l2.scc
+           |    GROUP BY 1) r ON r.scc = l.scc)""".stripMargin
+      }.mkString(",\n")
+      s"""dce AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |dl0 AS (SELECT id AS scc, CAST(0 AS BIGINT) AS layer FROM nodes),
+         |$rounds
+         |SELECT n.id, n.id AS scc, CAST(l.layer AS BIGINT) AS layer
+         |FROM nodes n JOIN dl8 l ON l.scc = n.id""".stripMargin
+    }, inCte = true),
     "kg_scc_cycles" ->
       """WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 48)
         |SELECT CAST(i AS VARCHAR) AS id,

@@ -100,4 +100,44 @@ object Scc {
     if (result == null) nodes0.select(col("id"), col("id").as("scc")).limit(0)
     else result.localCheckpoint(true)
   }
+
+  /** Topological LAYERS of the SCC condensation: `(id, scc, layer)` with
+    * layer = the longest condensation path ending at the node's SCC —
+    * the DAG-scheduling depth (crawl generations, taxonomy strata; the
+    * bow-tie's IN→SCC→OUT gets its per-node coordinate). Longest path on
+    * a general graph is NP-hard; on the condensation — a DAG by
+    * construction — it is Bellman-Ford relaxation that converges in
+    * depth+1 rounds, each ONE edges⋈layers join + one dst-keyed max
+    * (map-side combinable) + one left join back. Exact-integer layers;
+    * the relaxation is idempotent at the fixpoint, so the oracle's fixed
+    * unroll replays the converged engine exactly. Raises past
+    * `maxRounds` (condensation depth ≤ longest simple path; 64 covers
+    * any graph that condensed at all). */
+  def dagLayers(edges0: DataFrame, nodes0: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val scc = compute(edges0, nodes0, maxRounds)
+    val ce = edges0.select("src", "dst")
+      .join(scc.select(col("id").as("src"), col("scc").as("csrc")), Seq("src"))
+      .join(scc.select(col("id").as("dst"), col("scc").as("cdst")), Seq("dst"))
+      .select(col("csrc"), col("cdst"))
+      .filter(col("csrc") =!= col("cdst")).distinct().localCheckpoint(true)
+    var layer = scc.select(col("scc")).distinct()
+      .withColumn("layer", lit(0L)).localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed) {
+      i += 1
+      require(i <= maxRounds, s"condensation layering did not converge in $maxRounds rounds")
+      val relax = layer.join(ce.withColumnRenamed("csrc", "scc"), Seq("scc"))
+        .groupBy(col("cdst").as("scc"))
+        .agg(max(col("layer") + 1).as("cand"))
+      val nxt = layer.join(relax, Seq("scc"), "left_outer")
+        .select(col("scc"),
+          greatest(col("layer"), coalesce(col("cand"), lit(0L))).as("layer"))
+        .localCheckpoint(true)
+      changed = !nxt.join(layer.withColumnRenamed("layer", "old"), Seq("scc"))
+        .filter(col("layer") =!= col("old")).isEmpty
+      layer = nxt
+    }
+    scc.join(layer, Seq("scc")).select(col("id"), col("scc"), col("layer"))
+  }
 }

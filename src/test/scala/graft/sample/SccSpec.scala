@@ -104,6 +104,47 @@ class SccSpec extends SparkSpec {
     assert(run(Seq("a", "b"), Seq.empty) === Map("a" -> "a", "b" -> "b"))
   }
 
+  private def layers(nodes: Seq[String], edges: Seq[(String, String)])
+  : Map[String, (String, Long)] = {
+    val n = nodes.toDF("id")
+    val e = if (edges.isEmpty)
+      Seq.empty[(String, String)].toDF("src", "dst") else edges.toDF("src", "dst")
+    Scc.dagLayers(e, n).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+  }
+
+  test("dagLayers: LONGEST path wins, not BFS — chain plus shortcut") {
+    // a→b→c→d and a→d: layer(d) = 3 (via the chain), never 1
+    val got = layers(Seq("a", "b", "c", "d"),
+      Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")))
+    assert(got.view.mapValues(_._2).toMap ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("dagLayers: diamond depths; isolated node layer 0") {
+    val got = layers(Seq("a", "b", "c", "d", "z"),
+      Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")))
+    assert(got.view.mapValues(_._2).toMap ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "z" -> 0L))
+  }
+
+  test("dagLayers: a cycle condenses to ONE layer-coordinate for its members") {
+    // a⇄b (one SCC, label max = b) feeding c: both a and b sit at layer 0
+    // under scc b; c at layer 1
+    val got = layers(Seq("a", "b", "c"),
+      Seq(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(got === Map("a" -> (("b", 0L)), "b" -> (("b", 0L)),
+      "c" -> (("c", 1L))))
+  }
+
+  test("dagLayers: partitioning invariance") {
+    val n = Seq("a", "b", "c", "d").toDF("id")
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")).toDF("src", "dst")
+    val p1 = Scc.dagLayers(e.repartition(1), n.repartition(1)).collect().toSet
+    val p7 = Scc.dagLayers(e.repartition(7), n.repartition(5)).collect().toSet
+    assert(p1 === p7)
+  }
+
   test("partitioning does not change the decomposition") {
     val rnd = new scala.util.Random(5)
     val nodes = (0 until 20).map(i => f"n$i%02d")
