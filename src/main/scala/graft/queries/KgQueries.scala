@@ -96,6 +96,13 @@ object KgQueries {
         ((col("doc_id") + 6) % 48).cast("string").as("dst"))
       graft.sample.Scc.compute(edges, nodes)
     }),
+    // truncated Katz prestige at K=4, β=1/2 over the directed KG —
+    // walk counts scaled by 2^K so the whole ranking is exact-integer
+    // (no eigen solve, no libm); full oracle
+    "kg_katz" -> ((s, d) => {
+      val kb = TpchKg.load(s, d)
+      graft.sample.Betweenness.katzScaled(kb.edges.select("src", "dst"), kb.nodes)
+    }),
     // SCC-condensation topological layers over the full directed KG:
     // longest-path Bellman-Ford on the condensation (a DAG by
     // construction — here the KG itself, so scc = id and the known
@@ -1838,6 +1845,26 @@ object KgQueries {
          |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin,
       inCte = true),
     "kg_scc" -> TpchKgSql.withKg("SELECT id, id AS scc FROM nodes"),
+    "kg_katz" -> TpchKgSql.withKg({
+      val rounds = (1 to 4).map { i =>
+        s"""kz$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(SUM(t.t) AS BIGINT) AS t
+           |  FROM kz${i - 1} t JOIN kge e ON e.src = t.id GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""kge AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |kz0 AS (SELECT id, CAST(1 AS BIGINT) AS t FROM nodes),
+         |$rounds
+         |SELECT n.id,
+         |       CAST(COALESCE(a1.t, 0) * 8 + COALESCE(a2.t, 0) * 4
+         |          + COALESCE(a3.t, 0) * 2 + COALESCE(a4.t, 0) AS BIGINT)
+         |         AS katz_scaled
+         |FROM nodes n
+         |LEFT JOIN kz1 a1 ON a1.id = n.id
+         |LEFT JOIN kz2 a2 ON a2.id = n.id
+         |LEFT JOIN kz3 a3 ON a3.id = n.id
+         |LEFT JOIN kz4 a4 ON a4.id = n.id""".stripMargin
+    }, inCte = true),
     "kg_dag_layers" -> TpchKgSql.withKg({
       // the KG is a DAG (kg_scc pins scc = id), so the condensation is
       // the edge set itself; 8-round unroll ≥ 2× the 3-deep strata,

@@ -108,4 +108,37 @@ object Betweenness {
     val k = sources.count()
     accumulate(und, spCounts(und, sources, maxR), n, k)
   }
+
+  /** Truncated Katz prestige (Katz, "A new status index derived from
+    * sociometric analysis", Psychometrika 1953) as an EXACT INTEGER:
+    * katz(v) = Σ_{k=1..K} β^k · walks_k(v) with β = 1/2, where
+    * walks_k(v) counts directed walks of length k ending at v over the
+    * DISTINCT (src, dst) simple graph. Scaling by 2^K clears every
+    * denominator — katz_scaled(v) = Σ_k walks_k(v) · 2^(K−k) — so no
+    * division (and no libm) exists anywhere: the full ranking is
+    * hash-replayable, unlike eigen-solver Katz. Truncation at K is the
+    * standard distributed trade (β^k damps the tail the truncation
+    * drops); K=4·β=1/2 keeps walk counts ≤ deg_max⁴ — int64 to
+    * deg ~10⁴, decimal(38,0) beyond (the [[Louvain]] note). Per round:
+    * one edges⋈counts join + one dst-keyed map-side-combinable sum —
+    * the [[spCounts]] shape without the settled anti-join. */
+  def katzScaled(edges0: DataFrame, nodes0: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 62, s"k=$k")
+    val e = edges0.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var t = nodes0.select(col("id")).distinct()
+      .withColumn("t", lit(1L)).localCheckpoint(true)
+    var acc: DataFrame = null
+    for (r <- 1 to k) {
+      t = e.join(t.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("t")).as("t"))
+        .localCheckpoint(true)
+      val w = t.select(col("id"), (col("t") * (1L << (k - r))).as("w"))
+      acc = if (acc == null) w else acc.unionAll(w)
+    }
+    nodes0.select(col("id")).distinct()
+      .join(acc.groupBy("id").agg(sum(col("w")).as("katz_scaled")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("katz_scaled"), lit(0L)).as("katz_scaled"))
+  }
 }

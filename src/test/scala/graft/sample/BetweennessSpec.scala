@@ -49,6 +49,28 @@ class BetweennessSpec extends SparkSpec {
     assert(bc === Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
   }
 
+  test("katzScaled: chain walk counts by hand at K=4, β=1/2 weights") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val n = ids("a", "b", "c")
+    val got = Betweenness.katzScaled(e, n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b: one length-1 walk → 8; c: one length-1 (8) + one length-2 (4)
+    assert(got === Map("a" -> 0L, "b" -> 8L, "c" -> 12L))
+  }
+
+  test("katzScaled: diamond multiplicity, dup edges and self-loops ignored") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("a", "b"), ("d", "d")).toDF("src", "dst")
+    val n = ids("a", "b", "c", "d")
+    val got = Betweenness.katzScaled(e, n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d: two length-1 walks (2·8) + two length-2 walks a→{b,c}→d (2·4)
+    assert(got === Map("a" -> 0L, "b" -> 8L, "c" -> 8L, "d" -> 24L))
+    val p1 = Betweenness.katzScaled(e.repartition(1), n).collect().toSet
+    val p7 = Betweenness.katzScaled(e.repartition(7), n).collect().toSet
+    assert(p1 === p7)
+  }
+
   test("estimate: scaling by n/k, determinism across partitioning") {
     val g = und(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
     // single source a, n=5, k=1: δ_a(b)=3, δ_a(c)=2, δ_a(d)=1 → ×5
