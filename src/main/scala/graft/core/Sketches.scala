@@ -147,4 +147,51 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
+
+  /** Bloom membership synopsis (Bloom, CACM 1970) over the same
+    * data-keyed hash family as [[countMin]] — position j of item x is
+    * md5Int(j || '|' || x) mod width, j = 0..depth−1 — so every set bit
+    * is bit-reproducible across engines and the DuckDB oracle replays
+    * the filter exactly, false positives included. Output: the DISTINCT
+    * `(bm_row, bm_bit)` set — ≤ depth·min(width, n) rows, broadcastable;
+    * this replaces Spark's built-in `stat.bloomFilter` (an opaque
+    * driver-side byte blob) everywhere a VERIFIED filter is wanted.
+    * [[graft.pipeline.LinkGraph.frontierBloom]] keeps the built-in for
+    * the unverified fast path. */
+  def bloomBits(items: DataFrame, itemCol: String,
+                depth: Int = 4, width: Int = 65536): DataFrame = {
+    val spark = items.sparkSession
+    val rows = spark.range(depth).select(col("id").cast("int").as("bm_row"))
+    items.select(col(itemCol).cast("string").as("item")).distinct()
+      .crossJoin(broadcast(rows))
+      .select(col("bm_row"),
+        pmod(Determinism.md5Int(
+          concat(col("bm_row").cast("string"), lit("|"), col("item"))),
+          lit(width.toLong)).cast("int").as("bm_bit"))
+      .distinct()
+  }
+
+  /** Membership probe: `(item, member)` with member ⟺ ALL depth
+    * positions set. The bit set is the BROADCAST side — the point of the
+    * synopsis: a ≤ depth·width-row bitmap filters an unbounded probe
+    * stream map-side, no shuffle of the probe side. One-sided by
+    * construction: an inserted item always probes true (no false
+    * negatives); false positives are deterministic data-keyed
+    * arithmetic, not chance — the oracle replays each one. */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, itemCol: String,
+                 depth: Int = 4, width: Int = 65536): DataFrame = {
+    val spark = probes.sparkSession
+    val rows = spark.range(depth).select(col("id").cast("int").as("bm_row"))
+    probes.select(col(itemCol).cast("string").as("item")).distinct()
+      .crossJoin(broadcast(rows))
+      .select(col("item"), col("bm_row"),
+        pmod(Determinism.md5Int(
+          concat(col("bm_row").cast("string"), lit("|"), col("item"))),
+          lit(width.toLong)).cast("int").as("bm_bit"))
+      .join(broadcast(bits.select(col("bm_row"), col("bm_bit"))
+          .withColumn("hit", lit(1))),
+        Seq("bm_row", "bm_bit"), "left")
+      .groupBy(col("item"))
+      .agg((count(col("hit")) === depth).as("member"))
+  }
 }

@@ -179,6 +179,24 @@ object CurationQueries {
       graft.core.Sketches.countMinEstimate(sketch, queries, "gram", 4, 512)
         .withColumnRenamed("item", "gram")
         .join(actual, Seq("gram"))
+    }),
+    // Bloom membership filter: bits built from the ENGLISH docs' bigram
+    // vocabulary, every corpus bigram probed — the broadcastable
+    // "seen-in-reference-set?" shape (decontamination prefilters,
+    // crawl-frontier visited sets). `in_set` rides along as the ruler:
+    // member ≥ in_set row-by-row (no false negatives, one-sided error),
+    // and each deterministic false positive is replayed by the oracle
+    "td_bloom_probe" -> ((s, d) => {
+      val dd = docs(s, d)
+      val grams = Curation.wordNgramsAll(dd, 2)
+      val en = grams.join(dd.filter(col("lang") === "en").select("doc_id"),
+        Seq("doc_id"), "left_semi").select(col("gram"))
+      val bits = graft.core.Sketches.bloomBits(en, "gram", 4, 65536)
+      graft.core.Sketches.bloomProbe(bits, grams.select("gram"), "gram", 4, 65536)
+        .withColumnRenamed("item", "gram")
+        .join(en.distinct().withColumn("in_set", lit(true)), Seq("gram"), "left")
+        .select(col("gram"), col("member"),
+          coalesce(col("in_set"), lit(false)).as("in_set"))
     })
   )
 
@@ -528,6 +546,28 @@ object CurationQueries {
          |FROM est e JOIN act a USING (gram)""".stripMargin
     },
 
+    "td_bloom_probe" -> {
+      val hb = graft.core.Determinism.md5IntDuck(
+        "CAST(bm_row AS VARCHAR) || '|' || gram")
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 2)}),
+         |en AS MATERIALIZED (
+         |  SELECT DISTINCT g.gram FROM g1 g
+         |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         |jr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(bm_row)),
+         |bits AS MATERIALIZED (
+         |  SELECT DISTINCT bm_row, $hb % 65536 AS bm_bit
+         |  FROM en CROSS JOIN jr),
+         |q AS MATERIALIZED (SELECT DISTINCT gram FROM g1),
+         |probes AS (SELECT q.gram, jr.bm_row, $hb % 65536 AS bm_bit
+         |           FROM q CROSS JOIN jr),
+         |mem AS (SELECT p.gram, COUNT(b.bm_bit) = 4 AS member
+         |        FROM probes p LEFT JOIN bits b
+         |          ON b.bm_row = p.bm_row AND b.bm_bit = p.bm_bit
+         |        GROUP BY 1)
+         |SELECT m.gram, m.member,
+         |       EXISTS (SELECT 1 FROM en e WHERE e.gram = m.gram) AS in_set
+         |FROM mem m""".stripMargin
+    },
     "td_curation_filter" -> (s"WITH $corpusCte,\n${decontamBody("corpus")},\n$repBody\n" +
       """SELECT c.doc_id FROM corpus c
         |JOIN (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text) k USING (doc_id)

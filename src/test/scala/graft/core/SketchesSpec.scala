@@ -70,4 +70,28 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(est2 === est)
   }
+
+  test("bloom: no false negatives ever; tiny width forces FPs but never FNs") {
+    val in = (1 to 200).map(i => s"in_$i").toDF("item")
+    val out = (1 to 200).map(i => s"out_$i").toDF("item")
+    // comfortable width: every member true, outsiders (deterministically)
+    // almost all false
+    val bits = Sketches.bloomBits(in, "item", 4, 8192)
+    assert(bits.count() <= 4L * 200)
+    val mem = Sketches.bloomProbe(bits, in.unionAll(out), "item", 4, 8192)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1 to 200).foreach(i => assert(mem(s"in_$i"), s"false negative in_$i"))
+    assert((1 to 200).count(i => mem(s"out_$i")) < 20)
+    // saturating width=16: outsiders mostly collide true — STILL no FN
+    val tiny = Sketches.bloomBits(in, "item", 4, 16)
+    val mem2 = Sketches.bloomProbe(tiny, in.unionAll(out), "item", 4, 16)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1 to 200).foreach(i => assert(mem2(s"in_$i"), s"false negative at w=16"))
+    // partitioning invariance, FP pattern included
+    val mem3 = Sketches.bloomProbe(
+      Sketches.bloomBits(in.repartition(7), "item", 4, 8192),
+      in.unionAll(out).repartition(5), "item", 4, 8192)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(mem3 === mem)
+  }
 }
