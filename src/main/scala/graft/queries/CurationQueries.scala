@@ -186,6 +186,12 @@ object CurationQueries {
     // crawl-frontier visited sets). `in_set` rides along as the ruler:
     // member ≥ in_set row-by-row (no false negatives, one-sided error),
     // and each deterministic false positive is replayed by the oracle
+    // TextRank keyword substrate: the window-2 word co-occurrence graph
+    // (exact-integer pair counts, same tokenization as every gram
+    // oracle); the float PageRank on top is TextRankSpec-pinned against
+    // a naive reference — the rank-surface split used everywhere here
+    "td_textrank_graph" -> ((s, d) =>
+      graft.text.TextRank.wordGraph(docs(s, d))),
     "td_bloom_probe" -> ((s, d) => {
       val dd = docs(s, d)
       val grams = Curation.wordNgramsAll(dd, 2)
@@ -546,6 +552,14 @@ object CurationQueries {
          |FROM est e JOIN act a USING (gram)""".stripMargin
     },
 
+    "td_textrank_graph" ->
+      s"""WITH g1 AS MATERIALIZED (${Curation.wordNgramsSql("documents", 2)}),
+         |pr2 AS (SELECT string_split(gram, ' ')[1] AS a,
+         |               string_split(gram, ' ')[2] AS b FROM g1)
+         |SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM pr2 WHERE a <> b AND a <> '' AND b <> ''
+         |GROUP BY 1, 2""".stripMargin,
     "td_bloom_probe" -> {
       val hb = graft.core.Determinism.md5IntDuck(
         "CAST(bm_row AS VARCHAR) || '|' || gram")
