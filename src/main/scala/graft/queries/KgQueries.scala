@@ -96,6 +96,27 @@ object KgQueries {
         ((col("doc_id") + 6) % 48).cast("string").as("dst"))
       graft.sample.Scc.compute(edges, nodes)
     }),
+    // Jones-Plassmann greedy coloring: color = the round a vertex wins
+    // the priority-minimum among its uncolored neighbors — the
+    // conflict-free parallel schedule. Gated on the BOUNDED-DEGREE
+    // permutation graph (the kg_scc_cycles fixture, Δ=2): the JP round
+    // count is the longest decreasing-priority path, O(log n) on
+    // bounded degree but Θ(Δ)-ish on dense graphs — the co-purchase
+    // projection (deg ≈ 90) needs >96 waves, which is the documented
+    // reason schedules are built on CONFLICT graphs, not dense
+    // projections. Every round replayed by the oracle (same md5
+    // priorities as kg_mis)
+    "kg_coloring" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") < 48).select(col("doc_id"))
+      val fn = org.apache.spark.sql.functions
+      val e = ids.select(col("doc_id").cast("string").as("a"),
+          ((col("doc_id") + 6) % 48).cast("string").as("b"))
+        .select(fn.least(col("a"), col("b")).as("u"),
+          fn.greatest(col("a"), col("b")).as("v"))
+      graft.sample.GraphMetrics.greedyColoring(e)
+    }),
     // truncated Katz prestige at K=4, β=1/2 over the directed KG —
     // walk counts scaled by 2^K so the whole ranking is exact-integer
     // (no eigen solve, no libm); full oracle
@@ -1888,6 +1909,43 @@ object KgQueries {
         |SELECT CAST(i AS VARCHAR) AS id,
         |       (SELECT MAX(CAST(j.i AS VARCHAR)) FROM ids j WHERE j.i % 6 = ids.i % 6) AS scc
         |FROM ids""".stripMargin,
+    "kg_coloring" -> {
+      // misCtes' round shape MINUS the covered-neighborhood prune (only
+      // winners retire — the Jones-Plassmann schedule); measured 4 waves
+      // on the Δ=2 permutation graph, 8-round unroll (post-fixpoint
+      // rounds are empty no-ops)
+      val roundCtes = (1 to 8).map { i =>
+        s"""gsym$i AS (
+           |  SELECT u AS a, v AS b FROM ge${i - 1} UNION ALL SELECT v AS a, u AS b FROM ge${i - 1}),
+           |gnm$i AS (
+           |  SELECT s.a AS id, MIN(p.prio) AS nmin
+           |  FROM gsym$i s JOIN ga${i - 1} p ON p.id = s.b GROUP BY s.a),
+           |gw$i AS MATERIALIZED (
+           |  SELECT a.id, $i AS color FROM ga${i - 1} a
+           |  LEFT JOIN gnm$i n ON n.id = a.id
+           |  WHERE n.nmin IS NULL OR a.prio < n.nmin),
+           |ga$i AS MATERIALIZED (
+           |  SELECT a.id, a.prio FROM ga${i - 1} a
+           |  WHERE NOT EXISTS (SELECT 1 FROM gw$i w WHERE w.id = a.id)),
+           |ge$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM ge${i - 1} e
+           |  WHERE EXISTS (SELECT 1 FROM ga$i x WHERE x.id = e.u)
+           |    AND EXISTS (SELECT 1 FROM ga$i y WHERE y.id = e.v))""".stripMargin
+      }.mkString(",\n")
+      val winners = (1 to 8).map(i => s"SELECT id, color FROM gw$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cu AS MATERIALIZED (
+         |  SELECT least(a, b) AS u, greatest(a, b) AS v FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS a,
+         |           CAST((doc_id + 6) % 48 AS VARCHAR) AS b
+         |    FROM documents WHERE doc_id < 48)),
+         |ga0 AS MATERIALIZED (
+         |  SELECT id, md5('11|' || id) || id AS prio FROM (
+         |    SELECT u AS id FROM cu UNION SELECT v FROM cu) t),
+         |ge0 AS MATERIALIZED (SELECT u, v FROM cu),
+         |$roundCtes
+         |SELECT id, color FROM ($winners) t""".stripMargin
+    },
     "kg_nodes" -> TpchKgSql.nodes,
     "kg_edges" -> TpchKgSql.edges,
     "kg_attrs" -> TpchKgSql.attrs,

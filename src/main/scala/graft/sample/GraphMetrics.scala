@@ -224,6 +224,59 @@ object GraphMetrics {
     else out
   }
 
+  /** Greedy distance-1 graph coloring by iterated priority minima — the
+    * Jones–Plassmann schedule (Jones & Plassmann, "A parallel graph
+    * coloring heuristic", SIAM JSC 1993) with color = the round a vertex
+    * wins: per round every UNCOLORED vertex whose md5(seed|id)+id
+    * priority is the strict minimum among its uncolored neighbors takes
+    * color r; ONLY winners retire (unlike [[maximalIndependentSet]],
+    * which also retires the covered neighborhood — same machinery, one
+    * fewer prune). Proper by construction: adjacent vertices can never
+    * win the same round (one of them is not the local minimum), and
+    * every round colors at least the global minimum, so colors are the
+    * contiguous 1..R. The color classes ARE a conflict-free parallel
+    * schedule — the standard way to serialize conflicting updates
+    * (canonical-map writes to shared entities, Gauss-Seidel-style
+    * sweeps) into independent waves. Per round: one neighbor-min
+    * aggregate + one anti-join, O(longest decreasing-priority path)
+    * rounds — expected O(log n) for hash priorities (the JP analysis);
+    * raises past `maxRounds`. */
+  def greedyColoring(und0: DataFrame, seed: Long = 11L,
+                     maxRounds: Int = 96): DataFrame = {
+    var edges = und0.select(col("u"), col("v")).localCheckpoint(true)
+    var active = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id"))).distinct()
+      .withColumn("prio",
+        concat(md5(concat_ws("|", lit(seed.toString), col("id"))), col("id")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var round = 0
+    var remaining = active.count()
+    while (remaining > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(s"coloring not done after $maxRounds rounds")
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val nbrMin = sym
+        .join(active.select(col("id").as("b"), col("prio").as("bp")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bp")).as("nmin"))
+      val winners = active.join(nbrMin, Seq("id"), "left_outer")
+        .filter(col("nmin").isNull || col("prio") < col("nmin"))
+        .select(col("id"), lit(round).as("color")).localCheckpoint(true)
+      active = active.join(winners, Seq("id"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(active.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      out = if (out == null) winners else out.unionAll(winners)
+      remaining = active.count()
+    }
+    if (out == null) und0.sparkSession.emptyDataFrame
+      .withColumn("id", lit("")).withColumn("color", lit(0)).limit(0)
+    else out
+  }
+
   /** Global structure metrics as exact integers: total triangles T and
     * wedges W = Σ deg·(deg−1)/2. Transitivity = 3T/W, derived by callers. */
   def globalMetrics(und0: DataFrame): DataFrame = {

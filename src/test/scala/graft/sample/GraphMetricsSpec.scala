@@ -319,6 +319,30 @@ class GraphMetricsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("greedyColoring: proper, complete, contiguous colors, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 200).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).distinct
+    val g = es.toDF("u", "v")
+    val c = GraphMetrics.greedyColoring(g).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(c.keySet === nodes.toSet)                       // complete
+    es.foreach { case (u, v) =>
+      assert(c(u) != c(v), s"edge $u-$v monochromatic") }  // proper
+    val used = c.values.toSet
+    assert(used === (1 to used.max).toSet)                 // contiguous
+    // K3 needs exactly 3 colors; a single edge 2
+    val k3 = GraphMetrics.greedyColoring(
+      Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")).collect()
+      .map(r => r.getInt(1)).toSet
+    assert(k3 === Set(1, 2, 3))
+    val p1 = GraphMetrics.greedyColoring(g.repartition(1)).collect().toSet
+    val p7 = GraphMetrics.greedyColoring(g.repartition(7)).collect().toSet
+    assert(p1 === p7)
+  }
+
   test("butterflies: K2,2 one each; K2,3 C(3,2)=3 each; K3,2 two each") {
     def bip(es: (String, String)*): DataFrame = es.toSeq.toDF("u", "v")
     def m(df: DataFrame): Map[String, Long] =
