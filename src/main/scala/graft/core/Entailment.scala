@@ -221,6 +221,36 @@ object Entailment {
     cur // unreachable
   }
 
+  /** TRANSITIVE REDUCTION of a DAG relation — the inverse hygiene pass of
+    * [[transitiveClosure]]: drop every edge (u, v) that a longer u→v path
+    * already implies (Aho, Garey & Ullman, SIAM JC 1972: unique for a
+    * DAG). This is what keeps a materialized subsumption/partOf relation
+    * MINIMAL after fusion merges several sources that each shipped parts
+    * of the closure — without it, the redundant edges multiply every
+    * downstream path query.
+    *
+    * One closure + ONE 2-hop self-join: an edge is redundant iff a 2-hop
+    * witness exists IN THE CLOSURE (any longer path contracts to one —
+    * this is why the witness join runs on tc, not on the input). Cost is
+    * Θ(closure pairs) like the closure itself (same 100-TB note: reduce
+    * predicate slices, not the whole KG). Cycles make reduction
+    * non-unique, so a cyclic input RAISES — condense with
+    * [[graft.sample.Scc]] first. A transitively closed input comes back
+    * as its unique minimal generator (ReductionSpec: closure ∘ reduction
+    * = identity on closed DAGs, reduction ∘ closure = reduction). */
+  def transitiveReduction(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = edges0.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val tc = transitiveClosure(e, maxRounds).localCheckpoint(true)
+    if (!tc.filter(col("src") === col("dst")).isEmpty)
+      throw new IllegalStateException(
+        "transitive reduction needs a DAG — condense cycles (Scc) first")
+    val wit = tc.select(col("src"), col("dst").as("mid"))
+      .join(tc.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select(col("src"), col("dst")).distinct()
+    e.join(wit, Seq("src", "dst"), "left_anti")
+  }
+
   /** OWL-RL equality rules (eq-sym, eq-trans, eq-rep-s, eq-rep-o) over a
     * triple table, materialized the only way that survives web scale:
     * REPRESENTATIVE REWRITE, not sameAs-pair explosion. Naively chaining

@@ -250,6 +250,59 @@ object Dedup {
     }
   }
 
+  /** Greedy weighted MAXIMAL MATCHING over a scored candidate-pair table
+    * `(a, b, w)` — the 1:1 assignment pass entity resolution runs after
+    * pair scoring when each record may merge with AT MOST one partner
+    * (record linkage across two registries, one-canonical-per-surface
+    * constraints): take pairs in (w DESC, a, b) order, keep a pair iff
+    * neither endpoint is taken — the classic greedy 1/2-approximation of
+    * maximum weight matching (Avis, "A survey of heuristics for the
+    * weighted matching problem", Networks 1983).
+    *
+    * The sequential greedy result is UNIQUELY determined by the total
+    * order, so it can be computed in parallel rounds without changing
+    * the answer (the Israeli–Itai/local-max argument): per round a live
+    * pair wins iff it is the best-ranked among ALL live pairs sharing
+    * either endpoint; winners are exactly the greedy prefix reachable
+    * now, their endpoints retire with their incident pairs. Expected
+    * O(log |pairs|) rounds for data-keyed weights (a decreasing-weight
+    * chain is the adversarial worst case — `maxRounds` guards it). Per
+    * round: one endpoint-keyed min aggregate + two anti-joins, no
+    * windows, no driver state beyond the loop counter. */
+  def maximalMatching(pairs0: DataFrame, maxRounds: Int = 48): DataFrame = {
+    var live = pairs0.select(col("a"), col("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(max(col("w")).as("w")) // dedup keeps best
+      .withColumn("rk", struct((-col("w")).as("nw"), col("a"), col("b")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var round = 0
+    var remaining = live.count()
+    while (remaining > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(s"matching not maximal after $maxRounds rounds")
+      val inc = live.select(col("a").as("node"), col("rk"))
+        .unionAll(live.select(col("b").as("node"), col("rk")))
+      val best = inc.groupBy("node").agg(min(col("rk")).as("bst"))
+      val winners = live
+        .join(best.select(col("node").as("a"), col("bst").as("ba")), Seq("a"))
+        .join(best.select(col("node").as("b"), col("bst").as("bb")), Seq("b"))
+        .filter(col("rk") === col("ba") && col("rk") === col("bb"))
+        .select(col("a"), col("b"), col("w")).localCheckpoint(true)
+      val taken = winners.select(col("a").as("node"))
+        .unionAll(winners.select(col("b").as("node"))).distinct()
+      live = live
+        .join(taken.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(taken.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+      out = if (out == null) winners else out.unionAll(winners)
+      remaining = live.count()
+    }
+    if (out == null) pairs0.select(col("a"), col("b"), col("w")).limit(0)
+    else out
+  }
+
   /** Blocking-quality evaluation (Christen, "Data Matching" §7: reduction
     * ratio + pair completeness — the two numbers that justify a blocking
     * scheme): candidates = [[candidatePairs]], ground truth = ALL

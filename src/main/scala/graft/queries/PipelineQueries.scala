@@ -367,6 +367,18 @@ object PipelineQueries {
         .filter(org.apache.spark.sql.functions
           .regexp_extract(col("dst"), "(\\d+)$", 1).cast("long") <= 255)
         .select(col("src"), col("dst")))),
+    // transitive reduction applied to the CLOSURE of the planted chain:
+    // the C(256,2)-pair closed relation collapses back to exactly the
+    // 255 generator edges — closure ∘ reduction invertibility as the
+    // gate (the fusion-hygiene pass that keeps merged subsumption
+    // relations minimal)
+    "fe_trans_reduction" -> ((s, d) => graft.core.Entailment.transitiveReduction(
+      graft.core.Entailment.transitiveClosure(
+        LinkGraph.anchors(KgPipeline.run(s, d, ck(d), "pages")).toDF()
+          .filter(col("anchor") === "next")
+          .filter(org.apache.spark.sql.functions
+            .regexp_extract(col("dst"), "(\\d+)$", 1).cast("long") <= 255)
+          .select(col("src"), col("dst"))))),
     "fe_frontier" -> ((s, d) => {
       val pages = KgPipeline.run(s, d, ck(d), "pages")
       LinkGraph.frontier(LinkGraph.links(pages).toDF(), pages)
@@ -1280,6 +1292,12 @@ object PipelineQueries {
                 |  UNION ALL SELECT a.src, b.dst FROM c${i - 1} a JOIN c${i - 1} b ON a.dst = b.src))"""
                .stripMargin).mkString(",\n")}
          |SELECT src, dst FROM c10""".stripMargin),
+    "fe_trans_reduction" -> withDocs(
+      """, ch AS (
+        |  SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS src,
+        |         'https://ex.org/doc/' || CAST(doc_id + 1 AS VARCHAR) AS dst
+        |  FROM docs WHERE doc_id + 1 <= 255)
+        |SELECT DISTINCT src, dst FROM ch""".stripMargin),
     "fe_frontier" -> withDocs(
       s""", $linksCte
          |SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM l

@@ -55,6 +55,17 @@ object TrainingDataQueries {
           org.apache.spark.sql.functions.lit(":"), col("key")).as("block"),
         col("doc_id").as("id")),
       minShared = 2, topKPerNode = 3)),
+    // greedy weighted 1:1 matching over the meta-blocking candidates —
+    // the assignment pass when each record may merge with at most one
+    // partner; parallel local-max rounds reproduce the sequential greedy
+    // (w DESC, a, b) exactly, every round replayed by the oracle
+    "td_1to1_matching" -> ((s, d) => Dedup.maximalMatching(Dedup.metaBlocking(
+      Dedup.lshBands(corpus(s, d)).select(
+        org.apache.spark.sql.functions.concat(
+          col("band").cast("string"),
+          org.apache.spark.sql.functions.lit(":"), col("key")).as("block"),
+        col("doc_id").as("id")),
+      minShared = 2, topKPerNode = 3))),
     // blocking-quality eval (reduction ratio + pair completeness) at
     // tau = 0.5, BELOW the 0.8 banding design point — pc measures exactly
     // how many mid-similarity true pairs the bands miss, rr how much of
@@ -478,6 +489,41 @@ object TrainingDataQueries {
         |kept AS (SELECT a, b, w, row_number() OVER (
         |           PARTITION BY node ORDER BY w DESC, other) AS r FROM v)
         |SELECT DISTINCT a, b, w FROM kept WHERE r <= 3""".stripMargin),
+    "td_1to1_matching" -> {
+      // matching rounds: winner iff best (w DESC, a, b) among all live
+      // pairs sharing an endpoint; 6-round unroll (measured rounds
+      // recorded in the engine comment; empty rounds are no-ops)
+      val rounds = (1 to 6).map { i =>
+        s"""mmw$i AS MATERIALIZED (
+           |  SELECT p.a, p.b, p.w FROM mml${i - 1} p
+           |  WHERE NOT EXISTS (SELECT 1 FROM mml${i - 1} q
+           |    WHERE (q.a = p.a OR q.b = p.a OR q.a = p.b OR q.b = p.b)
+           |      AND NOT (q.a = p.a AND q.b = p.b)
+           |      AND (q.w > p.w OR (q.w = p.w AND
+           |           (q.a < p.a OR (q.a = p.a AND q.b < p.b)))))),
+           |mmt$i AS (SELECT a AS node FROM mmw$i UNION SELECT b FROM mmw$i),
+           |mml$i AS MATERIALIZED (
+           |  SELECT l.a, l.b, l.w FROM mml${i - 1} l
+           |  WHERE NOT EXISTS (SELECT 1 FROM mmt$i t WHERE t.node = l.a)
+           |    AND NOT EXISTS (SELECT 1 FROM mmt$i t WHERE t.node = l.b))"""
+          .stripMargin
+      }.mkString(",\n")
+      val winners = (1 to 6).map(i => s"SELECT a, b, w FROM mmw$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $corpusCte, $shCte, $mhCte, $bandsCte,
+         |pw AS MATERIALIZED (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM bands a JOIN bands b
+         |    ON b.band = a.band AND b.key = a.key AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |v AS (SELECT a AS node, b AS other, w, a, b FROM pw
+         |      UNION ALL SELECT b, a, w, a, b FROM pw),
+         |kept AS (SELECT a, b, w, row_number() OVER (
+         |           PARTITION BY node ORDER BY w DESC, other) AS r FROM v),
+         |mml0 AS MATERIALIZED (SELECT DISTINCT a, b, w FROM kept WHERE r <= 3),
+         |$rounds
+         |SELECT a, b, w FROM ($winners) t""".stripMargin
+    },
     "td_er_quality" -> (s"WITH $corpusCte, $shCte, $mhCte, $bandsCte,\n" +
       """cand0 AS MATERIALIZED (
         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
