@@ -117,6 +117,23 @@ object KgQueries {
           fn.greatest(col("a"), col("b")).as("v"))
       graft.sample.GraphMetrics.greedyColoring(e)
     }),
+    // Borůvka minimum spanning forest over the permutation-cycle fixture
+    // with data-keyed md5 weights: the MSF of each 8-cycle is
+    // arithmetically known (all edges minus the (w,u,v)-max one), so the
+    // oracle pins every pick of the parallel rounds; Kruskal parity on
+    // random graphs lives in BoruvkaSpec
+    "kg_msf" -> ((s, d) => {
+      val fn = org.apache.spark.sql.functions
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") < 48).select(col("doc_id"))
+      val e = ids.select(col("doc_id").cast("string").as("a"),
+          ((col("doc_id") + 6) % 48).cast("string").as("b"))
+        .select(fn.least(col("a"), col("b")).as("u"),
+          fn.greatest(col("a"), col("b")).as("v"))
+        .withColumn("w", fn.pmod(graft.core.Determinism.md5Int(
+          fn.concat(col("u"), fn.lit("|"), col("v"))), fn.lit(1000L)))
+      graft.sample.Boruvka.minimumSpanningForest(e)
+    }),
     // truncated Katz prestige at K=4, β=1/2 over the directed KG —
     // walk counts scaled by 2^K so the whole ranking is exact-integer
     // (no eigen solve, no libm); full oracle
@@ -1866,6 +1883,20 @@ object KgQueries {
          |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin,
       inCte = true),
     "kg_scc" -> TpchKgSql.withKg("SELECT id, id AS scc FROM nodes"),
+    "kg_msf" -> {
+      val hw = graft.core.Determinism.md5IntDuck("u || '|' || v")
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 48),
+         |ce AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM (
+         |  SELECT CAST(i AS VARCHAR) AS a, CAST((i + 6) % 48 AS VARCHAR) AS b
+         |  FROM ids)),
+         |we AS MATERIALIZED (SELECT u, v, $hw % 1000 AS w FROM ce),
+         |mx AS (SELECT u, v FROM (
+         |  SELECT u, v, row_number() OVER (PARTITION BY CAST(u AS INT) % 6
+         |     ORDER BY w DESC, u DESC, v DESC) AS rn FROM we) t WHERE rn = 1)
+         |SELECT w.u, w.v, CAST(w.w AS BIGINT) AS w FROM we w
+         |WHERE NOT EXISTS (SELECT 1 FROM mx WHERE mx.u = w.u AND mx.v = w.v)"""
+        .stripMargin
+    },
     "kg_katz" -> TpchKgSql.withKg({
       val rounds = (1 to 4).map { i =>
         s"""kz$i AS MATERIALIZED (
