@@ -55,6 +55,20 @@ object TrainingDataQueries {
           org.apache.spark.sql.functions.lit(":"), col("key")).as("block"),
         col("doc_id").as("id")),
       minShared = 2, topKPerNode = 3)),
+    // EXACT set-similarity join (prefix filtering, AllPairs/PPJoin
+    // family) at τ = 0.8: recall 1 BY THEOREM where LSH banding is
+    // probabilistic — the oracle computes ground truth directly (every
+    // shingle-sharing pair + the same exact-integer inequality), so the
+    // gate proves candidates-after-verify EQUALS the true answer,
+    // independent of the prefix mechanics
+    // bounded to base doc_id < 500 (constant gate size at every sf —
+    // the fe_trans_closure pattern): the synthetic corpus's tiny 3-gram
+    // vocabulary makes prefix blocks scale with corpus size, so the
+    // UNBOUNDED join is quadratic-ish HERE BY CONSTRUCTION (a real crawl's
+    // shingle space is 2^48); the stop-token cap documented in
+    // similarityJoin is the production lever
+    "td_simjoin" -> ((s, d) => Dedup.similarityJoin(
+      corpus(s, d).filter(pmod(col("doc_id"), lit(100000L)) < 500), 800000L)),
     // greedy weighted 1:1 matching over the meta-blocking candidates —
     // the assignment pass when each record may merge with at most one
     // partner; parallel local-max rounds reproduce the sequential greedy
@@ -489,6 +503,29 @@ object TrainingDataQueries {
         |kept AS (SELECT a, b, w, row_number() OVER (
         |           PARTITION BY node ORDER BY w DESC, other) AS r FROM v)
         |SELECT DISTINCT a, b, w FROM kept WHERE r <= 3""".stripMargin),
+    "td_simjoin" -> (s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents
+      |    WHERE doc_id % 20 = 0 AND doc_id < 500
+      |  UNION ALL SELECT doc_id + 100000, text || ' x' FROM documents
+      |    WHERE doc_id % 10 = 0 AND doc_id < 500),
+      |$shCte,
+      |""".stripMargin +
+      """szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |shr AS MATERIALIZED (
+        |  SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+        |  FROM sh sa JOIN sh sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id),
+        |itr AS (
+        |  SELECT c.a, c.b, COUNT(*) AS i FROM shr c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, CAST(i.i AS BIGINT) AS inter,
+        |       CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb
+        |FROM itr i
+        |JOIN szs na ON na.doc_id = i.a
+        |JOIN szs nb ON nb.doc_id = i.b
+        |WHERE i.i * 1000000 >= 800000 * (na.n + nb.n - i.i)""".stripMargin),
     "td_1to1_matching" -> {
       // matching rounds: winner iff best (w DESC, a, b) among all live
       // pairs sharing an endpoint; 6-round unroll (measured rounds
