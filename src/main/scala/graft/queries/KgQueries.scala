@@ -163,6 +163,14 @@ object KgQueries {
     "kg_louvain" -> ((s, d) => graft.sample.Louvain.run(
       graft.sample.GraphMetrics.cooccurrence(TpchKg.load(s, d).edges, "contains"),
       rounds = 2)),
+    // WEIGHTED Louvain over the co-purchase support weights (how OFTEN
+    // parts co-occur, not merely whether) — Σw in every role of the
+    // exact-integer score, replayed round for round
+    "kg_louvain_w" -> ((s, d) => graft.sample.Louvain.runWeighted(
+      graft.sample.GraphMetrics.frequentPairs(
+        TpchKg.load(s, d).edges, "contains", minSupport = 2L)
+        .withColumnRenamed("support", "w"),
+      rounds = 2)),
     // greedy densest subgraph by parallel peeling (Bahmani et al.
     // VLDB'12, ε=1): every peel decision (deg·n ≤ 4e) and the best-round
     // argmax (cross-multiplied density compare) is exact-integer and
@@ -874,6 +882,43 @@ object KgQueries {
        |mm AS (SELECT 2 * COUNT(*) AS m2 FROM und),
        |ldeg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS k FROM lsym GROUP BY 1),
        |lc0 AS MATERIALIZED (SELECT id, id AS c FROM ldeg),
+       |$roundCtes""".stripMargin
+  }
+
+  /** Weighted [[louvainCtes]]: identical round shape over `wund(u, v, w)`
+    * with Σw in every role COUNT played (m, degree, k_in). */
+  private def louvainWCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""lwst$i AS (SELECT c, SUM(k) AS stot FROM lwc${i - 1} JOIN lwdeg USING (id) GROUP BY c),
+         |lwki$i AS MATERIALIZED (
+         |  SELECT s.u AS id, l.c, SUM(s.w) AS kin
+         |  FROM lwsym s JOIN lwc${i - 1} l ON l.id = s.v GROUP BY 1, 2),
+         |lwsz$i AS (SELECT c, COUNT(*) AS n FROM lwc${i - 1} GROUP BY c),
+         |lwcd$i AS (
+         |  SELECT o.id, o.c, COALESCE(k2.kin, 0) AS kin, 0 AS flag
+         |  FROM lwc${i - 1} o LEFT JOIN lwki$i k2 ON k2.id = o.id AND k2.c = o.c
+         |  UNION ALL
+         |  SELECT k2.id, k2.c, k2.kin, 1
+         |  FROM lwki$i k2 JOIN lwc${i - 1} o ON o.id = k2.id AND o.c <> k2.c
+         |  JOIN lwsz$i ts ON ts.c = k2.c JOIN lwsz$i os ON os.c = o.c
+         |  WHERE NOT (os.n = 1 AND ts.n = 1 AND k2.c > o.c)),
+         |lwsc$i AS (
+         |  SELECT cd.id, cd.c, cd.flag,
+         |         mm.m2 * cd.kin - lwdeg.k *
+         |           (st.stot - CASE WHEN cd.flag = 0 THEN lwdeg.k ELSE 0 END) AS score
+         |  FROM lwcd$i cd JOIN lwst$i st ON st.c = cd.c
+         |  JOIN lwdeg ON lwdeg.id = cd.id CROSS JOIN mm),
+         |lwc$i AS MATERIALIZED (
+         |  SELECT id, c FROM (
+         |    SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY score DESC, flag, c) AS rn FROM lwsc$i) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""lwsym AS MATERIALIZED (
+       |  SELECT u, v, w FROM wund UNION ALL SELECT v AS u, u AS v, w FROM wund),
+       |mm AS (SELECT 2 * SUM(w) AS m2 FROM wund),
+       |lwdeg AS MATERIALIZED (SELECT u AS id, SUM(w) AS k FROM lwsym GROUP BY 1),
+       |lwc0 AS MATERIALIZED (SELECT id, id AS c FROM lwdeg),
        |$roundCtes""".stripMargin
   }
 
@@ -1857,6 +1902,16 @@ object KgQueries {
       s"""$projCtes,
          |${louvainCtes(2)}
          |SELECT id, c AS community FROM lc2""".stripMargin, inCte = true),
+    "kg_louvain_w" -> TpchKgSql.withKg(
+      s"""fcp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE pred = 'contains'),
+         |fok AS MATERIALIZED (SELECT src FROM fcp GROUP BY src HAVING COUNT(*) <= 1024),
+         |fb AS MATERIALIZED (SELECT fcp.src, fcp.dst FROM fcp JOIN fok ON fok.src = fcp.src),
+         |wund AS MATERIALIZED (
+         |  SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM fb a JOIN fb b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |${louvainWCtes(2)}
+         |SELECT id, c AS community FROM lwc2""".stripMargin, inCte = true),
     "kg_densest" -> TpchKgSql.withKg(
       s"""$projCtes,
          |${densestCtes(12)}

@@ -40,25 +40,40 @@ object Louvain {
   /** `(id, community)` after `rounds` synchronous local-move sweeps over
     * the undirected `(u, v)` edge set; initial community = own id. Only
     * edge-incident nodes appear (the ConnectedComponents contract). */
-  def run(und0: DataFrame, rounds: Int): DataFrame = {
+  def run(und0: DataFrame, rounds: Int): DataFrame =
+    core(und0.select(col("u"), col("v")).withColumn("w", lit(1L)), rounds)
+
+  /** WEIGHTED local moves over `(u, v, w)` — the standard Louvain
+    * generalization (Blondel et al. '08 §2 is stated for weighted
+    * graphs): m = Σw, k_i = Σ incident w, k_{i,in}(c) = Σ w into c —
+    * the same exact-integer score 2m·k_in − k·Σtot′ with weighted sums
+    * in every role. With w ≡ 1 this IS [[run]] (bit-identical
+    * arithmetic). Natural input here: [[GraphMetrics.frequentPairs]]'
+    * co-purchase support weights — communities form on how OFTEN parts
+    * co-occur, not merely whether. */
+  def runWeighted(wund0: DataFrame, rounds: Int): DataFrame =
+    core(wund0.select(col("u"), col("v"), col("w").cast("long").as("w")), rounds)
+
+  private def core(wund: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds=$rounds")
-    val und = und0.select(col("u"), col("v")).localCheckpoint(true)
-    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val und = wund.localCheckpoint(true)
+    val sym = und.unionAll(
+        und.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint(true)
-    val twoM = 2L * und.count()
-    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("k"))
+    val twoM = 2L * und.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+    val deg = sym.groupBy(col("u").as("id")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     var comm = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val stot = comm.join(deg, Seq("id"))
         .groupBy("c").agg(sum(col("k")).as("stot"))
-      // k_{i,in}(c): i's edge count into each neighbor community under the
-      // previous assignment (self excluded by construction: und has no
-      // self-loops, so no (i, i) row contributes)
+      // k_{i,in}(c): i's edge WEIGHT into each neighbor community under
+      // the previous assignment (self excluded by construction: und has
+      // no self-loops, so no (i, i) row contributes)
       val kin = sym
         .join(comm.select(col("id").as("v"), col("c")), Seq("v"))
         .groupBy(col("u").as("id"), col("c"))
-        .agg(count(lit(1)).as("kin"))
+        .agg(sum(col("w")).as("kin"))
       // candidates = the node's own community (ALWAYS present — kin(own)
       // is 0 when no neighbor shares it) ∪ neighbor communities; stay
       // rows carry flag 0 so exact ties prefer staying

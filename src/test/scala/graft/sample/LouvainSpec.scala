@@ -47,6 +47,24 @@ class LouvainSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weighted: the heavy edge wins a move that unweighted ties to min-id") {
+    // m's candidates a (w 1) and b (w 10), both lexically below m so the
+    // singleton guard allows either: weighted score 110 vs 11 picks b;
+    // unweighted ties 2 = 2 and the total order falls back to min c = a
+    val e = Seq(("a", "m", 1L), ("b", "m", 10L)).toDF("u", "v", "w")
+    val cw = comm(Louvain.runWeighted(e, 1))
+    assert(cw("m") === cw("b") && cw("m") != cw("a"))
+    val cu = comm(Louvain.run(e.select("u", "v"), 1))
+    assert(cu("m") === cu("a"))
+  }
+
+  test("runWeighted with w ≡ 1 is bit-identical to run") {
+    val a = comm(Louvain.run(cliques, rounds = 3))
+    val b = comm(Louvain.runWeighted(
+      cliques.withColumn("w", org.apache.spark.sql.functions.lit(1L)), rounds = 3))
+    assert(a === b)
+  }
+
   test("rounds = 0 returns singletons; isolated-pair graph stays put") {
     val c0 = comm(Louvain.run(cliques, rounds = 0))
     assert(c0.forall { case (k, v) => k == v })
