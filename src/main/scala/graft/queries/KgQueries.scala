@@ -1563,12 +1563,18 @@ object KgQueries {
         |FROM keyed k JOIN grp g ON g.k_brand = k.k_brand AND g.k_psize = k.k_psize""".stripMargin,
       inCte = true),
     "kg_bgp_filter" -> TpchKgSql.withKg(
-      """SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s, e.dst AS m
-        |FROM edges a
-        |JOIN edges b ON b.pred = 'inNation' AND b.src = a.dst
-        |JOIN edges d ON d.pred = 'suppliedBy' AND d.src = a.src
-        |JOIN edges e ON e.pred = 'inNation' AND e.src = d.dst
-        |WHERE a.pred = 'placedBy' AND b.dst <> e.dst""".stripMargin),
+      // pred-sliced MATERIALIZED inputs: the single-relation form made
+      // DuckDB 1.x pick a spill-everything join order at sf0.1 (>79 GB
+      // temp) — same semantics, plan-friendly shape
+      """bfpb AS MATERIALIZED (SELECT src, dst FROM edges WHERE pred = 'placedBy'),
+        |bfin AS MATERIALIZED (SELECT src, dst FROM edges WHERE pred = 'inNation'),
+        |bfsb AS MATERIALIZED (SELECT src, dst FROM edges WHERE pred = 'suppliedBy')
+        |SELECT a.src AS o, a.dst AS c, b.dst AS n, d.dst AS s, e.dst AS m
+        |FROM bfpb a
+        |JOIN bfin b ON b.src = a.dst
+        |JOIN bfsb d ON d.src = a.src
+        |JOIN bfin e ON e.src = d.dst
+        |WHERE b.dst <> e.dst""".stripMargin, inCte = true),
     "kg_bgp_values" -> TpchKgSql.withKg(
       """SELECT a.src AS o, a.dst AS s, b.dst AS n
         |FROM edges a

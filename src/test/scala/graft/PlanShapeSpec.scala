@@ -59,6 +59,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally nbrs.unpersist()
   }
 
+  test("bloom probe: the bit set broadcasts; the probe stream never sort-merges") {
+    val docs = graft.queries.TrainingDataQueries.corpus(spark, sf)
+    val grams = graft.text.Curation.wordNgramsAll(docs, 2)
+    val bits = graft.core.Sketches.bloomBits(
+      grams.limit(200).select(col("gram")), "gram", 4, 8192)
+    val probed = graft.core.Sketches.bloomProbe(bits, grams.select("gram"),
+      "gram", 4, 8192)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bloom bit set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the probe stream must never sort-merge against the bitmap")
+  }
+
   test("decontamination probes a broadcast benchmark set; corpus grams never pre-shuffle") {
     val docs = graft.queries.TrainingDataQueries.corpus(spark, sf)
     val bench = docs.filter(col("doc_id") % 37 === 0)
