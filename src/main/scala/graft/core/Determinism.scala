@@ -25,9 +25,23 @@ object Determinism {
   def detHash(seed: Long, keys: Column*): Column =
     xxhash64((lit(seed) +: keys): _*)
 
+  /** [[detHash]] with the seed as a COLUMN: value-identical when the
+    * column holds the same long (xxhash64 folds the seed child by value,
+    * literal or not). Iterative driver loops ride their per-step seed as a
+    * data column of the tiny frontier relation so the per-step PLAN — and
+    * with it the generated codegen source — is byte-stable across steps;
+    * a per-step literal seed forces a fresh Janino compile every step
+    * (measured ~0.5 s/step of the walk loop's ~0.9 s step jobs, r6). */
+  def detHashC(seedCol: Column, keys: Column*): Column =
+    xxhash64((seedCol +: keys): _*)
+
   /** Uniform double in [0,1) derived from key columns + seed. */
   def detRand(seed: Long, keys: Column*): Column =
     (pmod(detHash(seed, keys: _*), lit(1000000007L)).cast("double")) / lit(1000000007.0)
+
+  /** [[detRand]] with the seed as a column (see [[detHashC]]). */
+  def detRandC(seedCol: Column, keys: Column*): Column =
+    (pmod(detHashC(seedCol, keys: _*), lit(1000000007L)).cast("double")) / lit(1000000007.0)
 
   // ---- driver-side (JVM) mirrors of the xxhash64 family ----------------
   // Spark's xxhash64(c1, c2, ...) folds XXH64 over the children starting

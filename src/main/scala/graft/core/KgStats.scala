@@ -299,7 +299,12 @@ object KgStats {
     * (src, pred, dst) to summarize literal facts with the same ranking. */
   def entitySummaries(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "entitySummaries needs k >= 1")
+    // materialize the projection ONCE: predFreq, objFreq and the scored
+    // join each scan it, and an un-materialized e would re-run the
+    // caller's full edge derivation (for the TPC-H KG: a union with two
+    // distinct shuffles) up to three times
     val e = edges.select(col("src"), col("pred"), col("dst"))
+      .localCheckpoint(true)
     val predFreq = e.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
     val objFreq = e.groupBy(col("dst")).agg(count(lit(1)).as("n_obj"))
     val scored = e

@@ -110,7 +110,12 @@ object Dedup {
     * → exact Jaccard ≥ threshold. Returns (a, b, jaccard) with a < b,
     * Jaccard rounded to 5. */
   def minhashLsh(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sigs = lshIndex(corpus)
+    // materialize the index ONCE: the band self-join consumes it on BOTH
+    // sides and Catalyst does not exchange-reuse across a broadcast/plain
+    // pair (the r6 before-plan shows the shingle→minhash ObjectHashAggregate
+    // subtree twice), so an un-materialized index re-shingles and re-hashes
+    // the whole corpus a second time
+    val sigs = lshIndex(corpus).localCheckpoint(true)
     // codegen agreement count — NOT aggregate(zip_with(...)): HOFs run
     // interpreted and this predicate sits on the (possibly quadratic)
     // band-collision stream
@@ -143,7 +148,9 @@ object Dedup {
     * re-minhashed. */
   def incrementNearDup(store: DataFrame, storeIndex: DataFrame, inc: DataFrame,
                        threshold: Double = 0.8): DataFrame = {
-    val incIdx = lshIndex(inc)
+    // the increment index probes both sides (directly and inside `all`) —
+    // shingle/minhash the increment ONCE
+    val incIdx = lshIndex(inc).localCheckpoint(true)
     val all = storeIndex.unionByName(incIdx)
     val agreeExpr = graft.expr.SigOps.agree(col("siga"), col("sigb"))
     // inc side probes (store ∪ inc): inc–store pairs once, inc–inc pairs in
@@ -156,6 +163,9 @@ object Dedup {
       .filter(agreeExpr >= sigAgreeMin(threshold))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
+      // cand feeds candIds (both endpoints) AND the verify join — three
+      // consumers; materialize the banding join once
+      .localCheckpoint(true)
     val candIds = cand.select(col("a").as("doc_id"))
       .unionAll(cand.select(col("b").as("doc_id"))).distinct()
     val verifyCorpus = store.select(col("doc_id"), col("text"))
@@ -202,7 +212,9 @@ object Dedup {
     * verify — the candidate set whose size/recall trade [[blockingQuality]]
     * measures. One self-join keyed (band, key); never all-pairs. */
   def candidatePairs(corpus: DataFrame): DataFrame = {
-    val b = lshBands(corpus)
+    // one materialization for the two self-join sides (same argument as
+    // [[minhashLsh]]'s index checkpoint)
+    val b = lshBands(corpus).localCheckpoint(true)
     b.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(b.select(col("band"), col("key"), col("doc_id").as("b")),
         Seq("band", "key"))
@@ -230,14 +242,20 @@ object Dedup {
   def metaBlocking(blocks: DataFrame, minShared: Int = 2,
                    topKPerNode: Int = 0): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val b = blocks.select(col("block"), col("id"))
-    val pairs = b.select(col("block"), col("id").as("a"))
+    // the blocking collection feeds BOTH self-join sides and (under WNP)
+    // the weighted pair set feeds both orientations of the node view — an
+    // un-materialized caller plan (e.g. the LSH banding aggregate) would
+    // be evaluated up to 4× (r6 before-plan evidence); materialize each
+    // exactly once
+    val b = blocks.select(col("block"), col("id")).localCheckpoint(true)
+    val pairs0 = b.select(col("block"), col("id").as("a"))
       .join(b.select(col("block"), col("id").as("b")), Seq("block"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= minShared)
-    if (topKPerNode <= 0) pairs
+    if (topKPerNode <= 0) pairs0
     else {
+      val pairs = pairs0.localCheckpoint(true)
       val view = pairs
         .select(col("a").as("node"), col("b").as("other"), col("w"), col("a"), col("b"))
         .unionAll(pairs

@@ -211,7 +211,9 @@ object CurationQueries {
     * has ≥ 20 tokens, its top-2-gram coverage is below 25%, and it shares
     * no 8-gram with the benchmark. One output row per retained doc. */
   def curationFilter(s: SparkSession, d: String): DataFrame = {
-    val corpus = TrainingDataQueries.corpus(s, d)
+    // four consumers (keeper agg, repetition signals, decontamination,
+    // the token-count filter) — materialize the corpus union once
+    val corpus = TrainingDataQueries.corpus(s, d).localCheckpoint(true)
     val keepers = corpus.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val rep = Curation.repetitionSignals(corpus)

@@ -40,8 +40,11 @@ object Betweenness {
   def spCounts(und0: DataFrame, sources: DataFrame, maxR: Int): DataFrame = {
     require(maxR >= 0, s"maxR=$maxR")
     val und = und0.select(col("u"), col("v")).localCheckpoint(true)
+    // sym stays a LAZY union over the materialized und: re-deriving the
+    // swapped half is a map over checkpointed rows, cheaper than a second
+    // materialization job (the round loop is job-launch-bound at small
+    // scale; at large scale the bytes scanned are identical either way)
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
     var settled = sources.select(col("id").as("src"), col("id").as("node"),
       lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
     var frontier = settled
@@ -54,7 +57,10 @@ object Betweenness {
         .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
         .select(col("src"), col("node"), lit(r).as("dist"), col("sigma"))
         .localCheckpoint(true)
-      settled = settled.unionAll(nxt).localCheckpoint(true)
+      // settled is a lazy union of ALREADY-materialized level frames: the
+      // per-round anti-join scans the same settled bytes either way, and
+      // dropping the union re-checkpoint halves the round's job count
+      settled = settled.unionAll(nxt)
       frontier = nxt
     }
     settled
@@ -72,6 +78,10 @@ object Betweenness {
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val sp = sp0.localCheckpoint(true)
+    // empty seed set / empty graph: max(dist) would be NULL and the getInt
+    // below an opaque NPE — return the empty (id, bc) frame instead
+    if (sp.isEmpty)
+      return sp.select(col("node").as("id"), lit(0.0).as("bc")).limit(0)
     val maxR = sp.agg(max(col("dist"))).head().getInt(0)
     // δ rows start all-zero at the deepest level; walk levels upward
     var delta = sp.filter(col("dist") === maxR)

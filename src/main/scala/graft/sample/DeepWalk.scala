@@ -29,13 +29,15 @@ import org.apache.spark.sql.functions._
   * oracle replays every pick exactly; xxhash64 has no DuckDB mirror —
   * see [[graft.core.Determinism]]).
   *
-  * Dead-end walks terminate (no row at later steps). Lineage is truncated
-  * with localCheckpoint every [[CheckpointEvery]] steps — walk length 40
-  * (the DeepWalk paper's default) must not build a 40-join plan.
+  * Dead-end walks terminate (no row at later steps). Every step's state is
+  * localCheckpoint-materialized: the corpus unions every step's positions,
+  * so a lazy state made later branches re-derive all prior steps
+  * (O(steps²) joins in the executed plan — r6 finding); materializing per
+  * step also hands AQE the frontier's exact size for its per-step join
+  * strategy, and walk length 40 (the DeepWalk paper's default) never
+  * builds a 40-join plan.
   */
 object DeepWalk {
-
-  val CheckpointEvery = 8
 
   /** seeded portable pick hash for one step */
   private def pickHash(seed: Long, step: Int) =
@@ -48,19 +50,30 @@ object DeepWalk {
              seed: Long = 42L): DataFrame = {
     require(reps >= 1 && steps >= 0, s"reps=$reps steps=$steps")
     val edges = kb.edges.select(col("src"), col("pred"), col("dst"))
+      .localCheckpoint(true)
     var state = starts
       .join(broadcast(kb.spark.range(0, reps).withColumnRenamed("id", "r")))
       .select(concat(col("id"), lit("#"), col("r").cast("string")).as("walk_id"),
         col("id").as("cur"))
+      .localCheckpoint(true)
     var out = state.select(col("walk_id"), lit(0).as("step"), col("cur").as("node"))
     var i = 1
     while (i <= steps) {
+      // each step's state is materialized EAGERLY: the corpus is the union
+      // of every step's positions, and with a lazy state each step's union
+      // branch re-derived ALL prior steps — the r6 before-plan showed a
+      // triangular cascade of per-branch join chains (O(steps²) joins, the
+      // deepest 10 deep) with the edge table shuffled inside each. Now the
+      // final corpus scan reads `steps` materialized frames, each step runs
+      // its frontier⋈edges join exactly once, and the materialized frontier
+      // gives AQE an exact size, so the join picks broadcast vs shuffle per
+      // step from real statistics (frontiers shrink as walks dead-end).
       val cand = state.join(edges, state("cur") === edges("src"))
       state = cand
         .groupBy(col("walk_id"))
         .agg(min(struct(pickHash(seed, i).as("h"), col("pred"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("cur"))
-      if (i % CheckpointEvery == 0) state = state.localCheckpoint(true)
+        .localCheckpoint(true)
       out = out.unionAll(
         state.select(col("walk_id"), lit(i).as("step"), col("cur").as("node")))
       i += 1

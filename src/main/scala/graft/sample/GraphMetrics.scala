@@ -32,8 +32,10 @@ object GraphMetrics {
     * projection here is linear-ish in lineitem).
     */
   def cooccurrence(edges: DataFrame, pred: String): DataFrame = {
+    // one materialization for the two wedge-join sides (the projection
+    // carries a distinct — an un-materialized e runs it twice)
     val e = edges.filter(col("pred") === pred)
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val pairs = e.as("a").join(e.as("b"),
       col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("u"), col("b.dst").as("v"))
@@ -54,8 +56,9 @@ object GraphMetrics {
       pred: String,
       minSupport: Long,
       maxBasketSize: Int = 1024): DataFrame = {
+    // materialized once: consumed by the size filter and both join sides
     val e = edges.filter(col("pred") === pred)
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val ok = e.groupBy("src").agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBasketSize).select(col("src"))
     val bounded = e.join(ok, Seq("src"), "left_semi")

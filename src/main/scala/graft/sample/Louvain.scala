@@ -56,17 +56,25 @@ object Louvain {
 
   private def core(wund: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds=$rounds")
-    val und = wund.localCheckpoint(true)
+    // self-loops would silently corrupt deg, twoM and kin(own community);
+    // callers pass loop-free projections — drop any defensively (same
+    // guard as Boruvka.minimumSpanningForest)
+    val und = wund.filter(col("u") =!= col("v")).localCheckpoint(true)
+    // lazy union over the materialized und — the swapped half is a map
+    // over checkpointed rows, cheaper than a second materialization job
     val sym = und.unionAll(
         und.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint(true)
     val twoM = 2L * und.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
     val deg = sym.groupBy(col("u").as("id")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     var comm = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val stot = comm.join(deg, Seq("id"))
-        .groupBy("c").agg(sum(col("k")).as("stot"))
+      // ONE community aggregate carries both Σtot (scored join) and the
+      // member count (singleton-swap guard) — was two separate
+      // shuffles + an extra join per round
+      val cstats = comm.join(deg, Seq("id"))
+        .groupBy("c").agg(sum(col("k")).as("stot"), count(lit(1)).as("n"))
+      val stot = cstats.select(col("c"), col("stot"))
       // k_{i,in}(c): i's edge WEIGHT into each neighbor community under
       // the previous assignment (self excluded by construction: und has
       // no self-loops, so no (i, i) row contributes)
@@ -91,7 +99,7 @@ object Louvain {
       // a singleton may therefore only move into another singleton
       // community with a SMALLER id (one of the two moves survives, the
       // pair merges next round)
-      val sizes = comm.groupBy("c").agg(count(lit(1)).as("n"))
+      val sizes = cstats.select(col("c"), col("n"))
       val moves = k2.filter(col("c") =!= col("oc"))
         .join(sizes.select(col("c"), col("n").as("tn")), Seq("c"))
         .join(sizes.select(col("c").as("oc"), col("n").as("on")), Seq("oc"))

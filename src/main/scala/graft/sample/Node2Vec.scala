@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * inverse-CDF pick [[WalkSampler]] uses for PageRank-weighted choice.
   * First step has no `prev`: uniform pick via the same machinery with all
   * weights equal. Lineage truncates via localCheckpoint every
-  * [[DeepWalk.CheckpointEvery]] steps.
+  * every step (the [[DeepWalk.corpus]] materialization argument).
   */
 object Node2Vec {
 
@@ -51,12 +51,15 @@ object Node2Vec {
     require(reps >= 1 && steps >= 0, s"reps=$reps steps=$steps")
     require(wReturn >= 1 && wNear >= 1 && wFar >= 1, "weights must be >= 1")
     val edges = kb.edges.select(col("src"), col("pred"), col("dst"))
+      .localCheckpoint(true)
     val pairSet = edges.select(col("src").as("p_src"), col("dst").as("p_dst")).distinct()
+      .localCheckpoint(true)
 
     var state = starts
       .join(broadcast(kb.spark.range(0, reps).withColumnRenamed("id", "r")))
       .select(concat(col("id"), lit("#"), col("r").cast("string")).as("walk_id"),
         lit(null).cast("string").as("prev"), col("id").as("cur"))
+      .localCheckpoint(true)
     var out = state.select(col("walk_id"), lit(0).as("step"), col("cur").as("node"))
 
     var i = 1
@@ -80,9 +83,12 @@ object Node2Vec {
         .filter(col("cum") >= col("thr"))
         .withColumn("rn", row_number().over(ordered))
         .filter(col("rn") === 1)
+      // per-step materialization — same fix as [[DeepWalk.corpus]]: a lazy
+      // state made every later step's union branch re-derive all prior
+      // steps (O(steps²) join cascade in the executed plan)
       state = picked
         .select(col("walk_id"), col("cur").as("prev"), col("dst").as("cur"))
-      if (i % DeepWalk.CheckpointEvery == 0) state = state.localCheckpoint(true)
+        .localCheckpoint(true)
       out = out.unionAll(
         state.select(col("walk_id"), lit(i).as("step"), col("cur").as("node")))
       i += 1

@@ -77,10 +77,29 @@ object PageRank {
       d, iterations, checkpointEvery), caller)
   }
 
-  private def computeInner(nodesIn: DataFrame, edgesW: DataFrame,
+  /** target rows per sweep-loop shuffle partition (~64 MB of (id, pr)
+    * rows): the loop's shuffle width is DERIVED from |E| instead of
+    * inheriting the session constant — at fixture scale that collapses
+    * every sweep stage to a task or two (the 32-wide stages were pure
+    * scheduling overhead over ~135 k rows), at 10¹²-edge scale it yields
+    * the 100k-partition widths a real sweep needs. Scoped to the loop's
+    * private cloned session, so the caller's conf is untouched. */
+  val RowsPerSweepPartition: Long = 2L * 1024 * 1024
+
+  private def computeInner(nodesIn: DataFrame, edgesW0: DataFrame,
                            d: Double, iterations: Int,
                            checkpointEvery: Int): DataFrame = {
     val n = nodesIn.count().toDouble
+    // materialize the caller's edge derivation ONCE: it feeds the outdeg
+    // aggregate, the adj join and the const/iter split — un-materialized
+    // it was re-evaluated 2-3× (for the TPC-H KG: a 6-way union with two
+    // lineitem-scale distincts per evaluation; r6 stage evidence)
+    val edgesW = edgesW0.localCheckpoint(true)
+    val np = math.max(1L,
+      math.min(65536L, edgesW.count() / RowsPerSweepPartition)).toInt
+    // the session here is the compute()/computeWeighted() PRIVATE clone —
+    // setting its shuffle width cannot leak to the caller
+    nodesIn.sparkSession.conf.set("spark.sql.shuffle.partitions", np)
     val outdeg = edgesW.groupBy("src").agg(sum(col("w")).as("outdeg"))
     val adj = edgesW.select("src", "dst", "w").join(outdeg, Seq("src")).cache()
     val dstNodes = adj.select(col("dst").as("id")).distinct().cache()

@@ -52,8 +52,18 @@ final class WalkSampler(
     * probes; None until draw() runs */
   @volatile var lastStats: Option[WalkSampler.WalkStats] = None
 
+  /** the sampler's working Kb: the edge table materialized ONCE per
+    * sampler. A prioritized draw otherwise evaluates the caller's full
+    * edge derivation up to three times — PageRank adjacency, the neighbor
+    * table, and the finalize semi-joins (for the TPC-H KG each evaluation
+    * re-runs a 6-way union with two lineitem-scale distincts; r6 stage
+    * evidence) — and the per-step cached scans sit on the same
+    * materialized rows. Lazy: built on first draw()/sample() use. */
+  private lazy val kbW: Kb = kb.copy(edges = kb.edges.localCheckpoint(true))
+
   def draw(n: Int): Drawn = {
     val t0 = System.nanoTime()
+    val kb = kbW // shadow: every edge consumer below reads the checkpoint
     val spark = kb.spark
     val nTotal = kb.nodes.count()
 
@@ -123,6 +133,18 @@ final class WalkSampler(
         nbrs0.withColumn("bkt", pmod(xxhash64(col("src")), lit(walkBuckets)).cast("int"))
           .repartition(walkBuckets, col("bkt"))
       else nbrs0).cache()
+    // per-step SCAN width, derived from graph size (nTotal, the counted
+    // proxy): the cache keeps its natural partitioning — for the TPC-H KG
+    // a 68-partition union whose per-step scans cost ~68 near-empty task
+    // dispatches (the dominant share of the measured ~0.9 s step jobs;
+    // WalkProbe stage walls, r6) — and the entries stay plan-shared with
+    // finalize/other consumers, but each step reads it through a coalesce
+    // sized so a task holds ~10⁵ rows. Narrowing is a pure scan transform:
+    // join/pick results are byte-identical.
+    val scanParts = math.max(1, math.min(1024,
+      (nTotal / WalkSampler.ScanRowsPerPartition).toInt))
+    val nbrsScan = if (bucketed) nbrs else nbrs.coalesce(scanParts)
+    val idxScan = nodesIdx.coalesce(scanParts)
 
     // walkers: all LP nodes when given; else the first min(walkers, n)
     // nodes of the deterministic permutation (the reference starts at the
@@ -152,7 +174,8 @@ final class WalkSampler(
     // exact counts) are unaffected; only time-to-escalate differs.
     def stallThreshold: Long = math.max(1L,
       math.min((0.05 * nTotal).toLong, math.max(10L, 2L * tierCum(esc))))
-    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val stepEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong)
     val outEnc = Encoders.product[StepOut]
     // Per-step wall is dominated by a scheduling FLOOR (sequential jobs ×
     // local-mode job latency), not data volume: WalkProbe measured it
@@ -189,7 +212,18 @@ final class WalkSampler(
           Determinism.detRandJvm(seed + 3 * step, w) < p }
         case None => (Seq.empty[(Long, String)], frontier)
       }
-      val stepping = spark.createDataset(stepFront)(tupleEnc).toDF("walker", "cur")
+      // per-step draw seeds ride as DATA COLUMNS of the tiny frontier
+      // relation, not literals: xxhash64 over a column holding the same
+      // long is value-identical to the literal form, and with them the
+      // step plan — and its generated codegen source — is byte-stable
+      // across steps. With literal seeds every step paid a fresh
+      // whole-stage-codegen compile (the dominant share of the measured
+      // ~0.9 s step jobs at sf0.1; WalkProbe job walls, r6).
+      val psV = seed + 5 * step
+      val usV = seed + 7 * step
+      val stepping = spark.createDataset(
+          stepFront.map { case (w, c) => (w, c, psV, usV) })(stepEnc)
+        .toDF("walker", "cur", "ps", "us")
 
       // bucketed cache: prune the scan to the frontier's buckets (driver-
       // computed, superset of the join — identical results)
@@ -198,11 +232,11 @@ final class WalkSampler(
           val bkts = stepFront.map { case (_, cur) =>
             Determinism.pmodJvm(Determinism.xxhashJvm(cur), walkBuckets).toInt }.distinct
           nbrs.filter(col("bkt").isin(bkts: _*))
-        } else nbrs
+        } else nbrsScan
       val cand = broadcast(stepping).join(scanNbrs, stepping("cur") === scanNbrs("src"))
-        .select(Seq(col("walker"), col("src"), col("pred"), col("dst")) ++
+        .select(Seq(col("walker"), col("ps"), col("us"), col("src"), col("pred"), col("dst")) ++
           (if (prioritized) Seq(col("w")) else Nil): _*)
-      val pickHash = Determinism.detHash(seed + 5 * step, col("walker"), col("pred"), col("dst"))
+      val pickHash = Determinism.detHashC(col("ps"), col("walker"), col("pred"), col("dst"))
       val picks =
         if (!prioritized) {
           val w = Window.partitionBy(col("walker")).orderBy(pickHash, col("pred"), col("dst"))
@@ -217,7 +251,7 @@ final class WalkSampler(
           cand
             .withColumn("cum", sum(col("w")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
             .withColumn("tot", sum(col("w")).over(ww))
-            .withColumn("u", Determinism.detRand(seed + 7 * step, col("walker")))
+            .withColumn("u", Determinism.detRandC(col("us"), col("walker")))
             .filter(col("cum") >= col("u") * col("tot"))
             .withColumn("rn", row_number().over(Window.partitionBy(col("walker")).orderBy(col("cum"))))
             .filter(col("rn") === 1)
@@ -248,36 +282,41 @@ final class WalkSampler(
         val idx =
           if (bucketed && ranks.size <= WalkSampler.MaxTeleInList)
             nodesIdx.filter(col("trn").isin(ranks.map(_._2).distinct: _*))
-          else nodesIdx
+          else idxScan
         broadcast(spark.createDataset(ranks)(longPairEnc).toDF("walker", "trn"))
           .join(idx.select("id", "trn"), Seq("trn"))
           .select(col("walker"), col("id"))
       }
 
-      // the step's ONE data-bearing job: ≤ |walkers| rows; jumper
-      // teleports ride the union (teleports record no edge)
+      // the step's ONE job: picks unioned with the teleport landings of
+      // EVERY non-picking-eligible walker — jumpers (teleport always
+      // applies) AND stepping walkers (whose landing is only a FALLBACK,
+      // used iff the walker dead-ended). The landing rank is a pure
+      // function of (seed + 11·step, walker), so a fallback row for a
+      // walker that picked is simply discarded on the driver and the rows
+      // that survive are byte-identical to the former two-job shape
+      // (picks job, then a teleLookup job on dead-end steps). Folding the
+      // dead-end lookup into the same union removes one SEQUENTIAL
+      // job-launch latency from every step with a dead end — frequent on
+      // KGs with sink tiers (parts/regions) — for the price of a tiny
+      // always-on cached-index join branch that runs concurrently with
+      // the picks branch inside the one job.
       val picksOut = picks
         .select(col("walker"), col("dst").as("next"), col("src"), col("pred"),
           col("dst"), lit(true).as("viaEdge"))
-      val withJumps =
-        if (jumpFront.isEmpty) picksOut
-        else picksOut.unionAll(teleLookup(jumpFront.map(_._1))
+      val teleWalkers = jumpFront.map(_._1) ++ stepFront.map(_._1)
+      val withTele =
+        if (teleWalkers.isEmpty) picksOut
+        else picksOut.unionAll(teleLookup(teleWalkers)
           .select(col("walker"), col("id").as("next"), lit("").as("src"),
             lit("").as("pred"), lit("").as("dst"), lit(false).as("viaEdge")))
-      val firstRows = withJumps.as[StepOut](outEnc).collect()
-      val resolved = firstRows.iterator.map(_.walker).toSet
-
-      // dead ends (no outgoing edge) teleport too, recording no edge:
-      // exactly the frontier walkers still unresolved — neither jumped nor
-      // picked; the job only exists on steps that have any dead end.
-      val deadEnds = frontier.filterNot { case (w, _) => resolved(w) }
-      val deadRows: Array[StepOut] =
-        if (deadEnds.isEmpty) Array.empty
-        else teleLookup(deadEnds.map(_._1))
-          .as[(Long, String)](tupleEnc).collect()
-          .map { case (w, id) => StepOut(w, id, "", "", "", viaEdge = false) }
-
-      val stepOut = (firstRows ++ deadRows).sortBy(_.walker)
+      val rows = withTele.as[StepOut](outEnc).collect()
+      val picked = rows.iterator.filter(_.viaEdge).map(_.walker).toSet
+      val jumped = jumpFront.iterator.map(_._1).toSet
+      // keep: all picks; teleports of jumpers; fallback teleports of
+      // dead-ended walkers (stepped but produced no pick)
+      val stepOut = rows.filter(o =>
+        o.viaEdge || jumped(o.walker) || !picked(o.walker)).sortBy(_.walker)
 
       frontier = stepOut.map(o => (o.walker, o.next)).toSeq
       stepOut.foreach { o =>
@@ -312,7 +351,7 @@ final class WalkSampler(
 
   def sample(n: Int, dpp: Double = 1.0): Kb = {
     Samplers.checkInput(kb.nodes.count(), n, dpp)
-    Samplers.finalizeSample(kb, draw(n), dpp, seed)
+    Samplers.finalizeSample(kbW, draw(n), dpp, seed)
   }
 }
 
@@ -337,6 +376,11 @@ object WalkSampler {
   /** Teleport-rank IN-list bound (mirrors the FF burned-set bound): above
     * it the pruning filter is dropped, never the join. */
   val MaxTeleInList: Int = 4096
+  /** Target rows per task for the per-step cached-table scans (below the
+    * bucket gate): the coalesce width is |V|/this — ~1 task at fixture
+    * scale (68 near-empty task dispatches per step otherwise), hundreds of
+    * ~10⁵-row tasks approaching the gate. */
+  val ScanRowsPerPartition: Long = 131072L
 
   /** draw() evidence: steps taken, wall split between setup (teleport
     * index + PageRank + neighbor table) and the step loop */

@@ -79,10 +79,17 @@ object TpchKg {
           iri("r", col("n_regionkey")).as("dst")))
         .unionAll(orders.select(iri("o", col("o_orderkey")).as("src"), lit("placedBy").as("pred"),
           iri("c", col("o_custkey")).as("dst")))
-        .unionAll(lineitem.select(iri("o", col("l_orderkey")).as("src"), lit("contains").as("pred"),
-          iri("p", col("l_partkey")).as("dst")).distinct())
-        .unionAll(lineitem.select(iri("o", col("l_orderkey")).as("src"), lit("suppliedBy").as("pred"),
-          iri("s", col("l_suppkey")).as("dst")).distinct())
+        // dedup on the INTEGER key pair, then build the IRI strings: iri()
+        // is injective, so the row set is identical, but the distinct
+        // shuffles two longs instead of three ~20-byte strings and the
+        // concats run once per surviving row (≈2× off the only expensive
+        // stages of every full-edge-table evaluation — r6 stage evidence)
+        .unionAll(lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("fk")).distinct()
+          .select(iri("o", col("ok")).as("src"), lit("contains").as("pred"),
+            iri("p", col("fk")).as("dst")))
+        .unionAll(lineitem.select(col("l_orderkey").as("ok"), col("l_suppkey").as("fk")).distinct()
+          .select(iri("o", col("ok")).as("src"), lit("suppliedBy").as("pred"),
+            iri("s", col("fk")).as("dst")))
 
     val types =
       customer.select(iri("c", col("c_custkey")).as("node"), lit("Customer").as("cls"))

@@ -103,13 +103,42 @@ object Bpe {
         .as("p"), col("cnt"))
       .select(col("p.x"), col("p.y"), col("cnt"))
 
+  /** words-table row budget for the driver-side merge loop: below it the
+    * collected (word, cnt, seg) table is ~hundreds of MB at most — well
+    * inside the driver heap — and the k merges cost ZERO Spark jobs
+    * instead of 2k driver-blocking jobs (pair-count + argmax per merge,
+    * ~64k sequential job launches at a real 32k vocab). Above it the
+    * distributed loop keeps the bounded-memory guarantee. */
+  val DriverTrainMaxWords = 4000000L
+
   /** Train `k` merges over `docs`. Stops early when no adjacent pair
-    * remains (every word fully merged). */
-  def train(docs: DataFrame, k: Int, textCol: String = "text"): Model = {
+    * remains (every word fully merged).
+    *
+    * ONE corpus-scale pass aggregates the words table; the merge loop then
+    * runs DRIVER-SIDE over the collected vocabulary when it fits
+    * (`driverMaxWords` rows — the common case: vocabularies are Heaps'-law
+    * sublinear in corpus size), eliminating the 2-jobs-per-merge chain
+    * whose launch latency, not data volume, dominated training. The
+    * distributed per-merge loop remains the above-gate fallback. Both
+    * paths run the identical total-order pick (cnt DESC, then BINARY
+    * string order — the order Spark and the SQL oracle share) and the
+    * identical 16-pass fixpoint replace, so the merges, final
+    * segmentations, vocab and encode surfaces are byte-equal
+    * (BpeSpec proves the equality gate-forced both ways). */
+  def train(docs: DataFrame, k: Int, textCol: String = "text",
+            driverMaxWords: Long = DriverTrainMaxWords): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var words = wordCounts(docs, textCol)
+    val words0 = wordCounts(docs, textCol)
       .withColumn("seg", initSeg(col("word")))
       .localCheckpoint(true)
+    if (words0.count() <= driverMaxWords) trainLocal(words0, k)
+    else trainDistributed(words0, k)
+  }
+
+  /** distributed merge loop (above-gate path): one pair-count + argmax job
+    * and one checkpoint-materializing merge-apply job per merge */
+  private def trainDistributed(words0: DataFrame, k: Int): Model = {
+    var words = words0
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -129,6 +158,99 @@ object Bpe {
       }
     }
     Model(merges.result(), words)
+  }
+
+  /** BINARY string order (UTF-8 byte order = code-point order) — what
+    * Spark's orderBy on strings and the oracle's ORDER BY both use;
+    * java.lang.String.compareTo is UTF-16-unit order, which differs on
+    * supplementary characters. */
+  private def binCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** driver-side merge loop: the collected words table is mutated in place
+    * through k merges with the exact arithmetic of the distributed path —
+    * integer pair counts, (cnt DESC, binary x, binary y) pick,
+    * contains-guarded [[FixpointPasses]]-pass literal replace */
+  private def trainLocal(words0: DataFrame, k: Int): Model = {
+    val spark = words0.sparkSession
+    val rows = words0.select(col("word"), col("cnt"), col("seg")).collect()
+    val word = rows.map(_.getString(0))
+    val cnt = rows.map(_.getLong(1))
+    val seg = rows.map(_.getString(2))
+    val sepCh = Sep.charAt(0)
+    // split(seg, Sep, -1) with a literal one-char separator
+    def splitSep(s: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var from = 0
+      var i = s.indexOf(sepCh)
+      while (i >= 0) { out += s.substring(from, i); from = i + 1; i = s.indexOf(sepCh, from) }
+      out += s.substring(from)
+      out.result()
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < seg.length) {
+        val l = splitSep(seg(i))
+        if (l.length >= 4) {
+          var j = 1
+          while (j <= l.length - 3) {
+            val key = (l(j), l(j + 1))
+            counts.merge(key, cnt(i), (a, b) => a + b)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bx: String = null; var by: String = null; var bc = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (x, y) = e.getKey
+          val c = e.getValue
+          if (c > bc || (c == bc && {
+            val cx = binCompare(x, bx)
+            cx < 0 || (cx == 0 && binCompare(y, by) < 0)
+          })) { bx = x; by = y; bc = c }
+        }
+        merges += Merge(rank, bx, by, bc)
+        val pat = Sep + bx + Sep + by + Sep
+        val rep = Sep + bx + by + Sep
+        var w = 0
+        while (w < seg.length) {
+          if (seg(w).contains(pat)) {
+            var t = seg(w)
+            var p = 0
+            while (p < FixpointPasses) { t = t.replace(pat, rep); p += 1 }
+            seg(w) = t
+          }
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    val out = spark.createDataset(
+      word.indices.map(i => (word(i), cnt(i), seg(i))).toSeq)(enc)
+      .toDF("word", "cnt", "seg")
+    Model(merges.result(), out)
   }
 
   /** the merge list as a DataFrame (rank, lhs, rhs, cnt) */

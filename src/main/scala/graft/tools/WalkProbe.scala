@@ -16,10 +16,34 @@ object WalkProbe {
       .config("spark.ui.enabled", "false")
       .appName("walk-probe").getOrCreate()
 
+    // per-job wall times (start→end, includes scheduling + all stages):
+    // the decomposition evidence for the per-step floor
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobStart.put(j.jobId, j.time)
+        jobStages.put(j.jobId, j.stageIds.map(_.toInt))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(jobStart.get(j.jobId)).getOrElse(j.time)
+        jobLog.add((j.jobId, t0, j.time))
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val wall = (for {a <- i.submissionTime; b <- i.completionTime} yield b - a).getOrElse(-1L)
+        stageLog.add((i.stageId, i.numTasks, wall, i.name.take(60).replace('\n', ' ')))
+      }
+    })
+
     def run(name: String, mk: () => graft.sample.WalkSampler): Unit = {
       mk().sample(200).nodes.count() // warmup (JIT, parquet footers)
       (1 to 2).foreach { pass =>
         val s = mk()
+        jobLog.clear()
         val t0 = System.nanoTime()
         s.sample(200).nodes.count()
         val total = (System.nanoTime() - t0) / 1e9
@@ -28,6 +52,26 @@ object WalkProbe {
           f"setup ${st.setupSec}%5.2f s, loop ${st.loopSec}%5.2f s " +
           f"(${st.loopSec * 1000 / math.max(1, st.steps)}%6.1f ms/step), " +
           f"finalize ${total - st.setupSec - st.loopSec}%5.2f s, total $total%5.2f s")
+        val jobs = jobLog.toArray(Array.empty[(Int, Long, Long)]).sortBy(_._1)
+        val spans = jobs.map { case (id, a, b) => f"$id:${(b - a) / 1e3}%.2fs" }
+        val gaps = jobs.sliding(2).collect {
+          case Array((_, _, e1), (_, s2, _)) => (s2 - e1) / 1e3 }.toSeq
+        println(s"[walk-probe]   jobs=${jobs.length} " +
+          s"walls=[${spans.mkString(" ")}] " +
+          f"gapSum=${gaps.sum}%.2fs")
+        if (pass == 2) {
+          val stages = stageLog.toArray(Array.empty[(Int, Int, Long, String)])
+            .map(s => s._1 -> s).toMap
+          jobs.foreach { case (jid, a, b) =>
+            if (b - a > 300) {
+              val ss = jobStages.getOrDefault(jid, Nil).sorted.flatMap(stages.get)
+                .map { case (id, n, w, nm) =>
+                  f"s$id(t=$n,${w / 1e3}%.2fs,${nm.take(28)})" }
+              println(f"[walk-probe]   job $jid%4d ${(b - a) / 1e3}%.2fs: ${ss.mkString(" ")}")
+            }
+          }
+        }
+        stageLog.clear()
       }
     }
 

@@ -91,6 +91,34 @@ class BpeSpec extends SparkSpec {
     assert(a.length === 5)
   }
 
+  test("driver-side merge loop ≡ distributed loop, gate-forced both ways") {
+    // the r6 optimization: below the DriverTrainMaxWords gate the k merges
+    // run driver-side (zero Spark jobs) — merges AND final segmentations
+    // must be byte-equal to the distributed per-merge job chain
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val local = Bpe.train(docs, 6) // gate passes: vocab ≪ 4M
+    val dist = Bpe.train(docs, 6, driverMaxWords = 0L) // gate forced off
+    assert(local.merges === dist.merges)
+    val lw = local.words.select("word", "cnt", "seg").as[(String, Long, String)]
+      .collect().sortBy(_._1)
+    val dw = dist.words.select("word", "cnt", "seg").as[(String, Long, String)]
+      .collect().sortBy(_._1)
+    assert(lw === dw)
+  }
+
+  test("driver-side merge loop: vocabulary-scale k runs in bounded wall time") {
+    // the 2-jobs-per-merge chain is gone: k=400 merges over the sf0.001
+    // vocabulary must complete in seconds (it was ~2 jobs × k sequential
+    // job launches before — minutes), proving the loop no longer pays a
+    // per-merge scheduling floor
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t0 = System.nanoTime()
+    val m = Bpe.train(docs, 400)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(m.merges.nonEmpty)
+    assert(sec < 60.0, f"k=400 train took $sec%.1f s — driver loop regressed")
+  }
+
   test("training filters: over-cap and separator-bearing words are excluded") {
     val long = "a" * (Bpe.MaxWordLen + 1)
     val docs = Seq((1L, s"$long ab${S}cd ab ab")).toDF("doc_id", "text")
