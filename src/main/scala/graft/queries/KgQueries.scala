@@ -241,11 +241,17 @@ object KgQueries {
     // float dependency accumulation is spec-pinned downstream
     "kg_spcounts" -> ((s, d) => {
       val kb = TpchKg.load(s, d)
-      val seeds = kb.edges.filter(col("pred") === "contains")
+      // the contains projection (a lineitem-scale distinct) feeds BOTH the
+      // seed derivation and the undirected edge set — materialize it once
+      // (r6; the two-consumer rule). undirected() over it is unchanged:
+      // the pred filter is a no-op on the pre-filtered rows.
+      val contains = kb.edges.filter(col("pred") === "contains")
+        .localCheckpoint(true)
+      val seeds = contains
         .select(col("src").as("id")).distinct()
         .filter(expr("CAST(substr(id, 3) AS BIGINT) % 997 = 0"))
       graft.sample.Betweenness.spCounts(
-        graft.sample.GraphMetrics.undirected(kb.edges, "contains"), seeds, 4)
+        graft.sample.GraphMetrics.undirected(contains, "contains"), seeds, 4)
     }),
     // per-order butterfly counts (2×2 bicliques — the bipartite motif)
     // over the DIRECTED contains edges: orders credited, parts pivot,

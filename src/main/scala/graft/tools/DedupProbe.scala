@@ -81,6 +81,69 @@ object DedupProbe {
         .filter(col("jaccard") >= threshold).count()
     }
     stage("minhashLsh end-to-end")(minhashLsh(corpus, threshold).count())
+
+    // ---- r6: decompose the candidate-generation 6.7 s ----
+    // materialized index (the engine's actual starting point)
+    val sigsCk = lshIndex(corpus).localCheckpoint(true)
+    stage("slim join from ck (count)") {
+      sigsCk.select(col("doc_id").as("a"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b")).count()
+    }
+    stage("slim distinct from ck") {
+      sigsCk.select(col("doc_id").as("a"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    }
+    stage("wide join+prefilter (no dist)") {
+      sigsCk.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .filter(agreeExpr >= sigAgreeMin(threshold)).count()
+    }
+    stage("cand from ck (engine shape)") {
+      sigsCk.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .filter(agreeExpr >= sigAgreeMin(threshold))
+        .select("a", "b").distinct().count()
+    }
+    // no candidate distinct at all: verify the (duplicated) collision pairs
+    // and dedup the tiny surviving set at the end
+    stage("no-dist verify (dup pairs)") {
+      val cand = sigsCk.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .filter(agreeExpr >= sigAgreeMin(threshold))
+        .select("a", "b")
+      jaccardOf(corpus, cand)
+        .filter(col("jaccard") >= threshold).distinct().count()
+    }
+    // skew hypothesis: the collision fanout lives in a few fat join tasks,
+    // so distinct's PARTIAL hash-aggregate runs serially there. An explicit
+    // hash exchange on (a, b) before the aggregate moves rows first (cheap)
+    // and dedups in parallel.
+    stage("repart(a,b) distinct from ck") {
+      sigsCk.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .filter(agreeExpr >= sigAgreeMin(threshold))
+        .select("a", "b").repartition(col("a"), col("b")).distinct().count()
+    }
+    stage("repart(256) distinct from ck") {
+      sigsCk.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+        .join(sigsCk.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .filter(agreeExpr >= sigAgreeMin(threshold))
+        .select("a", "b").repartition(256, col("a"), col("b")).distinct().count()
+    }
     spark.stop()
   }
 }
