@@ -307,9 +307,16 @@ object KgStats {
       .localCheckpoint(true)
     val predFreq = e.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
     val objFreq = e.groupBy(col("dst")).agg(count(lit(1)).as("n_obj"))
+    // the checkpoint reports unknown-stats default size, so the objFreq
+    // join planned as SMJ (two exchanges of the |E| rows); objFreq is
+    // |V|-bounded — broadcast it while the counted edge table fits the
+    // envelope (|V| ≤ |E|), shuffled join above (strategy-only)
+    val objSide =
+      if (e.count() <= graft.sample.Louvain.BroadcastMaxNodes) broadcast(objFreq)
+      else objFreq
     val scored = e
       .join(broadcast(predFreq), Seq("pred"))
-      .join(objFreq, Seq("dst"))
+      .join(objSide, Seq("dst"))
       .select(col("src").as("node"), col("pred"), col("dst"),
         expr("1000000000L div n_pred + 1000000000L div n_obj").as("score_micro"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))

@@ -65,22 +65,46 @@ object Lineage {
     }
   }
 
-  /** Append the stage's lineage rows: per-file row counts (footer-cheap —
-    * the projection is empty, so the scan decodes no pages) + the
-    * `_total_` row carrying the write-pass checksum. */
+  /** Append the stage's lineage rows: per-file row counts + the `_total_`
+    * row carrying the write-pass checksum. Per-file rows come straight
+    * from the parquet FOOTER metadata on the driver (the row counts are
+    * in every file's footer; O(files) metadata reads) — r6: this replaces
+    * a scheduled zero-column Spark scan per stage, whose job launch was
+    * pure fixed overhead on the 5-stage pipeline. Same rows: Σ per-file
+    * rows == the total row's rows stays the consumers' integrity
+    * equation. */
   def record(spark: SparkSession, baseDir: String, name: String, out: DataFrame,
              totalRows: Long, checksum: Long): Unit = {
     val ts = java.time.Instant.now().toString
-    val perFile = out.select(input_file_name().as("file"))
-      .groupBy(col("file"))
-      .agg(count(lit(1)).as("rows"))
-      .select(lit(name).as("stage"), col("file"), col("rows"),
-        lit(null).cast("long").as("checksum"), lit(ts).as("recorded_at"))
-    val total = spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(
-          name, TotalFile, totalRows, checksum, ts)),
-        perFile.schema)
-    perFile.unionAll(total)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(stagePath(baseDir, name))
+    val fs = dir.getFileSystem(conf)
+    val perFileRows: Seq[org.apache.spark.sql.Row] = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try reader.getRecordCount finally reader.close()
+        org.apache.spark.sql.Row(name, st.getPath.toString, rows,
+          null.asInstanceOf[java.lang.Long], ts)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("checksum",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("recorded_at",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val all = perFileRows :+
+      org.apache.spark.sql.Row(name, TotalFile, totalRows, checksum, ts)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(all).asJava), schema)
+      .coalesce(1)
       .write.mode("append").parquet(lineagePath(baseDir))
   }
 

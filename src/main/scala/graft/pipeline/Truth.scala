@@ -43,8 +43,16 @@ object Truth {
 
   val TrustScale = 1000000L
 
-  private def beliefOf(claims: DataFrame, trust: DataFrame): DataFrame =
-    claims.join(trust, "src")
+  /** broadcast gate for the voting-round joins: trust is |sources|-bounded
+    * and winners |items|-bounded, both ≤ |claims|; checkpointed claim
+    * frames report unknown-stats default size, so without the hint every
+    * round planned as SMJ with full exchanges. Above the gate the
+    * shuffled joins a 100-TB claim stream needs stand (strategy-only). */
+  val BroadcastMaxRows: Long = 20000000L
+
+  private def beliefOf(claims: DataFrame, trust: DataFrame,
+                       bc: DataFrame => DataFrame): DataFrame =
+    claims.join(bc(trust), "src")
       .groupBy(col("subj"), col("pred"), col("obj"))
       .agg(sum(col("trust_micros")).as("belief_micros"),
         count(lit(1)).as("n_src"))
@@ -56,9 +64,10 @@ object Truth {
       .select(col("subj"), col("pred"), col("w.obj").as("obj"),
         (-col("w.nb")).as("belief_micros"), col("w.n_src").as("n_src"))
 
-  private def trustOf(claims: DataFrame, winners: DataFrame): DataFrame =
+  private def trustOf(claims: DataFrame, winners: DataFrame,
+                      bc: DataFrame => DataFrame): DataFrame =
     claims
-      .join(winners.select(col("subj"), col("pred"), col("obj").as("__wobj")),
+      .join(bc(winners.select(col("subj"), col("pred"), col("obj").as("__wobj"))),
         Seq("subj", "pred"))
       .groupBy(col("src"))
       .agg(expr(s"$TrustScale * sum(CASE WHEN obj = __wobj THEN 1 ELSE 0 END) div count(1)")
@@ -71,12 +80,14 @@ object Truth {
     require(rounds >= 1, "at least one voting round")
     val c = claims.select(col("src"), col("subj"), col("pred"), col("obj"))
       .distinct().localCheckpoint(true)
+    val bc: DataFrame => DataFrame =
+      if (c.count() <= BroadcastMaxRows) broadcast else identity
     var trust = c.select(col("src")).distinct()
       .withColumn("trust_micros", lit(TrustScale))
-    var winners = winnersOf(beliefOf(c, trust))
+    var winners = winnersOf(beliefOf(c, trust, bc))
     for (_ <- 2 to rounds) {
-      trust = trustOf(c, winners.localCheckpoint(true)).localCheckpoint(true)
-      winners = winnersOf(beliefOf(c, trust))
+      trust = trustOf(c, winners.localCheckpoint(true), bc).localCheckpoint(true)
+      winners = winnersOf(beliefOf(c, trust, bc))
     }
     winners
   }
@@ -89,14 +100,16 @@ object Truth {
     require(rounds >= 2, "trust is uniform before round 2")
     val c = claims.select(col("src"), col("subj"), col("pred"), col("obj"))
       .distinct().localCheckpoint(true)
+    val bc: DataFrame => DataFrame =
+      if (c.count() <= BroadcastMaxRows) broadcast else identity
     var trust = c.select(col("src")).distinct()
       .withColumn("trust_micros", lit(TrustScale))
-    var winners = winnersOf(beliefOf(c, trust))
+    var winners = winnersOf(beliefOf(c, trust, bc))
     for (_ <- 3 to rounds) {
-      trust = trustOf(c, winners.localCheckpoint(true)).localCheckpoint(true)
-      winners = winnersOf(beliefOf(c, trust))
+      trust = trustOf(c, winners.localCheckpoint(true), bc).localCheckpoint(true)
+      winners = winnersOf(beliefOf(c, trust, bc))
     }
-    trustOf(c, winners.localCheckpoint(true))
+    trustOf(c, winners.localCheckpoint(true), bc)
   }
 
   /** Temporal scoping of facts from crawl provenance: per canonical
